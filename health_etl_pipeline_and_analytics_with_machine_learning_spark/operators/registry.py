@@ -1,0 +1,68 @@
+"""Query registry shared by every operator module.
+
+Each registered query is a pair:
+- a Spark implementation ``fn(spark, sf_dir) -> DataFrame``, and
+- an optional ANSI-SQL oracle string runnable by DuckDB on the same
+  parquet tables (views ``region nation customer supplier part orders
+  lineitem events documents embeddings`` are pre-registered by the
+  driver). ``oracle=None`` marks a genuinely non-SQL-expressible op —
+  the driver then records a weaker rows-only check.
+
+Column names must be identical between the two sides (the driver's
+comparison sorts columns by name before hashing values), so every
+computed column is aliased the same way in both. Aggregated doubles are
+rounded (ROUND_DP decimals) on BOTH sides: Spark and DuckDB accumulate
+floating-point sums in different orders, so the raw last-ULP bits are
+not comparable, but the rounded values are.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: decimals to which cross-engine-compared aggregate doubles are rounded
+ROUND_DP = 4
+
+
+@dataclass
+class RegisteredQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one of the driver's parquet tables.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright. We read nanos as a long
+    (legacy conf, runtime-settable) and rebuild a microsecond timestamp —
+    the same precision DuckDB coerces nanos to, so oracle comparisons on
+    derived time columns agree.
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,697 @@
+"""Relational query library — the SURVEY §2 operator inventory re-expressed
+over the driver's TPC-H-ish tables.
+
+Each query id corresponds to an operator *shape* the reference computes on
+its health table (SURVEY §2.2–§2.7; reference citations inline). The health
+columns are stand-ins: group keys map to ``l_returnflag`` /
+``o_orderpriority`` / year-of-date, measures to ``l_extendedprice`` /
+``o_totalprice`` etc. Every query:
+
+- is declared with the DataFrame API (Catalyst plans it; filters and
+  projections push down to the parquet scan),
+- carries a DuckDB oracle with IDENTICAL column names and rounding,
+- breaks every ORDER BY ... LIMIT tie with explicit trailing keys, so the
+  rows surviving a LIMIT are deterministic across engines (SURVEY §4.3).
+
+Scale notes are attached per-query: what the plan does at 100 TB, where
+the shuffles are, and why they are the minimal set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import ROUND_DP, load, query
+
+DP = ROUND_DP
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_dropna",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, price_f
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE ROUND(o_totalprice, {DP}) END AS price_f
+      FROM orders
+    )
+    WHERE price_f IS NOT NULL
+    """,
+)
+def project_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + multi-col dropna (Health_Jim.py:478-482, nb@10:8).
+
+    Scale: narrow projection + filter — no shuffle at all; Catalyst pushes
+    the IS NOT NULL predicate below the projection and prunes the scan to
+    3 columns.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "O", F.lit(None))
+            .otherwise(F.round("o_totalprice", DP))
+            .alias("price_f"),
+        )
+        .na.drop(subset=["price_f"])
+    )
+
+
+@query(
+    "range_filter_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), {DP}) AS sum_qty,
+           ROUND(AVG(l_extendedprice), {DP}) AS avg_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def range_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate → agg (Year between clamp, Health_Jim.py:225, nb@0:123).
+
+    Scale: the timestamp range predicate reaches the parquet scan
+    (row-group min/max pruning); one partial→final hash aggregation over
+    3 groups — map-side combine collapses the shuffle to ~3 rows/task.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), DP).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "eq_filter_group_agg",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value), {DP}) AS avg_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def eq_filter_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter feeding a grouped agg — the app's interactive
+    country/year filters (Health_Jim.py:886-892, 940-942).
+
+    Scale: equality predicate pushed to the scan; if `events` were
+    partitioned by event_type on disk this is partition pruning. One
+    shuffle on user_id with partial aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), DP).alias("avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (the six notebook/app queries)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_group_avg_topk",
+    oracle=f"""
+    SELECT l_partkey,
+           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
+           COUNT(*) AS n_records
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_partkey
+    ORDER BY avg_price DESC, l_partkey
+    LIMIT 5
+    """,
+)
+def filter_group_avg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 'deadliest diseases': WHERE NOT NULL → GROUP BY → AVG, COUNT →
+    ORDER BY avg DESC → LIMIT 5 (SQL nb@3:2-13, pandas nb@2:2-5,
+    app Health_Jim.py:439-447).
+
+    Scale: group key l_partkey is high-cardinality (~1/5 of rows) —
+    partial agg shrinks the shuffle to one row per (task, key); the
+    global top-5 is a TakeOrderedAndProject (per-partition top-5 then
+    driver merge), never a full sort.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+        .orderBy(F.desc("avg_price"), F.asc("l_partkey"))
+        .limit(5)
+    )
+
+
+@query(
+    "group2_sort_mixed_limit",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           l_returnflag,
+           COUNT(*) AS n_cases,
+           ROUND(AVG(l_quantity), {DP}) AS avg_qty
+    FROM lineitem
+    GROUP BY ship_year, l_returnflag
+    ORDER BY avg_qty ASC, n_cases DESC, ship_year, l_returnflag
+    LIMIT 50
+    """,
+)
+def group2_sort_mixed_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 'recovery trends': GROUP BY Year, disease → COUNT, AVG →
+    mixed-direction multi-key sort → LIMIT 50 (nb@7:2-13, nb@6:3-7).
+
+    Scale: two-key grouped agg (low cardinality: years × flags), then
+    top-50 via TakeOrderedAndProject with full deterministic tiebreak.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            "l_returnflag",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cases"),
+            F.round(F.avg("l_quantity"), DP).alias("avg_qty"),
+        )
+        .orderBy(
+            F.asc("avg_qty"), F.desc("n_cases"), F.asc("ship_year"), F.asc("l_returnflag")
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "group_avg_having_sort",
+    oracle=f"""
+    SELECT o_orderpriority,
+           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
+           ROUND(AVG(o_custkey), {DP}) AS avg_custkey,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING AVG(o_totalprice) IS NOT NULL AND COUNT(*) > 10
+    ORDER BY avg_price DESC, o_orderpriority
+    """,
+)
+def group_avg_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 'access vs mortality': GROUP BY → AVG×k → HAVING → ORDER BY
+    (nb@11:2-13; pandas twin post-agg dropna nb@10:2-8).
+
+    HAVING compiles to a post-aggregation filter — exactly how the pandas
+    twin expresses it. Scale: agg output is tiny (5 groups); the HAVING
+    filter runs on the aggregated side, never rescans the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+            F.round(F.avg("o_custkey"), DP).alias("avg_custkey"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("avg_price").isNotNull() & (F.col("n_orders") > 10))
+        .orderBy(F.desc("avg_price"), F.asc("o_orderpriority"))
+    )
+
+
+@query(
+    "filter_group2_avg2_count_sort",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
+           ROUND(AVG(l_discount), {DP}) AS avg_discount,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY avg_price DESC, l_returnflag, l_linestatus
+    """,
+)
+def filter_group2_avg2_count_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 'treatment cost': WHERE NOT NULL → GROUP BY k1,k2 → AVG, AVG,
+    COUNT → ORDER BY avg DESC (nb@15:2-14, nb@14:2-10)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            F.round(F.avg("l_discount"), DP).alias("avg_discount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("avg_price"), "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "group_avg_sum2_topk",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
+           ROUND(SUM(l_quantity), {DP}) AS sum_qty,
+           ROUND(SUM(l_tax), {DP}) AS sum_tax
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
+    ORDER BY avg_price DESC, l_returnflag
+    LIMIT 10
+    """,
+)
+def group_avg_sum2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 'gender split of deadliest': GROUP BY → AVG, SUM, SUM → top-10
+    (nb@18:1-13). The reference's WHERE clause is a silent no-op in SQLite
+    (unknown quoted identifier → string literal, SURVEY §2.2 Q7); this
+    implements the INTENDED semantics — filter on the measure being
+    non-null — and the oracle encodes the same decision.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            F.round(F.sum("l_quantity"), DP).alias("sum_qty"),
+            F.round(F.sum("l_tax"), DP).alias("sum_tax"),
+        )
+        .orderBy(F.desc("avg_price"), "l_returnflag")
+        .limit(10)
+    )
+
+
+@query(
+    "two_level_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(AVG(avg_price), {DP}) AS avg_avg_price,
+           ROUND(AVG(avg_qty), {DP}) AS avg_avg_qty,
+           COUNT(*) AS n_groups
+    FROM (
+      SELECT l_returnflag, l_suppkey,
+             AVG(l_extendedprice) AS avg_price,
+             AVG(l_quantity) AS avg_qty
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag, l_suppkey
+    )
+    GROUP BY l_returnflag
+    ORDER BY avg_avg_price DESC, l_returnflag
+    LIMIT 50
+    """,
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 'urban/rural burden': level-1 GROUP BY (Country, disease) → AVGs,
+    level-2 re-agg GROUP BY disease → avg-of-avgs (nb@21:1-16 + nb@22:1-12).
+    Deliberately an avg-of-avgs, NOT a flat per-disease avg — the
+    reference's two-step semantics are preserved.
+
+    Scale: the second agg consumes the first agg's (already shuffled,
+    already tiny) output; Catalyst reuses the hash-partitioning on
+    l_returnflag ⊂ (l_returnflag, l_suppkey)? No — the level-2 keys are a
+    prefix subset, so a second (cheap) shuffle of the reduced data runs.
+    The reduction happens at level 1, which is what matters at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+        )
+    )
+    return (
+        l1.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("avg_price"), DP).alias("avg_avg_price"),
+            F.round(F.avg("avg_qty"), DP).alias("avg_avg_qty"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .orderBy(F.desc("avg_avg_price"), "l_returnflag")
+        .limit(50)
+    )
+
+
+@query(
+    "trend_group_avg_sort",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def trend_group_avg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mortality-trend shape: GROUP BY Year → AVG → ORDER BY Year
+    (Health_Jim.py:461-471)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "overview_scalars",
+    oracle=f"""
+    SELECT COUNT(*) AS n_records,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
+           ROUND(MIN(o_totalprice), {DP}) AS min_price,
+           ROUND(MAX(o_totalprice), {DP}) AS max_price,
+           ROUND(MEDIAN(o_totalprice), {DP}) AS median_price
+    FROM orders
+    """,
+)
+def overview_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview metrics: COUNT, nunique, AVG/MIN/MAX/MEDIAN in one pass
+    (nb@28:64-82, nb@0:386-404).
+
+    Exactness: Spark ``median`` is the exact interpolating percentile
+    (SortAggregate), matching pandas/DuckDB — the parity-tier choice per
+    SURVEY §4.3. The 100 TB path swaps to percentile_approx behind the
+    ``exact`` flag in quality.overview().
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+        F.round(F.min("o_totalprice"), DP).alias("min_price"),
+        F.round(F.max("o_totalprice"), DP).alias("max_price"),
+        F.round(F.median("o_totalprice"), DP).alias("median_price"),
+    )
+
+
+@query(
+    "value_counts_topk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 10
+    """,
+)
+def value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts().head(10) (nb@0:375-385)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM part) AS n_total,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM part)) AS n_distinct,
+           (SELECT COUNT(*) FROM part)
+             - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM part)) AS n_duplicates
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated().sum() / drop_duplicates() over all columns
+    (nb@1:1, Health_Jim.py:410-419).
+
+    Scale: dropDuplicates over all columns = hash-agg on a composite key;
+    partial dedup happens map-side before the shuffle.
+    """
+    p = load(spark, sf_dir, "part")
+    total = p.agg(F.count(F.lit(1)).alias("n_total"))
+    distinct = p.dropDuplicates().agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        total.crossJoin(distinct)
+        .withColumn("n_duplicates", F.col("n_total") - F.col("n_distinct"))
+    )
+
+
+@query(
+    "median_fill",
+    oracle=f"""
+    SELECT ROUND(MEDIAN(l_quantity), {DP}) AS med_qty,
+           ROUND(MEDIAN(l_extendedprice), {DP}) AS med_price,
+           ROUND(MEDIAN(l_discount), {DP}) AS med_discount,
+           ROUND(MEDIAN(l_tax), {DP}) AS med_tax
+    FROM lineitem
+    """,
+)
+def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column exact medians — the reference's fill values and UI
+    defaults (Health_Jim.py:222, 293, 306, 390-391)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.median("l_quantity"), DP).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), DP).alias("med_price"),
+        F.round(F.median("l_discount"), DP).alias("med_discount"),
+        F.round(F.median("l_tax"), DP).alias("med_tax"),
+    )
+
+
+@query(
+    "iqr_clip",
+    oracle=f"""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_items,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
+                           q3 + 3 * (q3 - q1))), {DP}) AS avg_clipped,
+           ROUND(MIN(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
+                           q3 + 3 * (q3 - q1))), {DP}) AS min_clipped,
+           ROUND(MAX(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
+                           q3 + 3 * (q3 - q1))), {DP}) AS max_clipped
+    FROM lineitem, q
+    """,
+)
+def iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier clipping: quantile(.25/.75) then clip to ±3·IQR
+    (Health_Jim.py:332-347, nb@0:230-245).
+
+    clip(lo, hi) = LEAST(GREATEST(x, lo), hi) — native expressions, no UDF.
+    Scale: the quantile scalars are one tiny agg, broadcast back via a
+    1-row cross join (BroadcastNestedLoopJoin of a single row — free);
+    exact quantile_cont/percentile at parity tier, percentile_approx on
+    the 100 TB path (SURVEY §4.3).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("q1") - 3 * (F.col("q3") - F.col("q1"))),
+        F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+    )
+    return li.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg(clipped), DP).alias("avg_clipped"),
+        F.round(F.min(clipped), DP).alias("min_clipped"),
+        F.round(F.max(clipped), DP).alias("max_clipped"),
+    )
+
+
+@query(
+    "corr_matrix",
+    oracle=f"""
+    SELECT ROUND(CORR(l_extendedprice, l_quantity), {DP}) AS corr_qty,
+           ROUND(CORR(l_extendedprice, l_discount), {DP}) AS corr_discount,
+           ROUND(CORR(l_extendedprice, l_tax), {DP}) AS corr_tax
+    FROM lineitem
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of each feature vs the target column — the
+    reference's corr()['Mortality_Rate_per_100'] slice
+    (Health_Jim.py:519-547, nb@26:8-9). One wide agg, one pass, no UDF.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), DP).alias("corr_qty"),
+        F.round(F.corr("l_extendedprice", "l_discount"), DP).alias("corr_discount"),
+        F.round(F.corr("l_extendedprice", "l_tax"), DP).alias("corr_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window-equivalent computations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_group_median_fill",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_tax < 0.01 THEN NULL ELSE l_quantity END AS qty_v
+      FROM lineitem
+    ),
+    gm AS (
+      SELECT l_returnflag, l_linestatus, MEDIAN(qty_v) AS group_med
+      FROM base GROUP BY l_returnflag, l_linestatus
+    ),
+    gl AS (SELECT MEDIAN(qty_v) AS global_med FROM base)
+    SELECT b.l_returnflag, b.l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN b.qty_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           ROUND(AVG(COALESCE(b.qty_v, gm.group_med, gl.global_med)), {DP}) AS avg_filled
+    FROM base b
+    JOIN gm ON b.l_returnflag = gm.l_returnflag AND b.l_linestatus = gm.l_linestatus
+    CROSS JOIN gl
+    GROUP BY b.l_returnflag, b.l_linestatus
+    ORDER BY b.l_returnflag, b.l_linestatus
+    """,
+)
+def window_group_median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median null fill — groupby(...).transform('median') → fillna
+    with group-then-global median (Health_Jim.py:290-306, nb@0:187-204).
+    Nulls are synthesized deterministically (l_tax < 0.01 → NULL) since the
+    driver tables are null-free.
+
+    Implemented the SCALE way: groupBy-agg of group medians + broadcast
+    join back (the tiny median table is broadcast — zero extra shuffle of
+    the fact table), not percentile-over-Window (which re-sorts every
+    partition's rows per window frame). This is the §2.3 'join-shaped
+    transform' pattern.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(F.col("l_tax") < 0.01, F.lit(None))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_v"),
+    )
+    gm = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.median("qty_v").alias("group_med")
+    )
+    gl = base.agg(F.median("qty_v").alias("global_med"))
+    filled = (
+        base.join(F.broadcast(gm), ["l_returnflag", "l_linestatus"])
+        .crossJoin(F.broadcast(gl))
+        .withColumn("qty_filled", F.coalesce("qty_v", "group_med", "global_med"))
+    )
+    return (
+        filled.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("qty_v").isNull(), 1).otherwise(0)).alias("n_filled"),
+            F.round(F.avg("qty_filled"), DP).alias("avg_filled"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "global_sort_rowid",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           ROW_NUMBER() OVER (ORDER BY s_name, s_suppkey) AS record_id
+    FROM supplier
+    ORDER BY record_id
+    """,
+)
+def global_sort_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record_ID: 1-based sequential id after a canonical multi-column sort
+    (Health_Jim.py:424-426, nb@0:322-324) — the engine's only true window
+    function, over a global (unpartitioned) window.
+
+    Scale caveat (SURVEY §4.4): an unpartitioned row_number funnels all
+    rows through one task. Fine for dimension-sized tables (supplier here);
+    for fact tables use operators.record_id.with_record_id(), the
+    two-phase partition-offset pattern.
+    """
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_name", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            "s_name",
+            F.row_number().over(w).cast("long").alias("record_id"),
+        )
+        .orderBy("record_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 reshape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_sum2_unpivot",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), {DP}) AS sum_qty,
+             ROUND(SUM(l_extendedprice), {DP}) AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM g
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM g
+    ORDER BY l_returnflag, metric
+    """,
+)
+def group_sum2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gender-impact melt: GROUP BY → SUM, SUM then wide→long unpivot
+    (Health_Jim.py:487-501). Spark ≥3.4 has a native unpivot."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), DP).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), DP).alias("sum_price"),
+    )
+    return (
+        g.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price"],
+            variableColumnName="metric",
+            valueColumnName="metric_value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )

@@ -1,0 +1,84 @@
+"""Differential tests: every registered query's Spark DataFrame result must
+match its DuckDB oracle on the same parquet tables — the same check the
+driver runs (row-count + schema-name + order-insensitive value comparison).
+
+This mirrors the reference's own informal dual-implementation strategy
+(pandas twin vs SQL, SURVEY §5.1) made rigorous.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+    REGISTRY,
+)
+
+from conftest import SF_CORRECT
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(rows, colnames):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+ORACLE_QUERIES = sorted(n for n, rq in REGISTRY.items() if rq.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    rq = REGISTRY[name]
+    sdf = rq.fn(spark, SF_CORRECT)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(SF_CORRECT)
+    res = con.execute(rq.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    sc, dc = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still run and return a stable schema."""
+    for name, rq in REGISTRY.items():
+        if rq.oracle is None:
+            df = rq.fn(spark, SF_CORRECT)
+            assert df.columns, name
+            assert df.count() >= 0, name

@@ -1,0 +1,65 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query steady-state seconds.
+
+Methodology (BASELINE.md): Spark's fixed startup/planning overhead
+dominates at these scale factors, so we report steady-state query time —
+each query runs once to warm the parquet footer/page caches and JIT, then
+the timed run executes the full plan (collect to the driver, like the
+reference's eager pandas/SQLite execution)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (  # noqa: E402
+    registry,
+)
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+    for name, rq in sorted(registry.REGISTRY.items()):
+        try:
+            rq.fn(spark, sf_dir).collect()  # warm-up: caches, JIT, file footers
+            t0 = time.perf_counter()
+            rq.fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # pragma: no cover - report, don't die
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "steady_state_total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,2 @@
-from . import relational  # noqa: F401 — populates the query registry on import
+# importing populates the query registry
+from . import dedup, events, multimodal, relational, similarity, text  # noqa: F401

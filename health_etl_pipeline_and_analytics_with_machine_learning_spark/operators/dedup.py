@@ -1,0 +1,233 @@
+"""Deduplication operators over ``documents`` — the scale ladder a
+training-data pipeline needs:
+
+1. exact / normalized-exact   : hash-groupBy on text or fingerprint — one
+                                shuffle, linear.
+2. n-gram Jaccard             : exact pairwise similarity, but candidates
+                                come from an inverted shingle index
+                                (self-join on shingle), never O(n²) text
+                                compares.
+3. SimHash hamming banding    : linear fingerprinting (text.text_simhash)
+                                + band-bucketed candidate join.
+4. MinHash + LSH (MLlib)      : the 100 TB path — sketch once, band-join,
+                                verify only candidates. Seeded,
+                                deterministic; no SQL oracle (rows-only).
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, query
+from .text import _NORM_SQL, _norm
+
+
+@query(
+    "dedup_exact_text",
+    oracle=f"""
+    WITH n AS (SELECT text, {_NORM_SQL} AS norm FROM documents)
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT text) AS n_distinct_text,
+           COUNT(DISTINCT norm) AS n_distinct_norm,
+           COUNT(*) - COUNT(DISTINCT text) AS n_dup_exact,
+           COUNT(*) - COUNT(DISTINCT norm) AS n_dup_norm
+    FROM n
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized-exact duplicate census. distinct-on-text is a
+    hash aggregation on the text (or better, its fingerprint) — at scale
+    you group on md5(text) so shuffle rows are 16 bytes, not documents."""
+    d = load(spark, sf_dir, "documents").select(
+        "text", _norm(F.col("text")).alias("norm")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.countDistinct("norm").alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_exact"),
+        (F.count(F.lit(1)) - F.countDistinct("norm")).alias("n_dup_norm"),
+    )
+
+
+_SHINGLES_SQL = f"""
+      SELECT doc_id, lang, sh FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, lang,
+                     regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+              FROM documents)
+      ) GROUP BY doc_id, lang, sh
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.nsh + sb.nsh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup: top-20 same-language pairs.
+
+    Scale shape: the inverted shingle index (distinct (doc, shingle))
+    self-joins on the shingle — pair work is Σ freq(shingle)², bounded by
+    shingle selectivity, not n². Hot shingles (stop-phrases) are the skew
+    risk at 100 TB: mitigate by dropping shingles with document frequency
+    above a cap (they contribute candidates, not discrimination) — AQE
+    skew-join handles the remainder.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(_norm(F.col("text")), " ")
+    sh = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sa.nsh") + F.col("sb.nsh") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("rows-only",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup — the 100 TB path: hash each document's token
+    set into ``numHashTables`` minhash signatures (linear), band-join on
+    signature buckets, compute exact Jaccard distance only on candidate
+    pairs. Seeded → deterministic; MLlib internals aren't expressible in
+    DuckDB SQL, so the driver records a rows-only check (the pytest suite
+    cross-validates candidates against exact n-gram Jaccard).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents").withColumn("norm", _norm(F.col("text")))
+    tok = RegexTokenizer(inputCol="norm", outputCol="tokens", pattern=" ")
+    tf = HashingTF(inputCol="tokens", outputCol="features", binary=True, numFeatures=1 << 18)
+    feats = tf.transform(tok.transform(d))
+    # rows whose token set is empty have all-zero vectors — MinHash rejects them
+    feats = feats.filter(F.size("tokens") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("jaccard_dist", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM tok WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, k, SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
+      GROUP BY doc_id, k
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 45) = (b.simhash >> 45) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with BANDED candidate generation: candidates must
+    share the top 15-bit band of the 60-bit fingerprint (an equi-join —
+    shuffle on the band, no cross product), then the hamming-distance
+    filter verifies. This is the simhash analog of LSH banding and the
+    only join shape that survives 100 TB."""
+    from .text import text_simhash
+
+    sig = text_simhash(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("a.simhash"), 45) == F.shiftright(F.col("b.simhash"), 45))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )

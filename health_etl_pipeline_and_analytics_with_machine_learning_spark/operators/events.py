@@ -1,0 +1,104 @@
+"""Event-stream batch operators over ``events`` — tumbling-window
+rollups and sessionization. The Structured Streaming twins live in
+``streaming.events_stream``; these batch forms share the same
+aggregation logic and are the oracle-checkable surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import load, query
+
+
+@query(
+    "events_hour_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+)
+def events_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type — the batch twin of the
+    streaming windowed aggregation. date_trunc keys shuffle-aggregate
+    with partial combine; output cardinality = hours × types."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(COUNT(*) * 1.0 / MAX(session_id), 4) AS events_per_session
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize with a 30-minute inactivity gap: lag(ts) per user →
+    session-start flags → running sum = session ids (the classic
+    gaps-and-islands shape; streaming twin: session_window).
+
+    Scale: ONE shuffle on user_id serves both window passes and the final
+    aggregation (same partitioning reused by Catalyst); skewed power
+    users are bounded by per-user event counts, not corpus size."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.count(F.lit(1)) / F.max("session_id"), 4).alias("events_per_session"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, with decode / feature-extraction as Arrow-batched pandas
+stages over ``mapInPandas``.
+
+The driver corpus has no real image/audio bytes, so the payload is the
+document's UTF-8 bytes and the DECODE step is a deterministic stand-in
+(clearly marked) — but the Spark-side plumbing is the real thing: binary
+column with metadata struct, schema-stable batch UDF signature,
+partition-parallel extraction, and an oracle-checkable metadata path
+(octet_length / md5 are byte-level and engine-independent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+#: Set to a real decoder (PIL/ffmpeg/...) in a full deployment. The
+#: container image ships no media libraries, so decode is STUBBED with a
+#: deterministic fake that derives pseudo-dimensions from the payload
+#: bytes. The schema and batch shape are what a real decoder would use.
+DECODE_IS_STUB = True
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           source AS media_source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level metadata over the binary payload — size, checksum,
+    source tag. Pure projection, engine-independent, oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+        F.col("source").alias("media_source"),
+    ).orderBy("doc_id")
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column + metadata struct — the canonical
+    multimodal row layout: (id, payload: binary, meta: struct)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, feat_mean double"
+)
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: decode payload → extract features.
+
+    STUB decode (DECODE_IS_STUB): real deployments replace the body of
+    ``_decode_one`` with e.g. PIL.Image.open(BytesIO(payload)); the
+    deterministic fake derives width/height/frames from payload bytes so
+    tests can pin exact outputs. Batch contract: input columns
+    (doc_id, payload, meta), output DECODED_SCHEMA.
+    """
+
+    def _decode_one(payload: bytes) -> tuple[int, int, int, float]:
+        if not DECODE_IS_STUB:  # pragma: no cover
+            raise NotImplementedError("wire a real media decoder here")
+        n = len(payload)
+        width = 16 + (payload[0] if n else 0)
+        height = 16 + (payload[-1] if n else 0)
+        n_frames = 1 + n % 7
+        feat_mean = (sum(payload[:64]) / min(n, 64)) if n else 0.0
+        return width, height, n_frames, round(feat_mean, 4)
+
+    for pdf in batches:
+        decoded = [_decode_one(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "feat_mean": [d[3] for d in decoded],
+            }
+        )
+        yield out
+
+
+@query("multimodal_decode_stub", oracle=None, tags=("rows-only",))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → decoded-feature pipeline: attach payload, run the
+    Arrow-batched decode stage, return typed features. The decode itself
+    is a stub (see DECODE_IS_STUB); everything around it — binary column,
+    struct metadata, mapInPandas batching, output schema — is real."""
+    d = load(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d)
+    return payloads.mapInPandas(decode_features, schema=DECODED_SCHEMA).orderBy("doc_id")

@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim): brute-force cosine top-k as the exact baseline, LSH-bucketed
+candidate generation as the scale path, and embedding-cosine near-dup.
+
+Dot products are native higher-order array expressions
+(``zip_with`` + ``aggregate``) computed in float64 with fixed
+accumulation order, so results are reproducible and oracle-comparable
+(DuckDB ``list_cosine_similarity`` on ``DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import load, query
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-{TOP_K} cosine neighbors for each of the
+    first {N_QUERIES} vectors.
+
+    Scale shape: the query set is broadcast (it is small BY DEFINITION —
+    that's what makes brute force viable); the corpus streams through a
+    map-side cross join scoring pass, then per-query top-k is a
+    partial-topk-then-merge (window over query_id after a shuffle of only
+    the scored rows). At 100 TB you page the corpus, never the queries.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (_norm2(F.col("qv")) * _norm2(F.col("v"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_neardup_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 25
+    """,
+)
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: top-25 most-similar
+    same-label pairs. Blocking on the label column keeps the pair space
+    |label-class|² instead of n² — the generic pattern: near-dup search
+    ALWAYS needs a blocking key (label, LSH bucket, simhash band) before
+    the quadratic verify."""
+    e = _emb(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (_norm2(F.col("a.v")) * _norm2(F.col("b.v"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(25)
+    )
+
+
+@query("similarity_lsh_bucketed", oracle=None, tags=("rows-only",))
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane signs via MLlib
+    BucketedRandomProjectionLSH (seeded) generate candidate buckets; exact
+    cosine re-scores candidates only. Returns the same (query, neighbor,
+    cosine, rank) shape as the brute-force baseline so recall can be
+    measured against it (see tests). Rows-only for the driver (MLlib
+    hash planes aren't SQL-expressible)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    # candidate pairs whose euclidean distance is under a loose threshold
+    cand = model.approxSimilarityJoin(q, e, 12.0, distCol="dist").select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.col("datasetA.v").alias("qv"),
+        F.col("datasetB.v").alias("v"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("v")) / (_norm2(F.col("qv")) * _norm2(F.col("v"))), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

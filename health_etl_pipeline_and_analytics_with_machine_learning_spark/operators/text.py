@@ -1,0 +1,271 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language ID, fingerprinting, SimHash.
+
+All per-document computation is native expressions (regexp_count /
+split / md5 / higher-order array ops) — embarrassingly parallel, no
+shuffle except the final small aggregations, scales linearly with the
+corpus. Every query here has a DuckDB oracle; regex patterns are
+written in each engine's dialect but match the same language (Java
+regex vs RE2 — ASCII classes only, deliberately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+# shared normalization: collapse whitespace, trim, lowercase
+def _norm(col):
+    return F.lower(F.regexp_replace(F.regexp_replace(col, r"\s+", " "), r"^ | $", ""))
+
+
+_NORM_SQL = "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ | $', '', 'g'))"
+
+# token pattern: word runs or single non-word-non-space chars (BPE-ish
+# pre-tokenization shape)
+_WORDISH = r"\w+|[^\w\s]"
+
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_wordish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    chars/4 heuristic estimate. Pure projection — no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(_WORDISH)).cast("long").alias("n_wordish_tokens"),
+        F.ceil(F.length(t) / 4.0).cast("long").alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it|that|for)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_alpha * 1.0 / n_chars, 4) AS alpha_ratio,
+           ROUND(n_digit * 1.0 / n_chars, 4) AS digit_ratio,
+           ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0 ELSE n_stop * 1.0 / n_tokens END, 4) AS stopword_ratio,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0 ELSE (n_chars - n_tokens + 1) * 1.0 / n_tokens END, 4) AS avg_token_len,
+           CAST(n_alpha * 1.0 / n_chars > 0.55 AND n_tokens >= 5 AS INT) AS quality_flag
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring via char-class ratios + stopword density — the
+    standard cheap pre-filter for LLM training corpora. One projection."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
+    n_digit = F.regexp_count(t, F.lit("[0-9]"))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(n_digit / n_chars, 4).alias("digit_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(n_stop / n_tokens), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise((n_chars - n_tokens + 1) / n_tokens),
+            4,
+        ).alias("avg_token_len"),
+        ((n_alpha / n_chars > 0.55) & (n_tokens >= 5)).cast("int").alias("quality_flag"),
+    ).orderBy("doc_id")
+
+
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|on)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|für|auf)\b",
+    "fr": r"\b(le|la|les|et|est|dans|pour|une|sur|avec)\b",
+    "es": r"\b(el|los|las|es|en|para|una|con|por|del)\b",
+}
+_CJK_SPARK = "[一-鿿]"
+_CJK_DUCK = r"[\x{4e00}-\x{9fff}]"
+
+
+def _langid_case_sql() -> str:
+    return """
+        CASE WHEN s_zh > 0 THEN 'zh'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END
+    """
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS s_en,
+             len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS s_de,
+             len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS s_fr,
+             len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS s_es,
+             len(regexp_extract_all(text, '{_CJK_DUCK}')) AS s_zh
+      FROM documents
+    )
+    SELECT lang, {_langid_case_sql()} AS predicted, COUNT(*) AS n
+    FROM s
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language ID, reported as a (true lang ×
+    predicted) confusion table. Scores are per-row regexp counts;
+    prediction is a deterministic argmax with fixed tie order."""
+    d = load(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    scores = {
+        f"s_{k}": F.regexp_count(lt, F.lit(p)) for k, p in _LANG_PATTERNS.items()
+    }
+    scores["s_zh"] = F.regexp_count(F.col("text"), F.lit(_CJK_SPARK))
+    s = d.select("doc_id", "lang", *[v.alias(k) for k, v in scores.items()])
+    predicted = (
+        F.when(F.col("s_zh") > 0, F.lit("zh"))
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), F.lit("de"))
+        .when(F.col("s_fr") >= F.col("s_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        s.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. The join key for exact near-normal dedup at scale
+    (fingerprint once, groupBy fp — never compare full texts twice)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.encode(_norm(F.col("text")), "UTF-8")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM tok WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, k,
+             SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
+      GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over distinct tokens (md5-derived token hashes, so
+    the fingerprint is engine-independent and oracle-checkable — unlike
+    murmur3 F.hash, which is Spark-internal).
+
+    Scale shape: explode(tokens) × 60 bit positions → two partial-agg
+    shuffles keyed by doc_id — linear in corpus size, no pairwise work.
+    Near-dup candidates then come from hamming-distance banding on the
+    fingerprint (see dedup.simhash_near_pairs), never from O(n²) scans.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    bits = (
+        h.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.when(F.expr("(hv >> k) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), k)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming flows over the events table — the idiomatic
+extension of the reference's weekly-batch report cadence (SURVEY §2.9,
+§7.5): continuous ingest replaces re-running the batch.
+
+The aggregation logic is shared with the batch twin
+(operators.events.events_hour_agg) so batch and streaming stay
+consistent; tests drive the stream from the same parquet and compare
+against the batch result.
+
+Scale notes: watermark bounds state (late rows beyond 2 hours are
+dropped); the windowed aggregate state is keyed by (window, event_type)
+— cardinality hours × types, tiny. For exactly-once delivery to real
+sinks use foreachBatch with idempotent writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.load)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (stand-in for kafka/kinesis;
+    same nanos→timestamp rebuild as the batch loader).
+
+    FileStreamSource wants a DIRECTORY it can watch for arriving files;
+    the driver ships one flat file, so we expose it through a temp
+    directory of symlinks — which is also exactly how continuous ingest
+    would land files in production."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    watch_dir = src
+    if os.path.isfile(src):
+        watch_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(watch_dir, "events.parquet"))
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event type with a late-data watermark —
+    the streaming twin of events_hour_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_rollup"
+) -> DataFrame:
+    """Drive the stream to completion against the bounded parquet source
+    (memory sink, complete mode) and return the result as a DataFrame.
+    This is the local smoke path; production uses a real sink +
+    checkpointLocation."""
+    stream = hourly_rollup(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

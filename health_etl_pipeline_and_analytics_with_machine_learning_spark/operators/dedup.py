@@ -142,34 +142,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band → P(candidate) ≈ 1 - (1 - j^4)^4
+#: LSH buckets larger than this are dropped from candidate generation.
+#: Oversized buckets mean the band signature failed to discriminate
+#: (boilerplate-heavy corpora); their members pair O(B²) and would
+#: dominate cost while contributing noise. Standard hot-bucket
+#: suppression — at 100 TB it is what keeps banding near-linear.
+MAX_BUCKET = 64
+
+
 @query("dedup_minhash_lsh", oracle=None, tags=("rows-only",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup — the 100 TB path: hash each document's token
-    set into ``numHashTables`` minhash signatures (linear), band-join on
-    signature buckets, compute exact Jaccard distance only on candidate
-    pairs. Seeded → deterministic; MLlib internals aren't expressible in
-    DuckDB SQL, so the driver records a rows-only check (the pytest suite
-    cross-validates candidates against exact n-gram Jaccard).
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+    """MinHash + LSH banding near-dup — the 100 TB path, built directly
+    on DataFrame ops:
 
-    d = load(spark, sf_dir, "documents").withColumn("norm", _norm(F.col("text")))
-    tok = RegexTokenizer(inputCol="norm", outputCol="tokens", pattern=" ")
-    tf = HashingTF(inputCol="tokens", outputCol="features", binary=True, numFeatures=1 << 18)
-    feats = tf.transform(tok.transform(d))
-    # rows whose token set is empty have all-zero vectors — MinHash rejects them
-    feats = feats.filter(F.size("tokens") > 0)
-    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    1. signature pass (LINEAR): 16 minhashes per doc = one groupBy(doc)
+       with 16 min(xxhash64(token, band_seed)) aggregates;
+    2. banding: 4 bands of 4 rows; docs sharing any band signature become
+       candidates via a shuffle equi-join on (band_id, band_hash) — never
+       an n² comparison;
+    3. verify (EXACT): true token-set Jaccard via array_intersect on the
+       candidate pairs only; keep jaccard_sim ≥ 0.4.
+
+    Seeded xxhash64 → fully deterministic rows-only output (murmur/xxhash
+    aren't reproducible in DuckDB, hence no SQL oracle; pytest
+    cross-checks candidate quality instead). An earlier version used
+    MLlib's MinHashLSH.approxSimilarityJoin, which degenerates to ~n²
+    pairwise sparse-vector distances on high-overlap corpora — this
+    banded form does the distance math only on banded candidates.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks_arr = d.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split(_norm(F.col("text")), " "), lambda t: t != "")).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") > 0)
+
+    tok = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    bucket_sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    bands = bands.join(
+        F.broadcast(bucket_sizes.filter(F.col("bucket_n") <= MAX_BUCKET)),
+        ["band_id", "band_hash"],
+    ).drop("bucket_n")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .orderBy("jaccard_dist", "doc_a", "doc_b")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ta = toks_arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks_arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= 0.4)
+        .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
 

@@ -1,0 +1,8 @@
+from .introspect import (  # noqa: F401
+    count_exchanges,
+    formatted_plan,
+    join_strategies,
+    partial_agg_functions,
+    pushed_filters,
+    read_schemas,
+)

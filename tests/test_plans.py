@@ -1,0 +1,105 @@
+"""Physical-plan regression tests (SURVEY §4): pin the scale-relevant
+plan properties — pushdown, pruning, partial aggregation, join strategy,
+shuffle count — so refactors can't silently degrade the 100 TB story.
+
+Plan *shape* is scale-independent, so these run on the sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+    dedup,
+    registry,
+    relational,
+    similarity,
+)
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    join_strategies,
+    partial_agg_functions,
+    pushed_filters,
+    read_schemas,
+)
+from conftest import SF_SMOKE
+
+
+def q(name, spark):
+    return registry.REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = q("filter_group_avg_topk", spark)
+    assert "IsNotNull(l_extendedprice)" in pushed_filters(df)
+
+
+def test_equality_filter_pushdown(spark):
+    df = q("eq_filter_group_agg", spark)
+    pf = pushed_filters(df)
+    assert "EqualTo(event_type,click)" in pf and "IsNotNull(event_type)" in pf
+
+
+def test_range_predicate_pushdown(spark):
+    df = q("range_filter_agg", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf
+
+
+def test_column_pruning_scan_reads_only_referenced_columns(spark):
+    # lineitem has 16 columns; this query touches exactly 2
+    df = q("filter_group_avg_topk", spark)
+    (cols,) = read_schemas(df)
+    assert cols == ["l_partkey", "l_extendedprice"]
+
+
+def test_projection_only_query_has_zero_shuffles(spark):
+    df = q("project_dropna", spark)
+    assert count_exchanges(df) == 0
+    (cols,) = read_schemas(df)
+    assert sorted(cols) == ["o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+
+
+def test_group_aggs_are_partial_then_final(spark):
+    # map-side combine: the shuffle carries pre-aggregated rows
+    for name in ("filter_group_avg_topk", "range_filter_agg", "two_level_agg"):
+        fns = partial_agg_functions(q(name, spark))
+        assert fns, f"{name} lost its partial aggregation"
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    # ORDER BY ... LIMIT k must compile to TakeOrderedAndProject
+    # (per-partition top-k + driver merge), never a full sort exchange
+    df = q("filter_group_avg_topk", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 1  # the groupBy shuffle only
+
+
+def test_single_shuffle_for_single_groupby(spark):
+    df = q("group_avg_sum2_topk", spark)
+    assert count_exchanges(df) == 1
+
+
+def test_median_fill_join_back_is_broadcast(spark):
+    # group-median fill = agg + join-back; the tiny median table must
+    # broadcast, adding zero shuffles of the fact table
+    df = q("window_group_median_fill", spark)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_bruteforce_knn_broadcasts_query_set(spark):
+    df = q("similarity_bruteforce_topk", spark)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_neardup_joins_are_equi_not_cartesian(spark):
+    # every near-dup candidate join must be an equi-join on a blocking
+    # key (label / shingle / band) — the difference between Σfreq² and n²
+    for name in ("embedding_neardup_topk", "dedup_ngram_jaccard", "simhash_near_pairs", "dedup_minhash_lsh"):
+        strategies = join_strategies(q(name, spark))
+        assert "CartesianProduct" not in strategies, name
+        assert "BroadcastNestedLoopJoin" not in strategies, name
+        assert strategies, f"{name} lost its join"

@@ -27,3 +27,23 @@ def test_stream_matches_batch(spark):
     }
     assert s_rows == b_rows
     assert len(s_rows) > 0
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """applyInPandasWithState sessionizer, after replaying the bounded
+    input, must land on the same per-user (n_sessions, n_events) as the
+    batch gaps-and-islands query."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.events import (
+        sessionization,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming import (
+        sessionize_stream,
+    )
+
+    streamed = sessionize_stream.run_to_memory(spark, SF_SMOKE)
+    batch = sessionization(spark, SF_SMOKE)
+
+    s_rows = {r.user_id: (r.n_sessions, r.n_events) for r in streamed.collect()}
+    b_rows = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert s_rows == b_rows
+    assert len(s_rows) > 0

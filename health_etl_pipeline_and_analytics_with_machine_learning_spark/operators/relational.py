@@ -480,7 +480,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column exact medians — the reference's fill values and UI
-    defaults (Health_Jim.py:222, 293, 306, 390-391)."""
+    defaults (Health_Jim.py:222, 293, 306, 390-391).
+
+    The built-in exact ``median`` buffers all values in one final
+    aggregation state — fine at parity scale, a memory funnel at 100 TB.
+    The scale path is ``functions.quantiles.exact_quantiles`` (value
+    histogram + range-partitioned positions, no single-node buffer,
+    bitwise-identical interpolation)."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.round(F.median("l_quantity"), DP).alias("med_qty"),
@@ -515,8 +521,9 @@ def iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip(lo, hi) = LEAST(GREATEST(x, lo), hi) — native expressions, no UDF.
     Scale: the quantile scalars are one tiny agg, broadcast back via a
     1-row cross join (BroadcastNestedLoopJoin of a single row — free);
-    exact quantile_cont/percentile at parity tier, percentile_approx on
-    the 100 TB path (SURVEY §4.3).
+    exact percentile at parity tier; at 100 TB either
+    ``functions.quantiles.exact_quantiles`` (distributed exact) or
+    ``percentile_approx`` (sketched, SURVEY §4.3).
     """
     li = load(spark, sf_dir, "lineitem")
     q = li.agg(

@@ -31,9 +31,13 @@ def _norm2(a: Column) -> Column:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors with their L2 norm precomputed ONCE per row — cosine
+    inside a pair join then costs one zip_with dot, not a dot plus two
+    re-derived norms per candidate pair (2/3 of the pair work)."""
     e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
     return e.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", v.alias("v"), _norm2(v).alias("nrm")
     )
 
 
@@ -69,7 +73,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -77,7 +81,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (_norm2(F.col("qv")) * _norm2(F.col("v"))), 6).alias(
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
                 "cosine"
             ),
         )
@@ -118,7 +122,7 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                _dot(F.col("a.v"), F.col("b.v")) / (_norm2(F.col("a.v")) * _norm2(F.col("b.v"))),
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -150,11 +154,13 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.vec_id").alias("neighbor_id"),
         F.col("datasetA.v").alias("qv"),
         F.col("datasetB.v").alias("v"),
+        F.col("datasetA.nrm").alias("qnrm"),
+        F.col("datasetB.nrm").alias("nrm"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("v")) / (_norm2(F.col("qv")) * _norm2(F.col("v"))), 6).alias(
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
             "cosine"
         ),
     )

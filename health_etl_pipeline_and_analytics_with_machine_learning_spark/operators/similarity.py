@@ -131,6 +131,78 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_CELLS = 16
+N_PROBE = 4
+
+
+@query("similarity_ivf_topk", oracle=None, tags=("rows-only",))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other classic scale path next to
+    LSH: a seeded k-means coarse quantizer assigns every vector to one
+    of {N_IVF_CELLS} cells; each query probes only its {N_PROBE}
+    nearest cells and re-scores exact cosine inside them.
+
+    Scale shape: the quantizer trains on a SAMPLE (here: the corpus —
+    at 100 TB, `.sample()` first), centroids are a driver-side constant
+    folded into the assignment expression; search is a broadcast-join of
+    (query × probed cell-ids) against the cell-partitioned corpus —
+    touching corpus/cells × nprobe of the data, never all of it. On
+    disk you'd bucket/partition the corpus BY cell-id so a probe is a
+    partition-pruned scan. Same output shape as the brute-force
+    baseline, so tests measure recall against it. Rows-only (k-means
+    isn't SQL-expressible).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
+    km = KMeans(k=N_IVF_CELLS, seed=42, featuresCol="vec", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "label", "v", "nrm", "cell")
+
+    # centroids are tiny driver-side constants; rank each query's cells
+    # by exact centroid distance and keep the N_PROBE nearest
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<double>"
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "qnrm", "cell", d2.alias("d2"))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qnrm", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("similarity_lsh_bucketed", oracle=None, tags=("rows-only",))
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane signs via MLlib

@@ -45,6 +45,18 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF multi-probe (4 of 16 cells) must recover most of the exact
+    top-k — and be deterministic (seeded k-means)."""
+    exact = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = similarity.similarity_ivf_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set, "brute force returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
 def test_bruteforce_topk_shape(spark):
     rows = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
     assert len(rows) == similarity.N_QUERIES * similarity.TOP_K

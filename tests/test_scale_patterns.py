@@ -1,0 +1,94 @@
+"""Scale-pattern utilities: salted aggregation must be lossless, and
+bucketed tables must actually eliminate the join shuffle (plan-level
+proof, not vibes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import load
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.skew import (
+    salted_group_agg,
+)
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+)
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.bucketed import (
+    drop_table,
+    write_bucketed,
+)
+from conftest import SF_SMOKE
+
+
+def test_salted_agg_equals_direct_agg(spark):
+    ev = load(spark, SF_SMOKE, "events")
+    direct = {
+        tuple(r[:1]): (r.n, round(r.avg_value, 9), round(r.sum_value, 6), r.min_value)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r[:1]): (r.n, round(r.avg_value, 9), round(r.sum_value, 6), r.min_value)
+        for r in salted_group_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "event_id"),
+                "avg_value": ("avg", "value"),
+                "sum_value": ("sum", "value"),
+                "min_value": ("min", "value"),
+            },
+            n_salt=8,
+        ).collect()
+    }
+    assert salted == direct and len(direct) > 0
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    ev = load(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError):
+        salted_group_agg(ev, ["event_type"], {"m": ("median", "value")})
+
+
+def test_bucketed_join_eliminates_shuffle_and_sort(spark, tmp_path):
+    orders = load(spark, SF_SMOKE, "orders")
+    lineitem = load(spark, SF_SMOKE, "lineitem")
+    try:
+        write_bucketed(orders, "orders_b", str(tmp_path / "ob"), "o_orderkey")
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            str(tmp_path / "lb"),
+            "o_orderkey",
+        )
+        # force SMJ so the comparison is exchange-count, not strategy
+        with_conf = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {k: spark.conf.get(k) for k in with_conf}
+        for k, v in with_conf.items():
+            spark.conf.set(k, v)
+        try:
+            bucketed = spark.table("orders_b").join(
+                spark.table("lineitem_b"), "o_orderkey"
+            )
+            unbucketed = orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            )
+            assert count_exchanges(bucketed) == 0
+            assert "SortMergeJoin" in formatted_plan(bucketed)
+            assert count_exchanges(unbucketed) == 2
+            # and the co-located join still returns the same rows
+            assert bucketed.count() == unbucketed.count()
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        drop_table(spark, "orders_b")
+        drop_table(spark, "lineitem_b")

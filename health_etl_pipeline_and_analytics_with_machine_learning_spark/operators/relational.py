@@ -526,10 +526,10 @@ def iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` (sketched, SURVEY §4.3).
     """
     li = load(spark, sf_dir, "lineitem")
+    # one percentile buffer for both quantiles (array form), not two
     q = li.agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
-    )
+        F.expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("qs")
+    ).select(F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q3"))
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("q1") - 3 * (F.col("q3") - F.col("q1"))),
         F.col("q3") + 3 * (F.col("q3") - F.col("q1")),

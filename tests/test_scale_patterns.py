@@ -58,6 +58,26 @@ def test_salted_agg_rejects_non_decomposable(spark):
         salted_group_agg(ev, ["event_type"], {"m": ("median", "value")})
 
 
+def test_scaled_record_id_equals_window_mode(spark):
+    """The two-phase partition-offset Record_ID (no global funnel) must
+    assign exactly the ids the unpartitioned row_number would."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.record_id import (
+        with_record_id,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    order = ["user_id", "ts", "event_id"]  # unique → deterministic ids
+    window_ids = {
+        r.event_id: r.rid
+        for r in with_record_id(ev, order, id_col="rid", mode="window").collect()
+    }
+    scaled_ids = {
+        r.event_id: r.rid
+        for r in with_record_id(ev, order, id_col="rid", mode="scaled").collect()
+    }
+    assert scaled_ids == window_ids and len(window_ids) > 0
+
+
 def test_bucketed_join_eliminates_shuffle_and_sort(spark, tmp_path):
     orders = load(spark, SF_SMOKE, "orders")
     lineitem = load(spark, SF_SMOKE, "lineitem")

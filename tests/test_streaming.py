@@ -29,6 +29,49 @@ def test_stream_matches_batch(spark):
     assert len(s_rows) > 0
 
 
+def test_streaming_csv_ingest_matches_batch_rowwise(spark, tmp_path):
+    """Streaming the dirty reference CSV through the stateless cleaning
+    phase must produce exactly the batch stage_rowwise output."""
+    import os
+    import shutil
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.pipeline import (
+        stage_rowwise,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.ingest import (
+        read_csv_raw,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming import (
+        csv_ingest_stream,
+    )
+
+    src = "/root/reference/Global Health Dataset.csv"
+    if not os.path.exists(src):
+        import pytest
+
+        pytest.skip("reference dataset not present")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(src, landing / "part1.csv")
+
+    schema = csv_ingest_stream.raw_csv_schema(spark, str(landing / "part1.csv"))
+    stream = csv_ingest_stream.clean_stream(
+        csv_ingest_stream.read_raw_stream(spark, str(landing), schema)
+    )
+    csv_ingest_stream.run_to_parquet(
+        stream, str(tmp_path / "silver"), str(tmp_path / "ckpt")
+    )
+
+    streamed = spark.read.parquet(str(tmp_path / "silver"))
+    batch = stage_rowwise(read_csv_raw(spark, src))
+    assert streamed.count() == batch.count()
+    # spot-compare the cleaned country census — full-column equality
+    s_census = dict(streamed.groupBy("Country").count().collect())
+    b_census = dict(batch.groupBy("Country").count().collect())
+    assert s_census == b_census
+
+
 def test_stateful_sessionization_matches_batch(spark):
     """applyInPandasWithState sessionizer, after replaying the bounded
     input, must land on the same per-user (n_sessions, n_events) as the

@@ -1,0 +1,30 @@
+"""CSV sink round-trip: single-file export parity and the partitioned
+default."""
+
+from __future__ import annotations
+
+import os
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import load
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.sinks import (
+    write_csv,
+)
+from conftest import SF_SMOKE
+
+
+def test_single_file_csv_roundtrip(spark, tmp_path):
+    nation = load(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "nation.csv")
+    write_csv(nation, out, single_file=True)
+    assert os.path.isfile(out)
+    back = spark.read.csv(out, header=True)
+    assert back.count() == nation.count()
+    assert back.columns == nation.columns
+
+
+def test_partitioned_csv_roundtrip(spark, tmp_path):
+    orders = load(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_csv")
+    write_csv(orders, out)
+    back = spark.read.csv(out, header=True)
+    assert back.count() == orders.count()

@@ -46,6 +46,13 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
+def final_plan(df: DataFrame) -> str:
+    """The post-AQE executed plan. Only meaningful AFTER an action has
+    run on ``df`` (AQE re-plans at runtime; before execution the string
+    shows isFinalPlan=false and the initial shape)."""
+    return formatted_plan(df, mode="simple")
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All parquet-pushed predicates across every scan in the plan,
     e.g. ``['IsNotNull(l_extendedprice)', 'EqualTo(event_type,click)']``."""

@@ -13,6 +13,7 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.ske
 )
 from health_etl_pipeline_and_analytics_with_machine_learning_spark.plans import (
     count_exchanges,
+    final_plan,
     formatted_plan,
 )
 from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.bucketed import (
@@ -56,6 +57,38 @@ def test_salted_agg_rejects_non_decomposable(spark):
     ev = load(spark, SF_SMOKE, "events")
     with pytest.raises(ValueError):
         salted_group_agg(ev, ["event_type"], {"m": ("median", "value")})
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session enables AQE skew-join; prove it actually fires: a
+    join whose left side is 95% one key must show SortMergeJoin(skew=
+    true) in the POST-execution plan (runtime re-plan, not a static
+    property)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE re-plans during execution
+        plan = final_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_scaled_record_id_equals_window_mode(spark):

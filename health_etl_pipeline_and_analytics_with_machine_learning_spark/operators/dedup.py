@@ -107,13 +107,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
     )
     t = F.col("toks")
+    # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — docs with
+    # fewer than 3 tokens must short-circuit to an empty shingle list
+    starts = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     sh = (
         tok_tbl.select(
             "doc_id",
             "lang",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+                    starts,
                     lambda i: F.concat_ws(
                         " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
                     ),
@@ -149,6 +154,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+SPAN_W = 8  # tokens per span window
+SPAN_MIN_DOCS = 3  # spans in fewer docs aren't boilerplate
+
+
+@query(
+    "dedup_common_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, sp FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - {SPAN_W} + 1, 0)),
+                 i -> array_to_string(t[i:i+{SPAN_W}-1], ' '))) AS sp
+        FROM toks
+      ) GROUP BY doc_id, sp
+    )
+    SELECT sp AS span, COUNT(*) AS n_docs
+    FROM spans
+    GROUP BY sp
+    HAVING COUNT(*) >= {SPAN_MIN_DOCS}
+    ORDER BY n_docs DESC, span
+    LIMIT 50
+    """,
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection — the
+    hashed-window relative of exact substring dedup for training
+    corpora: every {SPAN_W}-token window, deduped per doc, grouped
+    across docs; windows appearing in ≥ {SPAN_MIN_DOCS} docs are
+    boilerplate candidates (headers, licenses, templates) to strip
+    before training.
+
+    Scale shape: explode → distinct → one count aggregation — linear,
+    partial-agg'd, no pairwise work at all (unlike similarity dedup,
+    boilerplate detection never needs candidate pairs). At 100 TB you
+    group on xxhash64(span) (8-byte shuffle rows) and join the winning
+    hashes back for the span text; the string form here stays
+    oracle-comparable.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok_tbl = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("t"))
+    t = F.col("t")
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0] in Spark (it is not
+    # empty like DuckDB's generate_series) — docs shorter than the window
+    # must be excluded before the sequence is built
+    starts = F.when(
+        F.size(t) >= SPAN_W, F.sequence(F.lit(1), F.size(t) - SPAN_W + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = tok_tbl.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(t, i, SPAN_W), " "))
+        ).alias("span"),
+    ).distinct()
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "span")
+        .limit(50)
     )
 
 

@@ -108,14 +108,19 @@ def clean_disease(col: Column) -> Column:
 def clean_numeric(col: Column) -> Column:
     """clean_numeric_value (Health_Jim.py:240-254): drop apostrophes
     (``'0`` → 0), comma→decimal-point, strip everything but digits/./-,
-    ''/'.'→NULL, unparseable→NULL (try_cast reproduces the except→NaN).
+    ''/'.'→NULL, unparseable→NULL.
+
+    Single-char replacements use ``translate`` (no regex engine); the
+    spec's explicit ''/'.'-→NULL guards are subsumed by ``try_cast``,
+    which yields NULL for every unparseable remnant exactly like the
+    reference's except→NaN (fuzz-verified vs the Python spec in
+    tests/test_fuzz_expressions.py). Applied to 24 columns per row —
+    one regex pass per column instead of three plus a thrice-evaluated
+    CASE guard.
     """
-    s = F.regexp_replace(col, "'", "")
-    s = F.regexp_replace(s, ",", ".")
+    s = F.translate(col, ",'", ".")  # ',' → '.', apostrophe deleted
     s = F.regexp_replace(s, r"[^\d\.\-]", "")
-    return F.when((s == "") | (s == "."), F.lit(None).cast("double")).otherwise(
-        s.try_cast("double")
-    )
+    return s.try_cast("double")
 
 
 def clean_availability(col: Column) -> Column:

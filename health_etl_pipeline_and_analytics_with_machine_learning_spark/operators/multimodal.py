@@ -115,3 +115,54 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(decode_features, schema=DECODED_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_sig string"
+FRAMES_PER_DOC = 3
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage with 1→N cardinality: uniformly sample up to
+    FRAMES_PER_DOC 'frames' per payload (video/audio frame extraction
+    shape). The frame decode is the same deterministic stand-in as
+    decode_features (DECODE_IS_STUB); real deployments seek into the
+    container at frame_offset and decode. What is real here: the
+    cardinality-changing batch contract (one input row yields a variable
+    number of output rows), offset arithmetic, and per-frame signatures.
+    """
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = 1 + n % 7  # matches decode_features
+            take = min(FRAMES_PER_DOC, n_frames)
+            for i in range(take):
+                # uniform sampling across the (fake) frame sequence
+                frame_no = (i * n_frames) // take
+                offset = (frame_no * n) // max(n_frames, 1)
+                window = payload[offset : offset + 16]
+                rows.append(
+                    (
+                        int(doc_id),
+                        frame_no,
+                        offset,
+                        hashlib.md5(window).hexdigest()[:16],
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_sig"]
+        )
+
+
+@query("multimodal_frame_sample", oracle=None, tags=("rows-only",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over the binary payload column: up to
+    FRAMES_PER_DOC uniformly-spaced frames per document, one output row
+    per frame. Partition-parallel, Arrow-batched, deterministic."""
+    d = load(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d)
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -74,6 +74,24 @@ def test_multimodal_decode_stub_deterministic_and_typed(spark):
         assert r[1] > 0 and r[2] >= 16 and r[3] >= 16 and 1 <= r[4] <= 7
 
 
+def test_multimodal_frame_sample_shape_and_determinism(spark):
+    df = multimodal.multimodal_frame_sample(spark, SF_CORRECT)
+    rows = df.collect()
+    assert rows and df.columns == ["doc_id", "frame_idx", "frame_offset", "frame_sig"]
+    again = multimodal.multimodal_frame_sample(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # at most FRAMES_PER_DOC frames per doc, ordered offsets within doc
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for doc, frames in per_doc.items():
+        assert 1 <= len(frames) <= multimodal.FRAMES_PER_DOC
+        offs = [f.frame_offset for f in frames]
+        assert offs == sorted(offs)
+
+
 def test_multimodal_meta_matches_payload_bytes(spark):
     meta = multimodal.multimodal_meta(spark, SF_CORRECT).select(
         "doc_id", F.col("n_bytes").alias("nb_meta")

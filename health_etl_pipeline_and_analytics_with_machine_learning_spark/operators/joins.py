@@ -1,0 +1,178 @@
+"""Multi-table join shapes over the star schema.
+
+The reference is a single-table system (SURVEY §2.3: zero joins), but a
+complete engine — and any 100 TB training-data pipeline — lives on
+joins. These cover the canonical shapes with the plans that survive
+scale: dimension tables broadcast, fact tables never reshuffled for
+them; existence checks as semi/anti joins (never DISTINCT after an
+inner join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import ROUND_DP, load, query
+
+DP = ROUND_DP
+
+
+@query(
+    "star_join_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), {DP}) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region, nation
+    ORDER BY region, nation
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim ⋈ dim ⋈ dim star join: revenue per nation/region.
+
+    Scale shape: nation and region are broadcast outright; customer is
+    dimension-sized relative to orders (broadcast at these SFs, and at
+    100 TB the orders⋈customer equi-join is the ONE shuffle — or zero,
+    if both are bucketed on custkey; sources/bucketed.py). The fact
+    table is scanned once, aggregated with partial combine to
+    |nation| rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), DP).alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+HIGH_VALUE = 300_000
+
+
+@query(
+    "anti_join_inactive_customers",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_without_high_value
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {HIGH_VALUE}
+    )
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order, per market segment — LEFT
+    ANTI join with a pushed probe-side predicate.
+
+    Scale shape: the existence probe needs only (o_custkey,
+    o_totalprice) and its filter pushes to the fact scan; anti join
+    avoids the join-then-distinct blowup entirely. At 100 TB the probe
+    side can be pre-aggregated to distinct qualifying keys (identical
+    result, smaller shuffle).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > HIGH_VALUE)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_without_high_value"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "rollup_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), {DP}) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (status, priority) → (status) → grand total
+    in ONE pass — Expand feeds each input row to every grouping set, so
+    the fact table is scanned once, not once per level (what the
+    reference's two_level_agg re-aggregation approximates by hand).
+
+    The driver tables have no NULL group keys, so COALESCE('ALL')
+    disambiguates subtotal rows identically in both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), DP).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "window_lag_value_delta",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(delta) AS n_deltas,
+           ROUND(AVG(delta), {DP}) AS avg_delta,
+           ROUND(MAX(ABS(delta)), {DP}) AS max_abs_delta
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value deltas via lag() — the time-series analytic window
+    family (lag/lead) the reference's GROUP-BY-Year trend analysis
+    approximates.
+
+    Scale shape: ONE shuffle on user_id serves the window sort AND the
+    final aggregation (Catalyst reuses the child partitioning); per-user
+    state is bounded by per-user event counts.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value") - F.lag("value").over(w)).alias("delta")
+    return (
+        ev.select("user_id", delta)
+        .groupBy("user_id")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            F.round(F.avg("delta"), DP).alias("avg_delta"),
+            F.round(F.max(F.abs(F.col("delta"))), DP).alias("max_abs_delta"),
+        )
+        .orderBy("user_id")
+    )

@@ -95,6 +95,31 @@ def test_bruteforce_knn_broadcasts_query_set(spark):
     assert "CartesianProduct" not in strategies
 
 
+def test_star_join_broadcasts_all_dimensions(spark):
+    df = q("star_join_revenue", spark)
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin"]  # no SMJ, no cartesian
+    # the only Exchanges are for the final agg + sort, not the joins
+    assert count_exchanges(df) == 2
+
+
+def test_anti_join_prunes_probe_scan(spark):
+    df = q("anti_join_inactive_customers", spark)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    # probe side reads only the join key + predicate column
+    schemas = read_schemas(df)
+    assert ["o_custkey", "o_totalprice"] in schemas
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThan(o_totalprice" in pf
+
+
+def test_rollup_is_single_pass_expand(spark):
+    df = q("rollup_status_priority", spark)
+    assert "Expand" in formatted_plan(df)  # one scan feeds all grouping sets
+    assert len(read_schemas(df)) == 1  # exactly one parquet scan
+
+
 def test_neardup_joins_are_equi_not_cartesian(spark):
     # every near-dup candidate join must be an equi-join on a blocking
     # key (label / shingle / band) — the difference between Σfreq² and n²

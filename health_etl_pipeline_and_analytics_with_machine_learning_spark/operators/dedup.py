@@ -231,24 +231,90 @@ N_BANDS = 4  # 4 rows per band → P(candidate) ≈ 1 - (1 - j^4)^4
 #: dominate cost while contributing noise. Standard hot-bucket
 #: suppression — at 100 TB it is what keeps banding near-linear.
 MAX_BUCKET = 64
+JACCARD_MIN = 0.4
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+#: universal-hash family over ONE md5 per token: h_i(x) = (a_i·x + b_i) mod P
+#: with x = md5-derived 30-bit value — md5 once, then 16 cheap affine maps.
+#: Constants sized so a_i·x + b_i < 2^61 (no overflow in either engine).
+_UH_X_MOD = 1_073_741_789  # prime < 2^30
+_UH_P = 2_147_483_647  # 2^31 - 1
+_UH_A = [1_000_003 * (i + 1) + 12_345 for i in range(N_MINHASH)]
+_UH_B = [999_983 * (i + 7) + 271 for i in range(N_MINHASH)]
+
+_MINHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tokf AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_UH_X_MOD} AS x
+      FROM tokf
+    ),
+    hv AS (
+      SELECT doc_id, i, (a.a * x + a.b) % {_UH_P} AS h
+      FROM base, (
+        SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS i,
+               unnest({_UH_A}) AS a, unnest({_UH_B}) AS b
+      ) a
+    ),
+    sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hv GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {_ROWS_PER_BAND} AS band_id,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_hash
+      FROM sig GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ),
+    keep AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}
+    ),
+    kb AS (SELECT b.* FROM bands b JOIN keep k USING (band_id, band_hash)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kb a JOIN kb b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokf GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN tokf ta ON ta.doc_id = c.doc_a
+      JOIN tokf tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard_sim
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {JACCARD_MIN}
+    ORDER BY jaccard_sim DESC, doc_a, doc_b
+    LIMIT 100
+"""
 
 
-@query("dedup_minhash_lsh", oracle=None, tags=("rows-only",))
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup — the 100 TB path, built directly
     on DataFrame ops:
 
-    1. signature pass (LINEAR): 16 minhashes per doc = one groupBy(doc)
-       with 16 min(xxhash64(token, band_seed)) aggregates;
+    1. signature pass (LINEAR): one md5 per token → a universal-hash
+       family h_i(x) = (a_i·x + b_i) mod p gives 16 permutations; one
+       groupBy(doc) with 16 min() aggregates forms the signature;
     2. banding: 4 bands of 4 rows; docs sharing any band signature become
        candidates via a shuffle equi-join on (band_id, band_hash) — never
        an n² comparison;
     3. verify (EXACT): true token-set Jaccard via array_intersect on the
        candidate pairs only; keep jaccard_sim ≥ 0.4.
 
-    Seeded xxhash64 → fully deterministic rows-only output (murmur/xxhash
-    aren't reproducible in DuckDB, hence no SQL oracle; pytest
-    cross-checks candidate quality instead). An earlier version used
+    Token hashes are md5-derived (like text_simhash), so the ENTIRE
+    banded pipeline — signatures, banding, hot-bucket suppression,
+    candidate join, exact verify — is engine-independent and has a full
+    DuckDB oracle. (xxhash64 would be ~2× faster per hash but is
+    Spark-internal; the oracle is worth more.) An earlier version used
     MLlib's MinHashLSH.approxSimilarityJoin, which degenerates to ~n²
     pairwise sparse-vector distances on high-overlap corpora — this
     banded form does the distance math only on banded candidates.
@@ -262,13 +328,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("toks") > 0)
 
     tok = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
+    x = (
+        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        % _UH_X_MOD
     )
-    rows_per_band = N_MINHASH // N_BANDS
+    hashed = tok.select("doc_id", x.alias("x")).select(
+        "doc_id",
+        *[
+            ((F.lit(_UH_A[i]) * F.col("x") + F.lit(_UH_B[i])) % _UH_P).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(F.col(f"h{i}")).alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -276,8 +350,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"mh{b * _ROWS_PER_BAND + r}").cast("string")
+                                        for r in range(_ROWS_PER_BAND)
+                                    ],
+                                ),
+                                "UTF-8",
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(N_BANDS)
@@ -318,7 +401,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(inter / union, 6).alias("jaccard_sim"),
         )
-        .filter(F.col("jaccard_sim") >= 0.4)
+        .filter(F.col("jaccard_sim") >= JACCARD_MIN)
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )

@@ -38,9 +38,12 @@ def main() -> None:
     for name, rq in sorted(registry.REGISTRY.items()):
         try:
             rq.fn(spark, sf_dir).collect()  # warm-up: caches, JIT, file footers
-            t0 = time.perf_counter()
-            rq.fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):  # min-of-2: damp JIT/GC noise, keep runs honest
+                t0 = time.perf_counter()
+                rq.fn(spark, sf_dir).collect()  # fresh plan — no shuffle reuse
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as exc:  # pragma: no cover - report, don't die
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)

@@ -157,6 +157,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
+    new_batch AS (SELECT * FROM fp WHERE source <> 'src0')
+    SELECT n.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_history,
+           CAST(COUNT(*) - SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM new_batch n LEFT JOIN hist h ON n.fp = h.fp
+    GROUP BY n.source
+    ORDER BY n.source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the PRODUCTION shape: a new ingest batch is
+    checked against the historical corpus's fingerprint set, not against
+    itself. Here `source = 'src0'` stands in for the historical corpus
+    and the other sources for incoming batches.
+
+    Scale shape: history is represented ONLY by its distinct
+    fingerprints (16 bytes/doc — billions of docs fit in a few tens of
+    GB, partitioned); the probe is an equi-join on the fingerprint that
+    Spark plans as broadcast or shuffled-hash depending on history size.
+    The full historical text is never touched. In a real pipeline the
+    fingerprint set is a maintained table (append-only parquet or a
+    key-value store) — this query is the join that gates each batch.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(F.encode(_norm(F.col("text")), "UTF-8")).alias("fp")
+    )
+    hist = fp.filter(F.col("source") == "src0").select("fp").distinct()
+    new_batch = fp.filter(F.col("source") != "src0")
+    hist_marked = hist.withColumn("seen", F.lit(1))
+    return (
+        new_batch.join(hist_marked, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_vs_history"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .orderBy("source")
+    )
+
+
 SPAN_W = 8  # tokens per span window
 SPAN_MIN_DOCS = 3  # spans in fewer docs aren't boilerplate
 

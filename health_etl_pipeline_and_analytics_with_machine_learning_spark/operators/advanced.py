@@ -1,0 +1,244 @@
+"""Advanced relational shapes a 100 TB pipeline leans on that the
+reference never needed: per-group top-k, as-of (last-touch) joins,
+banded non-equi joins, and closed-form regression aggregates.
+
+The reference's ML surface (SURVEY §2.10) is sklearn on collected
+pandas; ``regr_linear_fit`` is the part of that surface that IS
+SQL-expressible — closed-form OLS via the ANSI ``REGR_*`` aggregate
+family — so it gets a full DuckDB oracle, unlike the MLlib forest
+(property-tested in tests/test_ml.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import ROUND_DP, load, query
+
+DP = ROUND_DP
+
+TOP_K = 2
+
+
+@query(
+    "topk_per_group",
+    oracle=f"""
+    SELECT l_suppkey, rnk, l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, {DP}) AS price
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rnk
+      FROM lineitem
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY l_suppkey, rnk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group (top-{TOP_K} priciest lineitems per
+    supplier) — the per-group twin of the reference's global
+    ``orderBy().limit(n)`` top-k (SURVEY §2.6, e.g. nb@2:4).
+
+    Scale shape: one shuffle on the group key; each partition sorts
+    only its own groups (no global sort). Ties broken by explicit
+    (orderkey, linenumber) so the row_number is deterministic and
+    oracle-comparable. Because the rank filter is `rnk <= k`, Spark
+    plans ``WindowGroupLimit`` on BOTH sides of the shuffle (verified
+    in the formatted plan): each map task keeps only its local top-k
+    per group before shuffling, so shuffle volume is bounded by
+    k × groups × partitions regardless of rows-per-group skew.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "l_suppkey",
+            "rnk",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", DP).alias("price"),
+        )
+        .orderBy("l_suppkey", "rnk")
+    )
+
+
+@query(
+    "asof_join_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN ts END AS c_ts
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, side,
+             LAST_VALUE(c_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS click_id,
+             LAST_VALUE(c_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS click_ts
+      FROM u
+    )
+    SELECT user_id, event_id AS purchase_id, click_id,
+           CAST(date_diff('microsecond', click_ts, ts) AS BIGINT) AS gap_us
+    FROM m
+    WHERE side = 1
+    ORDER BY user_id, purchase_id
+    """,
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before it (last-touch attribution) — an operator Spark has no
+    built-in for, composed from existing ops (SURVEY task list:
+    custom-operator strategy (a)).
+
+    Scale shape: the naive form is an inequality join (quadratic per
+    user); instead, union both sides with a marker and take
+    ``last(click, ignorenulls)`` over a (ts, side, event_id)-ordered
+    per-user window — ONE shuffle on user_id, linear scan per user,
+    no join at all. Ties: a click at exactly the purchase ts matches
+    (side orders clicks first); among equal-ts clicks the largest
+    event_id wins. The oracle runs the identical window program in SQL,
+    so the semantics are pinned, not approximated.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        m.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+#: (band, lo, hi) — deliberately irregular widths so the op is a real
+#: non-equi join, not a width_bucket projection.
+PRICE_BANDS = [
+    ("budget", 0.0, 75_000.0),
+    ("mid", 75_000.0, 250_000.0),
+    ("premium", 250_000.0, 1e18),
+]
+
+
+@query(
+    "range_band_join",
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), {DP}) AS revenue
+    FROM orders o
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+         AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: facts joined to a tiny interval dimension on
+    ``lo <= x < hi`` — the canonical non-equi shape (price tiers, SLA
+    buckets, age brackets à la the reference's hand-rolled age columns).
+
+    Scale shape: the band table is rows-countable-on-one-hand, so the
+    ONLY sane plan is BroadcastNestedLoopJoin — each fact partition
+    scans 3 broadcast rows, no shuffle of the fact side at all. (With
+    a large interval table the strategy changes to bucketing both
+    sides by a coarsened key; not this operator's regime.)
+    """
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), DP).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "regr_linear_fit",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), {DP}) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), {DP}) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), {DP}) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regr_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity) via the ANSI
+    ``REGR_*`` aggregate family — the SQL-expressible slice of the
+    reference's ML surface (corr-with-target ranking, nb@26:9, is the
+    r=√r2 special case; the full RandomForest lives in ml.py).
+
+    Scale shape: each REGR_* is an algebraic aggregate (sums, squares,
+    cross-products) with partial map-side combine — one shuffle of
+    |groups| × constant state, whatever the row count. This is why
+    closed-form fits beat iterative solvers for screening features at
+    100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), DP).alias("slope"),
+            F.round(F.regr_intercept(y, x), DP).alias("intercept"),
+            F.round(F.regr_r2(y, x), DP).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

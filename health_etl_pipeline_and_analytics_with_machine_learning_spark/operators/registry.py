@@ -62,7 +62,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: ts/1000 via `/` is a double and loses the
+        # last microsecond above 2^53 ns — DuckDB truncates exactly
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -242,3 +242,153 @@ def regr_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event counts, one column per event
+    type — the relational shape of the reference's ``get_dummies``
+    one-hot encoding (SURVEY §2.7, nb@26:3-6), as a first-class
+    operator rather than an ML-only transform.
+
+    Scale shape: the pivot values are DECLARED (not discovered), so
+    Spark skips the extra distinct-scan job and plans a single
+    partial+final pivot aggregation — one shuffle on user_id, output
+    width fixed at |types|. Never pivot on an unbounded-cardinality
+    column; a discovered pivot over millions of distinct values is a
+    schema explosion, not a plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = counts.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return renamed.orderBy("user_id")
+
+
+MA_WINDOW = 7
+
+
+@query(
+    "window_moving_avg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS d,
+             SUM(o_totalprice) AS revenue
+      FROM orders
+      GROUP BY priority, d
+    )
+    SELECT priority, d,
+           ROUND(revenue, {DP}) AS revenue,
+           ROUND(AVG(revenue) OVER (
+             PARTITION BY priority ORDER BY d
+             ROWS BETWEEN {MA_WINDOW - 1} PRECEDING AND CURRENT ROW
+           ), {DP}) AS ma{MA_WINDOW}
+    FROM daily
+    ORDER BY priority, d
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based rolling mean: {MA_WINDOW}-row moving average of
+    daily revenue per order priority — the time-series smoothing the
+    reference's year-trend query (SURVEY §2.4 mortality trend) grows
+    into once time is a real date axis.
+
+    Scale shape: aggregate FIRST (fact rows → |priority|×|days| rows),
+    window over the reduced set — the rolling frame never touches fact
+    granularity. Catalyst reuses the groupBy's hash partitioning for
+    the window's partitionBy when keys align; the frame is O(window)
+    per row with a sliding sum, not a per-row rescan.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(-(MA_WINDOW - 1), Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "d",
+        F.round("rev", DP).alias("revenue"),
+        F.round(F.avg("rev").over(w), DP).alias(f"ma{MA_WINDOW}"),
+    ).orderBy("priority", "d")
+
+
+N_TILES = 4
+
+
+@query(
+    "ntile_quartiles",
+    oracle=f"""
+    WITH tiled AS (
+      SELECT c_mktsegment AS segment, c_acctbal,
+             NTILE({N_TILES}) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+             ) AS quartile
+      FROM customer
+    )
+    SELECT segment, quartile,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), {DP}) AS avg_balance,
+           ROUND(MIN(c_acctbal), {DP}) AS lo,
+           ROUND(MAX(c_acctbal), {DP}) AS hi
+    FROM tiled
+    GROUP BY segment, quartile
+    ORDER BY segment, quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency banding: NTILE({N_TILES}) of customers by
+    account balance within market segment, then per-band summary —
+    the windowed cousin of the reference's IQR quantile analysis
+    (SURVEY §2.4 iqr_clip) that yields band MEMBERSHIP, not just cut
+    points.
+
+    Determinism: NTILE order ties are broken by c_custkey so both
+    engines assign identical tiles. Scale shape: one shuffle on
+    segment; per-partition sort then a streaming tile assignment.
+    For a GLOBAL ntile at 100 TB, switch to approx percentile cut
+    points + a bucketing join — a global sort is the wrong plan.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiled = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(N_TILES).over(w).alias("quartile"),
+    )
+    return (
+        tiled.groupBy("segment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), DP).alias("avg_balance"),
+            F.round(F.min("c_acctbal"), DP).alias("lo"),
+            F.round(F.max("c_acctbal"), DP).alias("hi"),
+        )
+        .orderBy("segment", "quartile")
+    )

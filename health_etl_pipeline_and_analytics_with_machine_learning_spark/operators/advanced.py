@@ -263,24 +263,26 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-hot encoding (SURVEY §2.7, nb@26:3-6), as a first-class
     operator rather than an ML-only transform.
 
-    Scale shape: the pivot values are DECLARED (not discovered), so
-    Spark skips the extra distinct-scan job and plans a single
-    partial+final pivot aggregation — one shuffle on user_id, output
-    width fixed at |types|. Never pivot on an unbounded-cardinality
-    column; a discovered pivot over millions of distinct values is a
-    schema explosion, not a plan.
+    Scale shape: the pivot values are DECLARED (not discovered), and
+    the op deliberately compiles to conditional aggregation
+    (count-if per type) instead of DataFrame ``.pivot()``: Spark's
+    pivotfirst plans a two-level aggregation with an extra shuffle,
+    while count-if is ONE partial+final hash aggregate — one shuffle
+    on user_id, constant per-group state, width fixed at |types|.
+    Never pivot on an unbounded-cardinality column; a discovered pivot
+    over millions of distinct values is a schema explosion, not a plan.
     """
     ev = load(spark, sf_dir, "events")
-    counts = (
+    return (
         ev.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ]
+        )
+        .orderBy("user_id")
     )
-    renamed = counts.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
-    )
-    return renamed.orderBy("user_id")
 
 
 MA_WINDOW = 7

@@ -128,3 +128,60 @@ def test_neardup_joins_are_equi_not_cartesian(spark):
         assert "CartesianProduct" not in strategies, name
         assert "BroadcastNestedLoopJoin" not in strategies, name
         assert strategies, f"{name} lost its join"
+
+
+def test_topk_per_group_prelimits_before_shuffle(spark):
+    # rnk <= k plans WindowGroupLimit on BOTH sides of the shuffle:
+    # map tasks pre-trim to their local top-k per group, so shuffle
+    # volume is bounded under rows-per-group skew
+    plan = formatted_plan(q("topk_per_group", spark))
+    assert plan.count("WindowGroupLimit") >= 2
+    schemas = read_schemas(q("topk_per_group", spark))
+    assert sorted(schemas[0]) == [
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+        "l_suppkey",
+    ]
+
+
+def test_range_band_join_is_broadcast_nlj_with_pruned_scan(spark):
+    df = q("range_band_join", spark)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    # the fact scan reads only the band key, 1 of orders' 6 columns
+    assert ["o_totalprice"] in read_schemas(df)
+
+
+def test_asof_join_is_windowed_not_joined(spark):
+    # the as-of match is a union+window program: zero join operators,
+    # one shuffle on user_id for the window + one for the final sort
+    df = q("asof_join_attribution", spark)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) == 2
+
+
+def test_regr_fit_aggregates_partially(spark):
+    # REGR_* are algebraic: the shuffle carries constant-size partial
+    # state (sums/squares/cross-products), not rows
+    assert partial_agg_functions(q("regr_linear_fit", spark))
+
+
+def test_pivot_as_conditional_agg_is_single_shuffle(spark):
+    # count-if pivot: ONE partial->final aggregation (DataFrame .pivot()
+    # would plan pivotfirst with an extra shuffle) + the final sort
+    df = q("pivot_event_counts", spark)
+    assert count_exchanges(df) == 2
+    assert partial_agg_functions(df)
+
+
+def test_moving_avg_windows_over_reduced_set(spark):
+    # aggregate first, window second: the rolling frame runs over
+    # |priority|x|days| rows, never fact granularity
+    plan = formatted_plan(q("window_moving_avg", spark))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print top-down: the Window consumes the aggregate
+    assert win_pos < agg_pos

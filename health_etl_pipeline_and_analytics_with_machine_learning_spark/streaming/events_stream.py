@@ -31,14 +31,16 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """readStream over the events parquet (stand-in for kafka/kinesis;
     same nanos→timestamp rebuild as the batch loader).
 
     FileStreamSource wants a DIRECTORY it can watch for arriving files;
     the driver ships one flat file, so we expose it through a temp
     directory of symlinks — which is also exactly how continuous ingest
-    would land files in production."""
+    would land files in production. ``copies > 1`` symlinks the file
+    multiple times to simulate at-least-once redelivery (every event
+    duplicated), the input the streaming dedup twin exists for."""
     import os
     import tempfile
 
@@ -47,9 +49,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch_dir = src
     if os.path.isfile(src):
         watch_dir = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(watch_dir, "events.parquet"))
+        for i in range(copies):
+            os.symlink(src, os.path.join(watch_dir, f"events_{i}.parquet"))
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division (`div`): double division loses the last
+    # microsecond above 2^53 ns — same rebuild as registry.load
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -81,6 +86,45 @@ def run_to_memory(
     stream = hourly_rollup(read_events_stream(spark, sf_dir))
     q = (
         stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup under at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on event_id — the streaming twin
+    of the batch ``dedup_exact`` ladder (operators.dedup).
+
+    Scale shape: state is keyed by event_id but EVICTED once the
+    watermark passes an id's first-seen event time, so state size is
+    bounded by (arrival rate × watermark horizon), not stream lifetime
+    — the property that makes exact streaming dedup viable at all.
+    (Plain dropDuplicates without a watermark grows state forever; with
+    redelivery windows under the horizon the results are identical.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedup_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 2,
+    query_name: str = "events_dedup",
+) -> DataFrame:
+    """Drive the redelivered (``copies``×) stream through the dedup
+    operator to completion; append-mode memory sink."""
+    stream = dedup_within_watermark(read_events_stream(spark, sf_dir, copies=copies))
+    q = (
+        stream.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -90,3 +90,29 @@ def test_stateful_sessionization_matches_batch(spark):
     b_rows = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
     assert s_rows == b_rows
     assert len(s_rows) > 0
+
+
+def test_streaming_dedup_restores_exactly_once(spark):
+    """Every event delivered twice (at-least-once redelivery); the
+    watermarked dedup stream must emit each event exactly once and
+    agree with the batch table on count and checksum."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    deduped = events_stream.run_dedup_to_memory(spark, SF_SMOKE, copies=2)
+    batch = load(spark, SF_SMOKE, "events")
+
+    d = deduped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.round(F.sum("value"), 4).alias("checksum"),
+    ).collect()[0]
+    b = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("checksum"),
+    ).collect()[0]
+    assert d.n == d.n_ids == b.n  # one output row per unique event
+    assert d.checksum == b.checksum

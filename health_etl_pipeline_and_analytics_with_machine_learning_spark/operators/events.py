@@ -102,3 +102,43 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    -- // is integer division: CAST(x/10 AS INT) would round-to-nearest
+    -- in DuckDB while Spark's cast truncates
+    SELECT CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS INTEGER) AS k_decile,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY k_decile
+    ORDER BY k_decile
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON payload with
+    a DECLARED schema (``from_json``) and aggregate by the extracted
+    key — the one-pass, JVM-side pattern for JSON event payloads.
+
+    Scale shape: ``from_json`` with an explicit schema is a native
+    expression inside whole-stage codegen — parsed once, pruned to the
+    referenced field, no Python, no schema-inference scan. (Schema
+    inference over a 100 TB stream is a full extra pass; declare or
+    sample-infer once and pin it.) Integer division buckets keep the
+    group cardinality fixed at 10 whatever the key range.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select((k / 10).cast("int").alias("k_decile"), "value", "user_id")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k_decile")
+    )

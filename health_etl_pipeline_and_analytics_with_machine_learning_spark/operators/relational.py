@@ -702,3 +702,62 @@ def group_sum2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         tagged AS (
+           SELECT 'click_and_buy' AS cohort, user_id FROM
+             (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+           UNION ALL
+           SELECT 'click_only', user_id FROM
+             (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+           UNION ALL
+           SELECT 'buy_only', user_id FROM
+             (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+         )
+    SELECT cohort, COUNT(*) AS n_users
+    FROM tagged
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over user cohorts: INTERSECT / EXCEPT / UNION of the
+    clicker and buyer populations — the set-operation family the
+    reference never uses (SURVEY §2.7: no union/intersect/except) but a
+    complete engine must carry.
+
+    Scale shape: INTERSECT and EXCEPT plan as semi/anti hash joins over
+    the pre-DISTINCTed cohorts — the join sides are |users|, not
+    |events|, because dedup happens BEFORE the set op. All three
+    branches and the final rollup compose into ONE distributed plan
+    (no driver-side counting); the unioned cohorts partial-aggregate
+    to three rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    tagged = (
+        clickers.intersect(buyers).select(
+            F.lit("click_and_buy").alias("cohort"), "user_id"
+        )
+        .union(
+            clickers.subtract(buyers).select(
+                F.lit("click_only").alias("cohort"), "user_id"
+            )
+        )
+        .union(
+            buyers.subtract(clickers).select(
+                F.lit("buy_only").alias("cohort"), "user_id"
+            )
+        )
+    )
+    return (
+        tagged.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort")
+    )

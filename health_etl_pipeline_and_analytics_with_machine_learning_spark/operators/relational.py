@@ -761,3 +761,42 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort")
     )
+
+
+@query(
+    "group_quantiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), {DP}) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), {DP}) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), {DP}) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), {DP}) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated quantiles (p25/p50/p75/p95 of price
+    per return flag) — the grouped generalization of the reference's
+    global IQR analysis (Health_Jim.py:338-347, SURVEY §2.4 iqr_clip).
+
+    All four probes share ONE percentile aggregate (array form), so
+    each group's values are buffered once, not four times. Exactness
+    ladder (SURVEY §4.3): per-group exact percentile buffers each
+    GROUP's values in its aggregation state — bounded by the largest
+    group, not the table; at 100 TB with huge groups the swap is
+    percentile_approx, or functions.quantiles.exact_quantiles per group
+    when exactness is non-negotiable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    probs = [0.25, 0.50, 0.75, 0.95]
+    qs = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in probs]))
+    agged = li.groupBy("l_returnflag").agg(qs.alias("q"))
+    return agged.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("q")[i], DP).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+    ).orderBy("l_returnflag")

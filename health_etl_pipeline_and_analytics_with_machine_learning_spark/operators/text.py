@@ -269,3 +269,52 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TF_TOP_K = 20
+
+
+@query(
+    "term_frequency_topk",
+    oracle=f"""
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {TF_TOP_K}
+    """,
+)
+def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term frequency: tokenize every document, count
+    global occurrences and document frequency, top-{TF_TOP_K} — the
+    canonical explode→aggregate shape (and the df half of TF-IDF;
+    text_quality_score covers the per-doc tf side).
+
+    Scale shape: ``explode(split(...))`` is a generator inside
+    whole-stage codegen — tokens never materialize as a corpus-wide
+    array. The aggregation partial-combines per partition BEFORE the
+    shuffle, so shuffle volume is |distinct tokens per partition|, not
+    |token occurrences|; Zipf-skewed hot tokens ("the") are exactly
+    what map-side combine flattens. Top-k via TakeOrderedAndProject,
+    tie-broken on the token for oracle determinism.
+    """
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(TF_TOP_K)
+    )

@@ -145,3 +145,34 @@ def test_bucketed_join_eliminates_shuffle_and_sort(spark, tmp_path):
     finally:
         drop_table(spark, "orders_b")
         drop_table(spark, "lineitem_b")
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must prune at the directory
+    level (PartitionFilters), not run as a row-level residual —
+    and read only the matching partition's files."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.plans import (
+        formatted_plan,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "month", F.month("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_partitioned(orders, path, "month")
+
+    filtered = read_partitioned(spark, path).filter(F.col("month") == 3)
+    plan = formatted_plan(filtered)
+    part_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "month" in part_line and "3" in part_line
+
+    # pruning is real: only month=3 rows come back, matching the source
+    expected = orders.filter(F.col("month") == 3).count()
+    assert expected > 0
+    assert filtered.count() == expected

@@ -135,6 +135,52 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), {DP}) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all four grouping sets — (status, priority),
+    (status), (priority), () — in ONE Expand pass over the fact table.
+    Unlike ROLLUP it includes the priority-only marginal, so a
+    dashboard's "by status", "by priority", and grand-total cards come
+    from a single scan and a single shuffle.
+
+    GROUPING() markers distinguish a real NULL key from a subtotal row
+    — the ANSI-standard disambiguator (cast to BIGINT so both engines
+    agree on the type).
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), DP).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
     "window_lag_value_delta",
     oracle=f"""
     WITH d AS (

@@ -1,0 +1,280 @@
+"""Training-data preparation operators — chunking, scrubbing,
+deterministic splits, and repetition-quality flags.
+
+These extend the reference's single-table ETL (SURVEY §7.5 north-star)
+with the operations an LLM-scale data pipeline runs between "corpus"
+and "training set". Everything here is pure Catalyst expressions —
+`sequence`/`explode`, `regexp_*`, `md5`, higher-order array functions —
+so the whole family stays inside whole-stage codegen with zero Python
+UDFs (the same no-UDF policy the ETL follows, SURVEY §4.2).
+
+Scale notes per operator live on the functions; the common theme:
+every op is embarrassingly parallel per-row (narrow, no shuffle) until
+the final small aggregate, so all of them scan-scale linearly to 100 TB
+and preserve partition pruning on the source columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import ROUND_DP, load, query
+
+DP = ROUND_DP
+
+#: chunking geometry — 200-char windows every 150 chars (25% overlap),
+#: the standard "fixed window + overlap" used to pack documents into
+#: bounded training sequences.
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_documents(d: DataFrame) -> DataFrame:
+    """Chunk-level view: one row per (doc, start) with the CHUNK_LEN
+    substring. explode is a generator — it needs its own projection;
+    the substring over (text, start) happens in the next narrow select.
+    Reused by the aggregate query below and directly by pipelines that
+    feed chunks onward (tokenize/embed)."""
+    lateral = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text"), F.lit(1)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    return lateral.select(
+        "doc_id",
+        "source",
+        "start",
+        F.length("text").alias("doc_chars"),
+        F.col("text").substr(F.col("start"), F.lit(CHUNK_LEN)).alias("chunk"),
+    )
+
+
+@query(
+    "doc_chunk_explode",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, source, text,
+             UNNEST(generate_series(1, greatest(length(text), 1),
+                                    {CHUNK_STRIDE})) AS start
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           ROUND(AVG(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN}))), {DP})
+             AS avg_chunk_chars,
+           ROUND(SUM(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN}))) * 1.0
+                 / SUM(length(text)) / COUNT(*) * COUNT(DISTINCT doc_id), {DP})
+             AS blowup_per_doc
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking: each document becomes
+    ``ceil(len/stride)`` chunks of ≤ CHUNK_LEN chars starting every
+    CHUNK_STRIDE chars.
+
+    `sequence(1, len, stride)` builds the start offsets as an array and
+    `explode` lateralizes it — a NARROW transformation: chunks of a
+    document stay in the producing task, nothing shuffles until the
+    final per-source aggregate (tiny). At 100 TB the blowup factor
+    (≈ len/stride · chunk/stride overlap) is the only memory question,
+    and it's bounded per-row, never per-partition.
+
+    ``blowup_per_doc`` reports measured chunk-bytes / doc-bytes — the
+    storage amplification a 25%-overlap policy costs at scale.
+    """
+    chunks = chunk_documents(load(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg(F.length("chunk")), DP).alias("avg_chunk_chars"),
+            F.round(
+                F.sum(F.length("chunk"))
+                / F.sum("doc_chars")
+                / F.count(F.lit(1))
+                * F.countDistinct("doc_id"),
+                DP,
+            ).alias("blowup_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pii_scrub_digits",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(len(regexp_extract_all(c_name, '[0-9]+'))) AS BIGINT)
+             AS n_digit_runs,
+           ROUND(AVG(length(regexp_replace(c_name, '[0-9]+', '<NUM>', 'g'))), {DP})
+             AS avg_scrubbed_len,
+           COUNT(DISTINCT regexp_replace(c_name, '[0-9]+', '<NUM>', 'g'))
+             AS n_distinct_scrubbed
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def pii_scrub_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier scrubbing: replace every digit run with a ``<NUM>``
+    placeholder — the regex-normalization shape used for PII masking /
+    number canonicalization in corpus prep.
+
+    Pure `regexp_replace`/`regexp_count` expressions, row-local and
+    codegen'd; the only shuffle is the per-segment aggregate. The
+    ``n_distinct_scrubbed`` column makes the anonymization effect
+    measurable: distinct names collapse to the shared template count.
+    (Spark replaces ALL matches by default; DuckDB needs the explicit
+    ``'g'`` flag — the oracle says so.)
+    """
+    c = load(spark, sf_dir, "customer")
+    scrubbed = F.regexp_replace("c_name", r"[0-9]+", "<NUM>")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.regexp_count("c_name", F.lit(r"[0-9]+"))).alias("n_digit_runs"),
+            F.round(F.avg(F.length(scrubbed)), DP).alias("avg_scrubbed_len"),
+            F.countDistinct(scrubbed).alias("n_distinct_scrubbed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: first-two-hex-chars threshold: 0xcd/0x100 = 205/256 ≈ 80.1% train
+_SPLIT_HEX = "cd"
+
+
+@query(
+    "hash_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{_SPLIT_HEX}'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(c_acctbal), {DP}) AS avg_acctbal,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def hash_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split by key hash — the
+    reproducible alternative to `randomSplit` for training pipelines:
+    the same row lands in the same split on every engine, every run,
+    every cluster size (no seed, no sampling nondeterminism — md5 of
+    the key is the randomness).
+
+    This is how a 100 TB split must work: a row-local expression, no
+    global sort, no sampling pass, re-derivable for any subset of the
+    data independently. Lexicographic compare of the first two hex
+    chars gives 205/256 ≈ 80.1% train. The per-split nation count
+    checks the hash doesn't accidentally correlate with a real column.
+    """
+    c = load(spark, sf_dir, "customer")
+    split = F.when(
+        F.substring(F.md5(F.encode(F.col("c_custkey").cast("string"), "UTF-8")), 1, 2)
+        < _SPLIT_HEX,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        c.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("c_acctbal"), DP).alias("avg_acctbal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("split")
+    )
+
+
+#: a doc whose single most frequent word exceeds this share of all
+#: words is flagged as repetitive (Gopher-style quality rule).
+_TOP_WORD_SHARE = 0.10
+
+
+@query(
+    "text_repetition_flags",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(w) AS n_words,
+             len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+             list_max(list_transform(list_distinct(w),
+                      x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w)
+               AS top_word_share
+      FROM words
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(ttr), {DP}) AS avg_ttr,
+           ROUND(AVG(top_word_share), {DP}) AS avg_top_share,
+           CAST(SUM(CASE WHEN top_word_share > {_TOP_WORD_SHARE} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality flags: per-document type-token ratio
+    and top-word share, flagged when one word dominates (> 10% of
+    tokens) — the Gopher-rules repetition family re-expressed as
+    higher-order array functions.
+
+    The per-doc top-word count is `array_max(transform(distinct, w ->
+    size(filter(words, = w))))` — O(|vocab|·|doc|) per row but fully
+    JVM-side and row-local: no explode, no per-word shuffle, no state.
+    The alternative (explode → groupBy(doc, word) → max) shuffles
+    |corpus tokens| rows; this shape shuffles nothing until the final
+    per-lang rollup, which is what you want at 100 TB for bounded-size
+    documents.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    scored = d.select(
+        "lang",
+        F.size(w).alias("n_words"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(w),
+                    lambda x: F.size(F.filter(w, lambda y: y == x)),
+                )
+            )
+            / F.size(w)
+        ).alias("top_word_share"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ttr"), DP).alias("avg_ttr"),
+            F.round(F.avg("top_word_share"), DP).alias("avg_top_share"),
+            F.sum(
+                F.when(F.col("top_word_share") > _TOP_WORD_SHARE, 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )

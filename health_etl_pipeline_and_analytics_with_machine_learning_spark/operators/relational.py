@@ -564,6 +564,49 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_distinct_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactness ladder (SURVEY §4.3), made checkable: exact
+    COUNT(DISTINCT) next to HyperLogLog++ `approx_count_distinct`
+    (rsd=0.01), asserting the sketch lands within 5% of truth.
+
+    Sketch values themselves can't be oracle-compared (different HLL
+    implementations), so the contract IS the error bound: the oracle
+    pins the exact counts and a constant TRUE that the Spark side must
+    earn. At 100 TB this is the swap the engine makes — exact distinct
+    shuffles every (group, key) pair; the sketch partial-aggregates to
+    a fixed-size buffer per group, turning an O(distinct) shuffle into
+    an O(groups) one.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 window-equivalent computations
 # ---------------------------------------------------------------------------

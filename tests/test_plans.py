@@ -185,3 +185,50 @@ def test_moving_avg_windows_over_reduced_set(spark):
     assert agg_pos != -1 and win_pos != -1
     # formatted plans print top-down: the Window consumes the aggregate
     assert win_pos < agg_pos
+
+
+def test_chunking_is_narrow_until_final_agg(spark):
+    # explode(sequence) is a Generate and chunks never shuffle: in the
+    # top-down formatted plan the Generate sits BELOW (upstream of)
+    # every Exchange. The 3 exchanges are all post-chunking aggregation
+    # machinery: two-phase distinct agg (countDistinct) + final sort.
+    df = q("doc_chunk_explode", spark)
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.rfind("Exchange") < tree.find("Generate")
+    assert count_exchanges(df) == 3
+    (cols,) = read_schemas(df)
+    assert cols == ["doc_id", "text", "source"]
+
+
+def test_cube_is_single_pass_expand(spark):
+    df = q("cube_status_priority", spark)
+    assert "Expand" in formatted_plan(df)
+    assert len(read_schemas(df)) == 1  # one scan feeds all 4 grouping sets
+
+
+def test_hash_split_is_row_local_single_shuffle(spark):
+    # the split key is a pure expression: no sampling pass, no join, no
+    # extra scan — the 3 exchanges are the two-phase distinct aggregate
+    # (countDistinct n_nations) + the 2-row final sort
+    df = q("hash_train_test_split", spark)
+    assert count_exchanges(df) == 3
+    assert partial_agg_functions(df)
+    assert join_strategies(df) == []
+    assert len(read_schemas(df)) == 1
+
+
+def test_repetition_flags_avoid_token_shuffle(spark):
+    # the per-doc top-word count is a higher-order expression, not an
+    # explode->groupBy(doc, word): nothing shuffles at token granularity
+    df = q("text_repetition_flags", spark)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan  # no explode anywhere
+    assert count_exchanges(df) == 2  # per-lang agg + 5-row final sort
+    assert join_strategies(df) == []
+
+
+def test_approx_distinct_keeps_partial_aggregation(spark):
+    fns = " ".join(partial_agg_functions(q("approx_distinct_bound", spark)))
+    assert "approx_count_distinct" in fns

@@ -142,3 +142,40 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decile")
     )
+
+
+@query(
+    "events_enrich_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type
+    """,
+)
+def events_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment of the event stream: join each event to its
+    user's market segment, then roll up per (segment, type) — the batch
+    twin of streaming.enrich_stream's stream-static join.
+
+    Scale: the user dimension is dimension-sized → broadcast join, so
+    the fact/event side is NEVER reshuffled for the join; the only
+    shuffle is the final tiny (segment × type) aggregation. This is the
+    plan a stream-static join runs per micro-batch, which is why the
+    streaming twin stays cheap: broadcast once, probe every batch.
+    """
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

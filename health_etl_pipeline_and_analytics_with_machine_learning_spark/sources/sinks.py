@@ -40,3 +40,35 @@ def write_silver_parquet(df: DataFrame, path: str) -> str:
     """The canonical cleaned-table sink."""
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def write_compacted_parquet(
+    df: DataFrame, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> str:
+    """Parquet sink with small-file compaction: size the output file
+    count from the data's actual bytes instead of inheriting the
+    upstream partitioning.
+
+    The small-files problem is the write-side twin of partition sizing:
+    a 100 TB pipeline that writes one file per upstream task after a
+    wide shuffle (e.g. 2000 shuffle partitions x 10k jobs/day) melts
+    the namenode/object-store listing and makes every downstream scan
+    open millions of tiny footers. Targeting ~128 MB files keeps scans
+    row-group-bound, listings cheap, and splits even.
+
+    File count = ceil(estimated_bytes / target). The estimate comes
+    from the plan's logical statistics (sizeInBytes — parquet footer
+    totals adjusted by Catalyst through the operator tree), a
+    driver-side lookup, NOT an extra scan of the data. `coalesce` (not
+    `repartition`) folds upstream partitions without a shuffle when
+    shrinking; an exact-size rebalance that must SPLIT skewed
+    partitions would use repartition and pay one shuffle.
+    """
+    import math
+
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, math.ceil(int(est_bytes) / target_file_bytes))
+    if n_files < df.rdd.getNumPartitions():
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -1,1 +1,1 @@
-from . import events_stream  # noqa: F401
+from . import enrich_stream, events_stream  # noqa: F401

@@ -28,3 +28,21 @@ def test_partitioned_csv_roundtrip(spark, tmp_path):
     write_csv(orders, out)
     back = spark.read.csv(out, header=True)
     assert back.count() == orders.count()
+
+
+def test_compacted_parquet_reduces_file_count(spark, tmp_path):
+    """A deliberately over-partitioned frame (64 upstream partitions of
+    a few MB total) must compact to ONE parquet file, and round-trip
+    identically."""
+    import glob
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.sinks import (
+        write_compacted_parquet,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").repartition(64)
+    out = str(tmp_path / "compacted")
+    write_compacted_parquet(li, out)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1, f"expected 1 compacted file, got {len(files)}"
+    assert spark.read.parquet(out).count() == li.count()

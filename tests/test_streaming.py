@@ -116,3 +116,30 @@ def test_streaming_dedup_restores_exactly_once(spark):
     ).collect()[0]
     assert d.n == d.n_ids == b.n  # one output row per unique event
     assert d.checksum == b.checksum
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """The stream-static broadcast join rollup must agree exactly with
+    the batch enrichment twin (events_enrich_segment) on the bounded
+    input — and every event must have found its dimension row."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.events import (
+        events_enrich_segment,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming import (
+        enrich_stream,
+    )
+
+    streamed = enrich_stream.run_enrich_to_memory(spark, SF_SMOKE)
+    batch = events_enrich_segment(spark, SF_SMOKE)
+    s_rows = {
+        (r.c_mktsegment, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in streamed.collect()
+    }
+    b_rows = {
+        (r.c_mktsegment, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in batch.collect()
+    }
+    assert s_rows == b_rows and s_rows
+    # inner join lost nothing: user_ids are a subset of the dimension keys
+    total_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(n for n, _ in s_rows.values()) == total_events

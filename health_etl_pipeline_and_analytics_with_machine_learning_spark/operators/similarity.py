@@ -247,3 +247,67 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+#: semantic-dedup geometry: cluster count sets the dedup aggressiveness
+#: (corpus/K docs collapse into one representative per cluster)
+K_SEMANTIC = 25
+
+
+def semantic_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level view behind dedup_semantic_cluster: every vector
+    with its seeded-k-means cluster id and squared distance to its own
+    centroid. Exposed so tests can pin the argmin/partition properties."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
+    km = KMeans(
+        k=K_SEMANTIC, seed=42, maxIter=10, featuresCol="vec", predictionCol="cluster"
+    )
+    model = km.fit(e.sample(fraction=0.5, seed=42))
+    assigned = model.transform(e).select("vec_id", "v", "cluster")
+
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return assigned.join(F.broadcast(cent), "cluster").select(
+        "cluster", "vec_id", d2.alias("dist2")
+    )
+
+
+@query("dedup_semantic_cluster", oracle=None, tags=("rows-only",))
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup — the embedding-space rung of the dedup ladder
+    (exact → MinHash/SimHash/n-gram → cosine near-dup → THIS): cluster
+    the corpus with a seeded k-means and keep ONE representative per
+    cluster, the member closest to its centroid (vec_id tiebreak).
+    SemDeDup-style pruning: near-identical meaning collapses even when
+    no tokens overlap, which no fingerprint rung can see.
+
+    Scale shape mirrors the IVF quantizer: fit on a seeded sample
+    (never the full corpus at 100 TB), centroids come back as a tiny
+    driver-side table folded into a broadcast join, the representative
+    choice is one window per cluster — a single shuffle keyed by
+    cluster id, bounded by k-means' own assignment pass. Rows-only
+    (k-means isn't SQL-expressible); determinism + argmin property are
+    pinned in tests/test_llm_ops.py.
+    """
+    members = semantic_cluster_members(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy("dist2", "vec_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("rep_vec_id"),
+            F.round(F.min("dist2"), 6).alias("rep_dist2"),
+        )
+        .orderBy("cluster")
+    )

@@ -101,3 +101,23 @@ def test_multimodal_meta_matches_payload_bytes(spark):
     )
     bad = meta.join(decoded, "doc_id").filter(F.col("nb_meta") != F.col("nb_dec")).count()
     assert bad == 0
+
+
+def test_semantic_dedup_reps_are_cluster_argmin(spark):
+    """Each cluster's representative must be its true argmin-distance
+    member (vec_id tiebreak), clusters must partition the corpus, and
+    the seeded pipeline must be deterministic."""
+    summary = {r.cluster: r for r in similarity.dedup_semantic_cluster(spark, SF_CORRECT).collect()}
+    members = similarity.semantic_cluster_members(spark, SF_CORRECT).collect()
+    by_cluster: dict[int, list] = {}
+    for m in members:
+        by_cluster.setdefault(m.cluster, []).append(m)
+    assert set(summary) == set(by_cluster)
+    n_vecs = sum(len(v) for v in by_cluster.values())
+    assert sum(r.n_members for r in summary.values()) == n_vecs
+    for cid, ms in by_cluster.items():
+        best = min(ms, key=lambda m: (m.dist2, m.vec_id))
+        assert summary[cid].rep_vec_id == best.vec_id, cid
+        assert summary[cid].n_members == len(ms)
+    again = {r.cluster: r.rep_vec_id for r in similarity.dedup_semantic_cluster(spark, SF_CORRECT).collect()}
+    assert again == {c: r.rep_vec_id for c, r in summary.items()}

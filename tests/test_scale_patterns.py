@@ -176,3 +176,32 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     expected = orders.filter(F.col("month") == 3).count()
     assert expected > 0
     assert filtered.count() == expected
+
+
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must produce files whose footer min/max
+    intervals of the sort column are pairwise disjoint — the property
+    that lets a selective scan skip every non-matching file — and a
+    point-range read must return exactly the source rows."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.sorted_layout import (
+        file_column_ranges,
+        read_layout,
+        write_range_sorted,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    path = str(tmp_path / "li_sorted")
+    write_range_sorted(li, path, "l_extendedprice", n_files=8)
+
+    ranges = sorted(file_column_ranges(path, "l_extendedprice"))
+    assert len(ranges) == 8
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "file ranges overlap — no pruning possible"
+
+    # correctness: a band filter over the layout returns the same rows
+    lo, hi = ranges[3]
+    got = read_layout(spark, path).filter(F.col("l_extendedprice").between(lo, hi)).count()
+    want = li.filter(F.col("l_extendedprice").between(lo, hi)).count()
+    assert got == want > 0

@@ -179,3 +179,66 @@ def events_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS lo, MAX(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type,
+             UNNEST(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hr
+      FROM (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           s.event_type,
+           COALESCE(h.n, 0) AS n_events,
+           CAST(h.n IS NULL AS INT) AS was_gap
+    FROM spine s LEFT JOIN hourly h
+      ON s.hr = h.hr AND s.event_type = h.event_type
+    ORDER BY hour, s.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense hourly spine per event type,
+    left-joined to the observed hourly counts, missing hours
+    materialized as explicit zeros — the resample step every
+    trend/moving-average consumer needs (a rolling window over a
+    gappy series silently averages the wrong denominator).
+
+    Scale shape: the spine is generated, not scanned — sequence()
+    over the [min, max] hour bounds (one tiny agg) crossed with the
+    distinct keys, so spine size is |keys| × hours regardless of fact
+    volume; the fill join is a broadcast of the AGGREGATED hourly
+    counts (hours × types rows), never of raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.agg(F.min(hr).alias("lo"), F.max(hr).alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    return (
+        spine.join(F.broadcast(hourly), ["hr", "event_type"], "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().cast("int").alias("was_gap"),
+        )
+        .orderBy("hour", "event_type")
+    )

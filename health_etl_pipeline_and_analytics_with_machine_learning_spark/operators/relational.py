@@ -612,6 +612,59 @@ def approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed histogram geometry — single-pass, no min/max pre-scan
+_HIST_LO, _HIST_HI, _HIST_NB = 0.0, 500_000.0, 20
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
+
+
+@query(
+    "histogram_fixed_width",
+    oracle=f"""
+    SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), 0),
+                      {_HIST_NB - 1}) AS INT) AS bucket,
+           ROUND(CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), 0),
+                      {_HIST_NB - 1}) AS INT) * {_HIST_W} + {_HIST_LO}, 4) AS lo_edge,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), {DP}) AS avg_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the profiling primitive behind the
+    reference's distribution plots (Health_Jim.py's plotly histograms),
+    computed engine-side instead of collecting raw rows to the driver.
+
+    FIXED edges mean ONE pass: no min/max pre-scan, bucket assignment
+    is pure row-local arithmetic (floor + clamp — same least/greatest
+    clip idiom as iqr_clip), and the aggregate shuffles ≤ {_HIST_NB}
+    rows per task. A data-dependent histogram (edges from min/max)
+    costs a second scan; at 100 TB you take fixed or quantile-sketched
+    edges instead. Out-of-range values clamp into the edge buckets, so
+    the histogram is total: no row is silently dropped.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W), F.lit(0)),
+        F.lit(_HIST_NB - 1),
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * _HIST_W + _HIST_LO, 4).alias("lo_edge"),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 window-equivalent computations
 # ---------------------------------------------------------------------------

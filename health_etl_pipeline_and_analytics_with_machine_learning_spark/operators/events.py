@@ -242,3 +242,62 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_then_click,
+           CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM steps
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users progressed view → click →
+    purchase, judged on each step's FIRST occurrence (NULL timestamps
+    fail every comparison, so a missing step breaks the chain with no
+    explicit null-handling).
+
+    Scale shape: the classic funnel needs NO self-joins — one
+    conditional-MIN pivot per user (single shuffle on user_id with
+    partial aggregation), then a driver-sized scalar rollup. The
+    event-sequence alternative (join events to events per step) is
+    quadratic in steps and shuffles the fact table per stage.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(
+            F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+        ).alias("n_view_then_click"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )

@@ -48,6 +48,31 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def round_cmp(col, dp: int = ROUND_DP):
+    """Cross-engine-stable rounding for aggregated doubles.
+
+    A plain ``ROUND(x, dp)`` diverges between Spark (HALF_UP) and DuckDB
+    (half-to-even) whenever the true mean lands exactly on a half
+    boundary — which genuinely happens when averaging 2-decimal data over
+    power-of-two group sizes (e.g. mean 70.49125 over 16 rows → 70.4913
+    vs 70.4912). The fix is to use the *same* IEEE-double formula on both
+    sides: an inner round at ``dp+3`` absorbs summation-order noise
+    (~1e-12), then ``FLOOR(x*10^dp + 0.5)/10^dp`` pins the tie-break to
+    identical double ops in both engines. Pair with :func:`round_cmp_sql`
+    in the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    scale = float(10**dp)
+    return F.floor(F.round(col, dp + 3) * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def round_cmp_sql(expr: str, dp: int = ROUND_DP) -> str:
+    """DuckDB-side twin of :func:`round_cmp` — textually identical math."""
+    scale = float(10**dp)
+    return f"FLOOR(ROUND({expr}, {dp + 3}) * {scale} + 0.5) / {scale}"
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one of the driver's parquet tables.
 

@@ -1,2 +1,2 @@
 # importing populates the query registry
-from . import advanced, curation, dedup, events, joins, multimodal, prep, relational, similarity, text  # noqa: F401
+from . import advanced, curation, dedup, events, joins, multimodal, prep, relational, similarity, skew, text  # noqa: F401

@@ -222,3 +222,137 @@ def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: bloom geometry: 2^16 bits = 1024 longs; k=2 hashes. With ~2-6k keys
+#: at sf0.01-0.1 the false-positive rate is ~1-5% — enough to show the
+#: prune without inflating the broadcast.
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (17, 89)
+_HIGH_VALUE = 450_000.0
+
+
+@query(
+    "bloom_filter_semi_join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), {DP}) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > {_HIGH_VALUE}
+    )
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a hand-built bloom pre-filter: lineitems of
+    high-value orders, where a compact bitset prunes the fact scan
+    BEFORE the exact join removes the bloom's false positives.
+
+    The bloom is pure Catalyst expressions (Spark's own
+    ``bloom_filter_agg`` is optimizer-internal, not user-callable):
+    build — each build-side key sets k={len(_BLOOM_SEEDS)} bit positions
+    ``pmod(xxhash64(key, seed), {_BLOOM_BITS})``; ``collect_set`` the
+    positions and fold them into {_BLOOM_WORDS} longs with
+    ``transform(sequence(...), aggregate(..., bitwise OR))``. Probe —
+    one ``element_at`` + bit test per hash: O(1) per row, no array scan.
+
+    Why it matters at 100 TB: when the build side is too big to
+    broadcast AS ROWS, the join becomes a sort-merge that shuffles the
+    ENTIRE fact table — but an 8 KB bitset still broadcasts. Probing
+    upstream of the Exchange drops ~97% of fact rows before they are
+    hashed, shuffled, or spilled; the exact semi join afterwards only
+    pays for survivors. Same contract as Catalyst's InjectRuntimeFilter
+    (which declines to fire at local scale), expressed by hand. The
+    oracle is the plain IN-subquery — the bloom must be semantically
+    invisible.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _HIGH_VALUE)
+    keys = o.select(F.col("o_orderkey").alias("k"))
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("k"), F.lit(seed)), F.lit(_BLOOM_BITS))
+        for seed in _BLOOM_SEEDS
+    ]
+    positions = keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    bloom = positions.agg(F.collect_set("pos").alias("ps")).select(
+        F.expr(
+            f"""transform(sequence(0, {_BLOOM_WORDS - 1}),
+                 w -> aggregate(filter(ps, p -> CAST(p / 64 AS INT) = w),
+                                0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))"""
+        ).alias("bf")
+    )
+
+    def probe(seed: int):
+        # SQL form: python F.shiftleft only takes a literal shift amount
+        return F.expr(
+            f"""(element_at(bf, CAST(pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_BITS}) / 64 AS INT) + 1)
+                 & shiftleft(1L, CAST(pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_BITS}) % 64 AS INT))) != 0"""
+        )
+
+    pruned = (
+        li.crossJoin(F.broadcast(bloom))
+        .filter(probe(_BLOOM_SEEDS[0]) & probe(_BLOOM_SEEDS[1]))
+        .drop("bf")
+    )
+    exact = pruned.join(
+        F.broadcast(o.select("o_orderkey")),
+        pruned.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), DP).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), {DP}) AS revenue,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the free-form sibling of rollup/cube
+    (operators/joins.py rollup_status_priority, cube_status_priority):
+    per-status totals, per-priority totals, and the grand total in ONE
+    pass, skipping the (status, priority) cross cells a CUBE would also
+    compute.
+
+    Physical shape: a single Expand duplicates each input row once per
+    grouping set (3× here) BEFORE one partial→final hash aggregate — one
+    scan, one shuffle, |sets|·|groups| result rows. GROUPING() markers
+    disambiguate "NULL because aggregated away" from a genuinely null
+    key, and give the deterministic sort the oracle needs.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), {DP}) AS revenue,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+        """
+    )

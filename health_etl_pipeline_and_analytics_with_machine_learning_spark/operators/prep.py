@@ -278,3 +278,66 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: per-stratum keep rates as 16-bit hex thresholds on md5(event_id):
+#: keep iff the first 4 hex chars < threshold. floor(rate·0x10000) in hex.
+_STRATA_HEX = {
+    "view": ("1999", 0.10),      # downsample the firehose
+    "click": ("4000", 0.25),
+    "error": ("8000", 0.50),
+    "signup": ("ffff", 1.00),    # keep every rare/valuable event
+    "purchase": ("ffff", 1.00),
+}
+
+
+@query(
+    "stratified_hash_sample",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+          CASE event_type
+            {chr(10).join(f"WHEN '{k}' THEN '{hx}'" for k, (hx, _) in _STRATA_HEX.items())}
+            ELSE '0000' END
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (downsample dominant
+    event types, keep rare ones whole) — the class-rebalancing step of a
+    training-data pipeline, done DETERMINISTICALLY: membership is a pure
+    function of md5(event_id), not an RNG state.
+
+    Hash-based beats ``sampleBy`` at scale: the same row is kept on
+    every rerun, across engines (the oracle runs the byte-identical
+    predicate), after repartitioning, and in incremental reruns over
+    late-arriving data — none of which holds for seeded Bernoulli
+    sampling, whose draw depends on partition iteration order. The
+    predicate is row-local (codegen'd md5 + CASE), so it pushes below
+    the single aggregation shuffle; no extra pass over the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    threshold = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(hx))
+            for k, (hx, _) in _STRATA_HEX.items()
+        ],
+        F.lit("0000"),
+    )
+    kept = ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4) < threshold
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

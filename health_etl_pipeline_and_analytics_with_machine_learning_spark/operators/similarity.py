@@ -311,3 +311,65 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), err AS (
+      SELECT vec_id, label, scale,
+             list_aggregate(
+               list_transform(e, x -> abs(x - floor(x / scale + 0.5) * scale)),
+               'avg') AS mae
+      FROM s
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(scale), 6) AS avg_scale,
+           ROUND(AVG(mae), 6) AS avg_mae
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× storage
+    shrink applied to embedding corpora before ANN serving: codes are
+    ``floor(x/scale + 0.5)`` with ``scale = max|x|/127``, and the op
+    reports the reconstruction error (per-vector mean |x - q·scale|)
+    aggregated per label.
+
+    All higher-order array expressions (transform / array_max /
+    aggregate) — row-local, codegen'd, zero Python. Casting float→double
+    FIRST pins both engines to identical IEEE math (the widening is
+    exact); ``floor(+0.5)`` instead of round() pins the tie-break (same
+    trick as registry.round_cmp). At 100 TB the quantized corpus is what
+    ships to the ANN index (similarity_ivf_topk) — int8 dot products cut
+    memory bandwidth 4× where the brute-force scan is bandwidth-bound.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = (F.array_max(F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x))")) / 127.0).alias("scale")
+    per_vec = emb.select("vec_id", "label", e.alias("e"), scale)
+    mae = (
+        F.expr(
+            "aggregate(transform(e, x -> abs(x - floor(x / scale + 0.5) * scale)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+        / F.size("e")
+    ).alias("mae")
+    return (
+        per_vec.select("label", "scale", mae)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("mae"), 6).alias("avg_mae"),
+        )
+        .orderBy("label")
+    )

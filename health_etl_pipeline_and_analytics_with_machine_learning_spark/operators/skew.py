@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .registry import load, query, round_cmp, round_cmp_sql
 
 #: (partial expr builder, merge expr builder) per supported aggregate
 _DECOMPOSABLE = {
@@ -73,3 +75,51 @@ def salted_group_agg(
     )
     phase2 = phase1.groupBy(*keys).agg(*[e.alias(n) for n, e in merges.items()])
     return phase2.select(*keys, *[e.alias(n) for n, e in finals.items()])
+
+
+@query(
+    "salted_skew_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           {round_cmp_sql("AVG(value)")} AS avg_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the event-type key — semantically
+    identical to a plain ``GROUP BY`` (which is exactly what the oracle
+    runs), physically split so no reduce task ever owns a whole hot key.
+
+    The salt is transparent because only decomposable aggregates are
+    merged (sum/count/min/max, avg as sum÷count) — the oracle proves the
+    decomposition lossless. At 100 TB with one key taking 40% of rows,
+    the phase-1 Exchange carries (key, salt)-grained partials, capping
+    the widest reduce task at 1/n_salt of the hot key; phase 2 merges
+    |keys|·n_salt tiny rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = salted_group_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value_raw": ("sum", "value"),
+            "avg_value_raw": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value_raw", 4).alias("sum_value"),
+        round_cmp(F.col("avg_value_raw")).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")

@@ -318,3 +318,72 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(TF_TOP_K)
     )
+
+
+TFIDF_TOP_K = 50
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT tf.doc_id, tf.token,
+           tf.tf AS term_count,
+           df.df AS doc_freq,
+           ROUND((tf.tf * 1.0 / dl.doc_len)
+                 * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf, dl, df, n
+    WHERE tf.doc_id = dl.doc_id AND tf.token = df.token
+    ORDER BY tfidf DESC, tf.doc_id, tf.token
+    LIMIT {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the classic relevance weight, corpus-wide top-{TFIDF_TOP_K}
+    (term, doc) pairs. Completes the TF-IDF pair whose halves already
+    exist separately (term_frequency_topk = df side, text_quality_score
+    = per-doc stats): tf normalized by doc length × smoothed idf
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's smooth_idf form).
+
+    Scale shape: tokens stream through explode inside codegen (never a
+    corpus-wide array); tf aggregates on (doc, token); df and doc-length
+    re-aggregate FROM tf (token space, not occurrence space). The df
+    side re-shuffles tf by token — at 100 TB both sides are already
+    partial-agg'd, and the tiny n_docs scalar broadcasts. Top-k via
+    TakeOrderedAndProject with full tiebreak (doc_id, token) so ties at
+    equal tfidf are deterministic for the oracle.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").alias("term_count"),
+            F.col("df").alias("doc_freq"),
+            F.round((F.col("tf") / F.col("doc_len")) * idf, 6).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "doc_id", "token")
+        .limit(TFIDF_TOP_K)
+    )

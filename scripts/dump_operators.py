@@ -85,6 +85,12 @@ PROVENANCE = {
     "multimodal_meta": "LLM-pipeline: multimodal metadata",
     "multimodal_decode_stub": "LLM-pipeline: multimodal decode (stubbed)",
     "multimodal_frame_sample": "LLM-pipeline: multimodal frame sampling",
+    "salted_skew_agg": "extension: two-phase salted skew aggregation",
+    "bloom_filter_semi_join": "extension: bitset bloom pre-filter + exact semi join",
+    "grouping_sets_agg": "extension: GROUPING SETS single-pass Expand",
+    "tfidf_top_terms": "LLM-pipeline: TF-IDF relevance weighting",
+    "stratified_hash_sample": "LLM-pipeline: deterministic stratified sampling",
+    "embedding_int8_quantize": "LLM-pipeline: int8 embedding quantization",
 }
 
 

@@ -906,3 +906,56 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(probs)
         ],
     ).orderBy("l_returnflag")
+
+
+#: GK sketch accuracy: rank error ≤ 1/_APPROX_ACC; the check widens the
+#: exact rank window by exactly that guarantee (±0.0001) times a 10×
+#: safety margin against interpolation at the window edges.
+_APPROX_ACC = 10_000
+_APPROX_EPS = 10.0 / _APPROX_ACC
+
+
+@query(
+    "approx_quantile_bound",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.50), {DP}) AS p50_exact,
+           TRUE AS approx_within_rank_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile rung of the exactness ladder (SURVEY §4.3), sibling
+    of approx_distinct_bound's HLL rung: exact ``percentile`` next to the
+    Greenwald-Khanna ``percentile_approx`` sketch, asserting the sketch
+    honors its rank-error guarantee (≤ 1/accuracy, checked against the
+    exact quantiles at p ± {_APPROX_EPS}).
+
+    Sketch values can't be oracle-compared (DuckDB has no GK), so the
+    contract IS the bound: the oracle pins the exact p50 and a TRUE the
+    Spark side must earn. At 100 TB this is the swap: exact percentile
+    buffers every value in the final agg state; the sketch is a fixed
+    O(accuracy·log n) summary that partial-aggregates — and the bound
+    stays a guarantee, not a hope.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = 0.5 - _APPROX_EPS, 0.5 + _APPROX_EPS
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile(l_extendedprice, array({lo}, 0.5, {hi}))"
+            ).alias("ex"),
+            F.percentile_approx("l_extendedprice", 0.5, _APPROX_ACC).alias("ap"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ex")[1], DP).alias("p50_exact"),
+            ((F.col("ap") >= F.col("ex")[0]) & (F.col("ap") <= F.col("ex")[2])).alias(
+                "approx_within_rank_bound"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -91,6 +91,7 @@ PROVENANCE = {
     "tfidf_top_terms": "LLM-pipeline: TF-IDF relevance weighting",
     "stratified_hash_sample": "LLM-pipeline: deterministic stratified sampling",
     "embedding_int8_quantize": "LLM-pipeline: int8 embedding quantization",
+    "approx_quantile_bound": "§4.3 exactness ladder (GK quantile sketch vs exact)",
 }
 
 

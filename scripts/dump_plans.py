@@ -95,6 +95,22 @@ SHOWCASE = {
         "shuffle — the plan has zero Generate nodes and one aggregation "
         "exchange."
     ),
+    "bloom_filter_semi_join": (
+        "Hand-built bitset bloom pre-filter: an 8 KB array<bigint> broadcasts "
+        "(BroadcastNestedLoopJoin of ONE row), the O(1) bit-test probe drops "
+        "~97% of fact rows BEFORE the exact semi join — the shuffle-avoidance "
+        "contract of Catalyst's InjectRuntimeFilter, expressed by hand."
+    ),
+    "salted_skew_agg": (
+        "Two-phase salted aggregation: the first Exchange carries (key, salt) "
+        "partials so no reduce task owns a whole hot key; the second merges "
+        "|keys|·n_salt tiny rows. Oracle-equal to the plain GROUP BY."
+    ),
+    "tfidf_top_terms": (
+        "TF-IDF: tokens stream through Generate inside codegen; tf, df and "
+        "doc-length aggregate in token space (never occurrence space); df and "
+        "N broadcast back; top-k via TakeOrderedAndProject, no global sort."
+    ),
 }
 
 

@@ -518,3 +518,168 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(50)
     )
+
+
+#: near-dup edge threshold for component clustering
+_CC_JACCARD = 0.5
+
+
+def _neardup_edges(d: DataFrame) -> DataFrame:
+    """Undirected near-dup edge list (doc_a < doc_b): word-3-gram Jaccard
+    >= {thr} pairs ∪ exact-text pairs (md5 equality)."""
+    tok_tbl = d.select(
+        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    t = F.col("toks")
+    starts = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        tok_tbl.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jpairs = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_inter") / (F.col("sa.nsh") + F.col("sb.nsh") - F.col("n_inter"))
+            >= _CC_JACCARD
+        )
+        .select("doc_a", "doc_b")
+    )
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    ha, hb = h.alias("ha"), h.alias("hb")
+    epairs = ha.join(
+        hb, (F.col("ha.h") == F.col("hb.h")) & (F.col("ha.doc_id") < F.col("hb.doc_id"))
+    ).select(F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b"))
+    return jpairs.union(epairs).distinct()
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair list
+    ``(doc_a, doc_b)`` → ``(node, lbl)`` where lbl is the component's
+    minimum node id. Each round every node takes min(own, neighbors');
+    converges in O(component diameter) rounds, convergence-checked,
+    lineage cut per round. Per-round cost: one shuffle of the edge list
+    — no driver-side graph, so the pattern survives 100 TB edge lists.
+    """
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
+            )
+        ).localCheckpoint(eager=False)
+        changed = new.filter("chg").count()
+        labels = new.drop("chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds"
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter * 1.0 / (sa.nsh + sb.nsh - n_inter) >= {_CC_JACCARD}
+    ),
+    epairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT * FROM jpairs UNION SELECT * FROM epairs),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    walk(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS comp FROM walk GROUP BY node)
+    SELECT comp AS component, COUNT(*) AS n_docs,
+           MIN(node) AS keep_doc, COUNT(*) - 1 AS n_dropped
+    FROM comp GROUP BY comp ORDER BY component
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING, not just pairs: union exact-text and
+    3-gram-Jaccard edges, resolve transitive closure into connected
+    components (A~B, B~C ⇒ one cluster even when A≁C), keep the minimum
+    doc per component — the production dedup shape downstream of
+    MinHash/SimHash candidate pairs.
+
+    Spark side: iterative min-label propagation on DataFrames — each
+    round every node takes min(own label, neighbors' labels); converges
+    in O(component diameter) rounds (dup clusters are shallow; the loop
+    is bounded and convergence-checked, lineage cut per round with
+    localCheckpoint). This is the scalable pattern (GraphX/GraphFrames
+    CC is the same algorithm): per-round cost is one shuffle of the
+    edge list, no driver-side graph. The oracle resolves the identical
+    closure with a recursive CTE — tractable because the checked corpus
+    is small; at 100 TB only the iterative form survives.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = _neardup_edges(d).localCheckpoint(eager=False)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy(F.col("lbl").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("keep_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )

@@ -92,6 +92,7 @@ PROVENANCE = {
     "stratified_hash_sample": "LLM-pipeline: deterministic stratified sampling",
     "embedding_int8_quantize": "LLM-pipeline: int8 embedding quantization",
     "approx_quantile_bound": "§4.3 exactness ladder (GK quantile sketch vs exact)",
+    "dedup_connected_components": "LLM-pipeline: transitive near-dup clustering (CC)",
 }
 
 

@@ -121,3 +121,21 @@ def test_semantic_dedup_reps_are_cluster_argmin(spark):
         assert summary[cid].n_members == len(ms)
     again = {r.cluster: r.rep_vec_id for r in similarity.dedup_semantic_cluster(spark, SF_CORRECT).collect()}
     assert again == {c: r.rep_vec_id for c, r in summary.items()}
+
+
+def test_connected_components_resolves_transitive_chains(spark):
+    """A~B, B~C must land in ONE component even though A≁C directly —
+    the property the sf0.01 oracle can't exercise (its real components
+    are all direct pairs). Chain of 5 forces multi-round propagation."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {r.node: r.lbl for r in connected_components(pairs).collect()}
+    assert {labels[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {labels[n] for n in (10, 11)} == {10}
+    assert {labels[n] for n in (20, 21, 22)} == {20}

@@ -87,3 +87,222 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+#: decontamination n-gram order and eval-slice selector (doc_id mod)
+_DECON_N = 5
+_DECON_MOD, _DECON_REM = 25, 17
+
+_DECON_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - {_DECON_N - 1}, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents)
+"""
+
+
+@query(
+    "contamination_ngram_check",
+    oracle=f"""
+    WITH sh AS ({_DECON_SHINGLES_SQL}),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = {_DECON_REM}),
+    cont AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.g = ev.g
+      WHERE sh.doc_id % {_DECON_MOD} <> {_DECON_REM}
+    )
+    SELECT d.source,
+           COUNT(*) AS n_train_docs,
+           COUNT(c.doc_id) AS n_contaminated,
+           ROUND(COUNT(c.doc_id) * 1.0 / COUNT(*), 6) AS contaminated_share
+    FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % {_DECON_MOD} <> {_DECON_REM}
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-{_DECON_N}-gram with the held-out eval slice (the standard
+    n-gram-overlap check run before training on scraped corpora; the
+    eval slice here is the deterministic doc_id % {_DECON_MOD} ==
+    {_DECON_REM} subset standing in for an external benchmark).
+
+    Scale shape: eval shingles are tiny (|eval| ≪ |train|) — DISTINCT
+    then broadcast; the train-side shingle stream semi-joins against
+    them (no pair materialization, no shuffle of train shingles), and
+    only distinct contaminated doc_ids — bounded by |train docs| — reach
+    the final per-source aggregate. At 100 TB the eval side is a real
+    benchmark suite (a few MB of n-grams): the broadcast holds.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("t")
+    )
+    t = F.col("t")
+    starts = F.when(
+        F.size(t) >= _DECON_N, F.sequence(F.lit(1), F.size(t) - (_DECON_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + k) for k in range(_DECON_N)]
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    is_eval = F.col("doc_id") % _DECON_MOD == _DECON_REM
+    ev = sh.filter(is_eval).select("g").distinct()
+    cont = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    train = d.filter(~is_eval).select("doc_id", "source")
+    return (
+        train.join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("contaminated").alias("n_contaminated"),
+            F.round(F.count("contaminated") / F.count(F.lit(1)), 6).alias(
+                "contaminated_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+#: C4-style heuristics: blocklist terms, minimum token count, maximum
+#: token length (mojibake/base64 runs masquerading as words)
+_BLOCKLIST = r"\b(slow|error)\b"
+_MIN_TOKENS = 10
+_MAX_WORD_LEN = 20
+
+
+@query(
+    "c4_heuristic_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CASE WHEN regexp_matches({_NORM_SQL}, '{_BLOCKLIST}') THEN 1 ELSE 0 END AS f_block,
+             CASE WHEN len(regexp_split_to_array({_NORM_SQL}, ' ')) < {_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN list_max(list_transform(regexp_split_to_array({_NORM_SQL}, ' '),
+                                               x -> length(x))) > {_MAX_WORD_LEN} THEN 1 ELSE 0 END AS f_longword
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f_block) AS BIGINT) AS n_blocklisted,
+           CAST(SUM(f_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(f_longword) AS BIGINT) AS n_long_word,
+           CAST(SUM(CASE WHEN f_block + f_short + f_longword = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def c4_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic document filtering: a term blocklist, a
+    minimum-length gate, and a pathological-word gate (tokens longer
+    than {_MAX_WORD_LEN} chars — base64/mojibake runs), reported as
+    per-source keep/drop tallies.
+
+    Every flag is a row-local expression (regex + higher-order
+    array max) inside whole-stage codegen — the filter costs one scan,
+    prunes BEFORE any shuffle, and the only exchange feeds the
+    per-source tally. The blocklist terms are config stand-ins for the
+    C4 originals ("javascript", "lorem ipsum", "{{") chosen to actually
+    fire on the synthetic vocabulary.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    toks = F.split(norm, " ")
+    f_block = norm.rlike(_BLOCKLIST).cast("int")
+    f_short = (F.size(toks) < _MIN_TOKENS).cast("int")
+    f_longword = (
+        F.array_max(F.transform(toks, lambda x: F.length(x))) > _MAX_WORD_LEN
+    ).cast("int")
+    m = d.select(
+        "source",
+        f_block.alias("f_block"),
+        f_short.alias("f_short"),
+        f_longword.alias("f_longword"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_block").alias("n_blocklisted"),
+            F.sum("f_short").alias("n_too_short"),
+            F.sum("f_longword").alias("n_long_word"),
+            F.sum(
+                (
+                    (F.col("f_block") + F.col("f_short") + F.col("f_longword")) == 0
+                ).cast("int")
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+#: target corpus mixture: named sources get fixed shares, the rest split
+#: the remainder evenly — the "upsample curated, downsample crawl" knob.
+_MIX_PINNED = {"src0": 0.10, "src1": 0.10, "src2": 0.10}
+_MIX_REST_SHARE = (1.0 - sum(_MIX_PINNED.values())) / 17  # 20 sources total
+
+
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts)
+    SELECT source, n_docs,
+           ROUND(n_docs * 1.0 / total, 6) AS actual_share,
+           ROUND(CAST(CASE source
+             {chr(10).join(f"WHEN '{s}' THEN {sh}" for s, sh in _MIX_PINNED.items())}
+             ELSE {_MIX_REST_SHARE} END AS DOUBLE), 6) AS target_share,
+           ROUND((CASE source
+             {chr(10).join(f"WHEN '{s}' THEN {sh}" for s, sh in _MIX_PINNED.items())}
+             ELSE {_MIX_REST_SHARE} END) / (n_docs * 1.0 / total), 6) AS weight
+    FROM counts, tot
+    ORDER BY source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weights that
+    transform the corpus's ACTUAL source distribution into a TARGET
+    mixture (pin shares for curated sources, split the remainder over
+    the crawl) — the step that turns dedup'd documents into a training
+    mix; weight > 1 upsamples, < 1 downsamples.
+
+    One partial-agg'd count per source (|sources| rows), the grand
+    total folded back as a literal-free broadcast (1-row cross join) —
+    nothing here grows with corpus size except the single counting
+    scan. Downstream, the weights drive stratified_hash_sample-style
+    deterministic thresholds rather than RNG draws.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    target = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(sh)) for s, sh in _MIX_PINNED.items()],
+        F.lit(_MIX_REST_SHARE),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / (F.col("n_docs") / F.col("total")), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

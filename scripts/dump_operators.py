@@ -93,6 +93,9 @@ PROVENANCE = {
     "embedding_int8_quantize": "LLM-pipeline: int8 embedding quantization",
     "approx_quantile_bound": "§4.3 exactness ladder (GK quantile sketch vs exact)",
     "dedup_connected_components": "LLM-pipeline: transitive near-dup clustering (CC)",
+    "contamination_ngram_check": "LLM-pipeline: benchmark decontamination (n-gram overlap)",
+    "c4_heuristic_filter": "LLM-pipeline: C4-style heuristic filtering",
+    "source_mixture_weights": "LLM-pipeline: domain-mixture reweighting",
 }
 
 

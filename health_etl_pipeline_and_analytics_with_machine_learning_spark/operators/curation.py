@@ -306,3 +306,87 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: resampling scale: weights map to copy counts via a 16-bit hash draw
+_RESAMPLE_HEX_SCALE = 1 << 16
+
+
+@query(
+    "mixture_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    w AS (
+      SELECT source,
+             (ROUND(CAST(CASE source
+               {chr(10).join(f"WHEN '{s}' THEN {sh}" for s, sh in _MIX_PINNED.items())}
+               ELSE {_MIX_REST_SHARE} END AS DOUBLE), 6))
+             / (n_docs * 1.0 / total) AS weight
+      FROM counts, tot
+    ),
+    draws AS (
+      SELECT d.doc_id, d.source, w.weight,
+             CAST(floor(w.weight) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                         < (w.weight - floor(w.weight)) * {_RESAMPLE_HEX_SCALE}
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN w ON d.source = w.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_in,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs_out,
+           ROUND(SUM(n_copies) * 1.0 / COUNT(*), 6) AS realized_rate
+    FROM draws
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted resampling — source_mixture_weights made
+    ACTIONABLE: every document is emitted ``floor(w)`` times plus one
+    more iff a 16-bit md5 draw lands under frac(w). Upsampling (w > 1)
+    and downsampling (w < 1) fall out of the same formula, and the
+    realized per-source rate converges on the weight.
+
+    The op reports per-source in/out tallies; in the pipeline the same
+    expression drives ``explode(sequence(1, n_copies))`` — a Generate
+    inside codegen, so copies never materialize outside their map task,
+    and the hash draw makes the mix rerun- and engine-reproducible
+    (the oracle computes the identical copy counts). One broadcast of
+    the |sources|-row weight table; one aggregation shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    target = F.round(
+        F.coalesce(
+            *[F.when(F.col("source") == s, F.lit(sh)) for s, sh in _MIX_PINNED.items()],
+            F.lit(_MIX_REST_SHARE),
+        ),
+        6,
+    )
+    w = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("source", (target / (F.col("n_docs") / F.col("total"))).alias("weight"))
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    n_copies = F.floor("weight") + (
+        draw < (F.col("weight") - F.floor("weight")) * _RESAMPLE_HEX_SCALE
+    ).cast("long")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(w), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("n_copies").alias("n_docs_out"),
+            F.round(F.sum("n_copies") / F.count(F.lit(1)), 6).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )

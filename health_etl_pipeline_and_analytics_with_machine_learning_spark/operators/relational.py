@@ -959,3 +959,54 @@ def approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "zscore_normalize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_returnflag,
+             AVG(l_extendedprice) AS mu,
+             STDDEV_SAMP(l_extendedprice) AS sigma
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(AVG(ABS((l.l_extendedprice - s.mu) / s.sigma)), {DP}) AS avg_abs_z,
+           CAST(SUM(CASE WHEN ABS((l.l_extendedprice - s.mu) / s.sigma) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-scaling step in
+    front of any distance-based model (the reference standardizes
+    implicitly through sklearn; here it is an engine op): x → (x-μ)/σ
+    per group, reported as mean |z| and the |z| > 2 outlier tally.
+
+    Scale shape: μ/σ are one tiny partial-agg'd pass (|groups| rows),
+    broadcast back onto the fact scan — the same agg-then-broadcast-back
+    pattern as window_group_median_fill, chosen over a partitioned
+    window because the window would sort 100 TB inside each group while
+    the join-back touches each row once, unsorted. STDDEV_SAMP matches
+    DuckDB's sample variance exactly (both Welford-free two-pass here:
+    the partial agg carries (n, Σx, Σx²)).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sigma"),
+    )
+    z = F.abs((F.col("l_extendedprice") - F.col("mu")) / F.col("sigma"))
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(z), DP).alias("avg_abs_z"),
+            F.sum((z > 2).cast("int")).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

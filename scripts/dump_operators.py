@@ -96,6 +96,8 @@ PROVENANCE = {
     "contamination_ngram_check": "LLM-pipeline: benchmark decontamination (n-gram overlap)",
     "c4_heuristic_filter": "LLM-pipeline: C4-style heuristic filtering",
     "source_mixture_weights": "LLM-pipeline: domain-mixture reweighting",
+    "mixture_resample": "LLM-pipeline: deterministic weighted resampling",
+    "zscore_normalize": "extension: per-group z-score standardization",
 }
 
 

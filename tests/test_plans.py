@@ -232,3 +232,47 @@ def test_repetition_flags_avoid_token_shuffle(spark):
 def test_approx_distinct_keeps_partial_aggregation(spark):
     fns = " ".join(partial_agg_functions(q("approx_distinct_bound", spark)))
     assert "approx_count_distinct" in fns
+
+
+def test_bloom_semi_join_broadcasts_bitset_and_keys(spark):
+    # the 1-row bitset arrives via BroadcastNestedLoopJoin, the exact
+    # semi join via BroadcastHashJoin — the fact table is never
+    # sort-merge-shuffled for either
+    df = q("bloom_filter_semi_join", spark)
+    js = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" in js and "BroadcastHashJoin" in js
+    assert "SortMergeJoin" not in js
+
+
+def test_salted_agg_is_two_phase_plus_sort(spark):
+    # phase-1 (key, salt) exchange, phase-2 merge exchange, final sort —
+    # and the phase-1 aggregate still partial-combines map-side
+    df = q("salted_skew_agg", spark)
+    assert count_exchanges(df) == 3
+    assert partial_agg_functions(df)
+
+
+def test_grouping_sets_is_single_pass_expand(spark):
+    df = q("grouping_sets_agg", spark)
+    assert "Expand" in formatted_plan(df)
+    assert count_exchanges(df) == 2  # one agg shuffle + final sort
+
+
+def test_tfidf_topk_is_take_ordered_not_global_sort(spark):
+    df = q("tfidf_top_terms", spark)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    # train shingles must semi-join broadcast eval shingles — a
+    # sort-merge here would shuffle the whole train shingle stream
+    df = q("contamination_ngram_check", spark)
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js and "SortMergeJoin" not in js
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # μ/σ join back onto the fact scan as a broadcast, never a fact shuffle
+    df = q("zscore_normalize", spark)
+    js = join_strategies(df)
+    assert js == ["BroadcastHashJoin"]

@@ -301,3 +301,100 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS n_new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily ORDER BY day
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query. A
+    naive windowed COUNT(DISTINCT) is unsupported AND quadratic; the
+    scalable identity is: cumulative-distinct = running SUM of
+    first-seen counts, because each user increments the curve exactly
+    once, on their first day.
+
+    Scale shape: one shuffle keyed by user_id (min day per user), one
+    tiny re-agg to |days| rows, and the unpartitioned running-sum window
+    touches only those |days| rows — the global window that is a
+    single-task funnel on raw data is FINE on a 30-row daily summary.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_new_users",
+            F.sum("n_new_users").over(w).alias("cum_distinct_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS act_week
+      FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity week,
+    counted in each subsequent week they return — the standard product-
+    analytics matrix, and the reference's GROUP-BY-Year trend made
+    user-resolved.
+
+    Scale shape: both the cohort assignment and the distinct
+    (user, week) activity reduce on user_id — ONE logical shuffle key,
+    so Catalyst lines the min-agg, the distinct, and the join up on the
+    same Exchange; the output is |weeks|² /2 rows. No window, no
+    self-join on the raw event table.
+    """
+    ev = load(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.col("ts").cast("date"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("date")).alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

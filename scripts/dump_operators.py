@@ -98,6 +98,8 @@ PROVENANCE = {
     "source_mixture_weights": "LLM-pipeline: domain-mixture reweighting",
     "mixture_resample": "LLM-pipeline: deterministic weighted resampling",
     "zscore_normalize": "extension: per-group z-score standardization",
+    "running_distinct_users": "extension: cumulative distinct via first-seen identity",
+    "cohort_retention": "extension: weekly cohort retention triangle",
 }
 
 

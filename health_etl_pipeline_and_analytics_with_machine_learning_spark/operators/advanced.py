@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import ROUND_DP, load, query
+from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
 DP = ROUND_DP
 
@@ -356,7 +356,7 @@ N_TILES = 4
     )
     SELECT segment, quartile,
            COUNT(*) AS n_customers,
-           ROUND(AVG(c_acctbal), {DP}) AS avg_balance,
+           {round_cmp_sql("AVG(c_acctbal)")} AS avg_balance,
            ROUND(MIN(c_acctbal), {DP}) AS lo,
            ROUND(MAX(c_acctbal), {DP}) AS hi
     FROM tiled
@@ -388,7 +388,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiled.groupBy("segment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), DP).alias("avg_balance"),
+            round_cmp(F.avg("c_acctbal")).alias("avg_balance"),
             F.round(F.min("c_acctbal"), DP).alias("lo"),
             F.round(F.max("c_acctbal"), DP).alias("hi"),
         )

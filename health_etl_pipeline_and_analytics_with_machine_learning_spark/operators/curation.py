@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import load, query
+from .registry import load, query, round_cmp, round_cmp_sql
 from .text import _NORM_SQL, _norm
 
 
@@ -50,8 +50,8 @@ from .text import _NORM_SQL, _norm
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_tokens), 4) AS avg_tokens,
-           ROUND(AVG(n_chars), 4) AS avg_chars
+           {round_cmp_sql("AVG(n_tokens)")} AS avg_tokens,
+           {round_cmp_sql("AVG(n_chars)")} AS avg_chars
     FROM deduped
     GROUP BY lang, source
     ORDER BY lang, source
@@ -82,8 +82,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            round_cmp(F.avg("n_tokens")).alias("avg_tokens"),
+            round_cmp(F.avg("n_chars")).alias("avg_chars"),
         )
         .orderBy("lang", "source")
     )

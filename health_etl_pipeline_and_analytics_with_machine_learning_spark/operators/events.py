@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import load, query
+from .registry import load, query, round_cmp, round_cmp_sql
 
 
 @query(
@@ -106,12 +106,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_props_extract",
-    oracle="""
+    oracle=f"""
     -- // is integer division: CAST(x/10 AS INT) would round-to-nearest
     -- in DuckDB while Spark's cast truncates
     SELECT CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS INTEGER) AS k_decile,
            COUNT(*) AS n_events,
-           ROUND(AVG(value), 4) AS avg_value,
+           {round_cmp_sql("AVG(value)")} AS avg_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY k_decile
@@ -137,7 +137,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_decile")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_cmp(F.avg("value")).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("k_decile")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import ROUND_DP, load, query
+from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
 DP = ROUND_DP
 
@@ -191,7 +191,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(delta) AS n_deltas,
-           ROUND(AVG(delta), {DP}) AS avg_delta,
+           {round_cmp_sql("AVG(delta)")} AS avg_delta,
            ROUND(MAX(ABS(delta)), {DP}) AS max_abs_delta
     FROM d
     GROUP BY user_id
@@ -217,7 +217,7 @@ def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("delta").alias("n_deltas"),
-            F.round(F.avg("delta"), DP).alias("avg_delta"),
+            round_cmp(F.avg("delta")).alias("avg_delta"),
             F.round(F.max(F.abs(F.col("delta"))), DP).alias("max_abs_delta"),
         )
         .orderBy("user_id")

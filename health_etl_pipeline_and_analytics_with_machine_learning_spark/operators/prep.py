@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import ROUND_DP, load, query
+from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
 DP = ROUND_DP
 
@@ -69,7 +69,7 @@ def chunk_documents(d: DataFrame) -> DataFrame:
     SELECT source,
            COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(*) AS n_chunks,
-           ROUND(AVG(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN}))), {DP})
+           {round_cmp_sql(f"AVG(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN})))")}
              AS avg_chunk_chars,
            ROUND(SUM(length(substr(text, CAST(start AS INTEGER), {CHUNK_LEN}))) * 1.0
                  / SUM(length(text)) / COUNT(*) * COUNT(DISTINCT doc_id), {DP})
@@ -100,7 +100,7 @@ def doc_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_chunks"),
-            F.round(F.avg(F.length("chunk")), DP).alias("avg_chunk_chars"),
+            round_cmp(F.avg(F.length("chunk"))).alias("avg_chunk_chars"),
             F.round(
                 F.sum(F.length("chunk"))
                 / F.sum("doc_chars")
@@ -120,7 +120,7 @@ def doc_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_customers,
            CAST(SUM(len(regexp_extract_all(c_name, '[0-9]+'))) AS BIGINT)
              AS n_digit_runs,
-           ROUND(AVG(length(regexp_replace(c_name, '[0-9]+', '<NUM>', 'g'))), {DP})
+           {round_cmp_sql("AVG(length(regexp_replace(c_name, '[0-9]+', '<NUM>', 'g')))")}
              AS avg_scrubbed_len,
            COUNT(DISTINCT regexp_replace(c_name, '[0-9]+', '<NUM>', 'g'))
              AS n_distinct_scrubbed
@@ -148,7 +148,7 @@ def pii_scrub_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.regexp_count("c_name", F.lit(r"[0-9]+"))).alias("n_digit_runs"),
-            F.round(F.avg(F.length(scrubbed)), DP).alias("avg_scrubbed_len"),
+            round_cmp(F.avg(F.length(scrubbed))).alias("avg_scrubbed_len"),
             F.countDistinct(scrubbed).alias("n_distinct_scrubbed"),
         )
         .orderBy("c_mktsegment")
@@ -165,7 +165,7 @@ _SPLIT_HEX = "cd"
     SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{_SPLIT_HEX}'
                 THEN 'train' ELSE 'test' END AS split,
            COUNT(*) AS n_rows,
-           ROUND(AVG(c_acctbal), {DP}) AS avg_acctbal,
+           {round_cmp_sql("AVG(c_acctbal)")} AS avg_acctbal,
            COUNT(DISTINCT c_nationkey) AS n_nations
     FROM customer
     GROUP BY split
@@ -195,7 +195,7 @@ def hash_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(split.alias("split"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg("c_acctbal"), DP).alias("avg_acctbal"),
+            round_cmp(F.avg("c_acctbal")).alias("avg_acctbal"),
             F.countDistinct("c_nationkey").alias("n_nations"),
         )
         .orderBy("split")
@@ -227,8 +227,8 @@ _TOP_WORD_SHARE = 0.10
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(ttr), {DP}) AS avg_ttr,
-           ROUND(AVG(top_word_share), {DP}) AS avg_top_share,
+           {round_cmp_sql("AVG(ttr)")} AS avg_ttr,
+           {round_cmp_sql("AVG(top_word_share)")} AS avg_top_share,
            CAST(SUM(CASE WHEN top_word_share > {_TOP_WORD_SHARE} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_flagged
     FROM scored
@@ -270,8 +270,8 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("ttr"), DP).alias("avg_ttr"),
-            F.round(F.avg("top_word_share"), DP).alias("avg_top_share"),
+            round_cmp(F.avg("ttr")).alias("avg_ttr"),
+            round_cmp(F.avg("top_word_share")).alias("avg_top_share"),
             F.sum(
                 F.when(F.col("top_word_share") > _TOP_WORD_SHARE, 1).otherwise(0)
             ).alias("n_flagged"),

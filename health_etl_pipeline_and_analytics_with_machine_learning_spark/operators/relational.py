@@ -71,7 +71,7 @@ def project_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n_items,
            ROUND(SUM(l_quantity), {DP}) AS sum_qty,
-           ROUND(AVG(l_extendedprice), {DP}) AS avg_price
+           {round_cmp_sql("AVG(l_extendedprice)")} AS avg_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -96,7 +96,7 @@ def range_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_quantity"), DP).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            round_cmp(F.avg("l_extendedprice")).alias("avg_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -148,7 +148,7 @@ def eq_filter_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_group_avg_topk",
     oracle=f"""
     SELECT l_partkey,
-           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
+           {round_cmp_sql("AVG(l_extendedprice)")} AS avg_price,
            COUNT(*) AS n_records
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL
@@ -172,7 +172,7 @@ def filter_group_avg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_extendedprice").isNotNull())
         .groupBy("l_partkey")
         .agg(
-            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            round_cmp(F.avg("l_extendedprice")).alias("avg_price"),
             F.count(F.lit(1)).alias("n_records"),
         )
         .orderBy(F.desc("avg_price"), F.asc("l_partkey"))
@@ -186,7 +186,7 @@ def filter_group_avg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
            l_returnflag,
            COUNT(*) AS n_cases,
-           ROUND(AVG(l_quantity), {DP}) AS avg_qty
+           {round_cmp_sql("AVG(l_quantity)")} AS avg_qty
     FROM lineitem
     GROUP BY ship_year, l_returnflag
     ORDER BY avg_qty ASC, n_cases DESC, ship_year, l_returnflag
@@ -208,7 +208,7 @@ def group2_sort_mixed_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_cases"),
-            F.round(F.avg("l_quantity"), DP).alias("avg_qty"),
+            round_cmp(F.avg("l_quantity")).alias("avg_qty"),
         )
         .orderBy(
             F.asc("avg_qty"), F.desc("n_cases"), F.asc("ship_year"), F.asc("l_returnflag")
@@ -221,8 +221,8 @@ def group2_sort_mixed_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_avg_having_sort",
     oracle=f"""
     SELECT o_orderpriority,
-           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
-           ROUND(AVG(o_custkey), {DP}) AS avg_custkey,
+           {round_cmp_sql("AVG(o_totalprice)")} AS avg_price,
+           {round_cmp_sql("AVG(o_custkey)")} AS avg_custkey,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
@@ -242,8 +242,8 @@ def group_avg_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
-            F.round(F.avg("o_custkey"), DP).alias("avg_custkey"),
+            round_cmp(F.avg("o_totalprice")).alias("avg_price"),
+            round_cmp(F.avg("o_custkey")).alias("avg_custkey"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .filter(F.col("avg_price").isNotNull() & (F.col("n_orders") > 10))
@@ -255,8 +255,8 @@ def group_avg_having_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_group2_avg2_count_sort",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
-           ROUND(AVG(l_discount), {DP}) AS avg_discount,
+           {round_cmp_sql("AVG(l_extendedprice)")} AS avg_price,
+           {round_cmp_sql("AVG(l_discount)")} AS avg_discount,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL
@@ -272,8 +272,8 @@ def filter_group2_avg2_count_sort(spark: SparkSession, sf_dir: str) -> DataFrame
         li.filter(F.col("l_extendedprice").isNotNull())
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
-            F.round(F.avg("l_discount"), DP).alias("avg_discount"),
+            round_cmp(F.avg("l_extendedprice")).alias("avg_price"),
+            round_cmp(F.avg("l_discount")).alias("avg_discount"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("avg_price"), "l_returnflag", "l_linestatus")
@@ -284,7 +284,7 @@ def filter_group2_avg2_count_sort(spark: SparkSession, sf_dir: str) -> DataFrame
     "group_avg_sum2_topk",
     oracle=f"""
     SELECT l_returnflag,
-           ROUND(AVG(l_extendedprice), {DP}) AS avg_price,
+           {round_cmp_sql("AVG(l_extendedprice)")} AS avg_price,
            ROUND(SUM(l_quantity), {DP}) AS sum_qty,
            ROUND(SUM(l_tax), {DP}) AS sum_tax
     FROM lineitem
@@ -306,7 +306,7 @@ def group_avg_sum2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_extendedprice").isNotNull())
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.avg("l_extendedprice"), DP).alias("avg_price"),
+            round_cmp(F.avg("l_extendedprice")).alias("avg_price"),
             F.round(F.sum("l_quantity"), DP).alias("sum_qty"),
             F.round(F.sum("l_tax"), DP).alias("sum_tax"),
         )
@@ -319,8 +319,8 @@ def group_avg_sum2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two_level_agg",
     oracle=f"""
     SELECT l_returnflag,
-           ROUND(AVG(avg_price), {DP}) AS avg_avg_price,
-           ROUND(AVG(avg_qty), {DP}) AS avg_avg_qty,
+           {round_cmp_sql("AVG(avg_price)")} AS avg_avg_price,
+           {round_cmp_sql("AVG(avg_qty)")} AS avg_avg_qty,
            COUNT(*) AS n_groups
     FROM (
       SELECT l_returnflag, l_suppkey,
@@ -359,8 +359,8 @@ def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l1.groupBy("l_returnflag")
         .agg(
-            F.round(F.avg("avg_price"), DP).alias("avg_avg_price"),
-            F.round(F.avg("avg_qty"), DP).alias("avg_avg_qty"),
+            round_cmp(F.avg("avg_price")).alias("avg_avg_price"),
+            round_cmp(F.avg("avg_qty")).alias("avg_avg_qty"),
             F.count(F.lit(1)).alias("n_groups"),
         )
         .orderBy(F.desc("avg_avg_price"), "l_returnflag")
@@ -372,7 +372,7 @@ def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trend_group_avg_sort",
     oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
-           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
+           {round_cmp_sql("AVG(o_totalprice)")} AS avg_price,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY order_year
@@ -386,7 +386,7 @@ def trend_group_avg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+            round_cmp(F.avg("o_totalprice")).alias("avg_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("order_year")
@@ -399,7 +399,7 @@ def trend_group_avg_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_records,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT o_orderpriority) AS n_priorities,
-           ROUND(AVG(o_totalprice), {DP}) AS avg_price,
+           {round_cmp_sql("AVG(o_totalprice)")} AS avg_price,
            ROUND(MIN(o_totalprice), {DP}) AS min_price,
            ROUND(MAX(o_totalprice), {DP}) AS max_price,
            ROUND(MEDIAN(o_totalprice), {DP}) AS median_price
@@ -420,7 +420,7 @@ def overview_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
-        F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+        round_cmp(F.avg("o_totalprice")).alias("avg_price"),
         F.round(F.min("o_totalprice"), DP).alias("min_price"),
         F.round(F.max("o_totalprice"), DP).alias("max_price"),
         F.round(F.median("o_totalprice"), DP).alias("median_price"),
@@ -510,8 +510,7 @@ def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT COUNT(*) AS n_items,
-           ROUND(AVG(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
-                           q3 + 3 * (q3 - q1))), {DP}) AS avg_clipped,
+           {round_cmp_sql("AVG(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)), q3 + 3 * (q3 - q1)))")} AS avg_clipped,
            ROUND(MIN(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
                            q3 + 3 * (q3 - q1))), {DP}) AS min_clipped,
            ROUND(MAX(LEAST(GREATEST(l_extendedprice, q1 - 3 * (q3 - q1)),
@@ -541,7 +540,7 @@ def iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.crossJoin(F.broadcast(q)).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg(clipped), DP).alias("avg_clipped"),
+        round_cmp(F.avg(clipped)).alias("avg_clipped"),
         F.round(F.min(clipped), DP).alias("min_clipped"),
         F.round(F.max(clipped), DP).alias("max_clipped"),
     )
@@ -630,7 +629,7 @@ _HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
            ROUND(CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), 0),
                       {_HIST_NB - 1}) AS INT) * {_HIST_W} + {_HIST_LO}, 4) AS lo_edge,
            COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), {DP}) AS avg_price
+           {round_cmp_sql("AVG(o_totalprice)")} AS avg_price
     FROM orders
     GROUP BY bucket
     ORDER BY bucket
@@ -658,7 +657,7 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), DP).alias("avg_price"),
+            round_cmp(F.avg("o_totalprice")).alias("avg_price"),
         )
         .select(
             "bucket",
@@ -691,7 +690,7 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.l_returnflag, b.l_linestatus,
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN b.qty_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
-           ROUND(AVG(COALESCE(b.qty_v, gm.group_med, gl.global_med)), {DP}) AS avg_filled
+           {round_cmp_sql("AVG(COALESCE(b.qty_v, gm.group_med, gl.global_med))")} AS avg_filled
     FROM base b
     JOIN gm ON b.l_returnflag = gm.l_returnflag AND b.l_linestatus = gm.l_linestatus
     CROSS JOIN gl
@@ -733,7 +732,7 @@ def window_group_median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(F.col("qty_v").isNull(), 1).otherwise(0)).alias("n_filled"),
-            F.round(F.avg("qty_filled"), DP).alias("avg_filled"),
+            round_cmp(F.avg("qty_filled")).alias("avg_filled"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -972,7 +971,7 @@ def approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_returnflag,
            COUNT(*) AS n_items,
-           ROUND(AVG(ABS((l.l_extendedprice - s.mu) / s.sigma)), {DP}) AS avg_abs_z,
+           {round_cmp_sql("AVG(ABS((l.l_extendedprice - s.mu) / s.sigma))")} AS avg_abs_z,
            CAST(SUM(CASE WHEN ABS((l.l_extendedprice - s.mu) / s.sigma) > 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
@@ -1005,7 +1004,7 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg(z), DP).alias("avg_abs_z"),
+            round_cmp(F.avg(z)).alias("avg_abs_z"),
             F.sum((z > 2).cast("int")).alias("n_outliers"),
         )
         .orderBy("l_returnflag")

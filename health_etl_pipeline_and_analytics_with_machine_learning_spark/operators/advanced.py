@@ -394,3 +394,57 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "quartile")
     )
+
+
+@query(
+    "percent_rank_band",
+    oracle=f"""
+    WITH pr AS (
+      SELECT o_orderpriority, o_totalprice,
+             PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(LEAST(FLOOR(pr * 10), 9) AS INT) AS decile_band,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), {DP}) AS min_price,
+           ROUND(MAX(o_totalprice), {DP}) AS max_price
+    FROM pr
+    GROUP BY o_orderpriority, decile_band
+    ORDER BY o_orderpriority, decile_band
+    """,
+)
+def percent_rank_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK decile banding per priority class — the relative-
+    standing window family (percent_rank/cume_dist) that complements
+    ntile_quartiles: rank-derived, so bands are exact fractions of the
+    group regardless of value skew.
+
+    The window ORDER BY carries o_orderkey as the tiebreak: equal
+    prices would otherwise get engine-dependent ranks (percent_rank is
+    deterministic only over a total order). One shuffle on the
+    partition key serves the window sort and the band aggregation.
+    """
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    pr = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        pr.groupBy(
+            "o_orderpriority",
+            F.least(F.floor(F.col("pr") * 10), F.lit(9)).cast("int").alias("decile_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), DP).alias("min_price"),
+            F.round(F.max("o_totalprice"), DP).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "decile_band")
+    )

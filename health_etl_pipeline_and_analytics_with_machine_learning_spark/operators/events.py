@@ -398,3 +398,68 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+#: path length cap: the first K events define the behavioral prefix
+_PATH_K = 5
+_PATH_TOP = 20
+
+
+@query(
+    "user_event_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '->' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {_PATH_K}
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: each user's first {_PATH_K} events as
+    an ordered ``a->b->c`` path, counted across users — the
+    common-journey query behind funnel design (and an n-gram model over
+    event sequences).
+
+    Order-sensitive aggregation done DETERMINISTICALLY: Spark's
+    collect_list gives no ordering guarantee after a shuffle, so the
+    struct list is sort_array'd on the (ts, event_id) key INSIDE the
+    row before the types are joined — same total order as the oracle's
+    ``string_agg(... ORDER BY)``. One shuffle on user_id (window + agg
+    share it), then a tiny path-frequency re-agg; per-user state is
+    capped at {_PATH_K} structs by the rank filter before collect.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", "ts", "event_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_K)
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOP)
+    )

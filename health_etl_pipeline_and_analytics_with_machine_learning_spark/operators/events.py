@@ -464,3 +464,75 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_TOP)
     )
+
+
+#: MAD consistency constant for normally-distributed data, and the
+#: conventional 3-sigma-equivalent cut
+_MAD_K = 1.4826
+_MAD_CUT = 3.0
+
+
+@query(
+    "mad_outlier_detect",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(m.med, 4) AS median_value,
+           ROUND(d.mad, 4) AS mad_value,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > {_MAD_CUT} * {_MAD_K} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY e.event_type
+    """,
+)
+def mad_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe sibling of zscore_normalize (mean/σ are themselves
+    dragged by the outliers they're supposed to find; median/MAD have a
+    50% breakdown point). Flags |x - med| > {_MAD_CUT}·{_MAD_K}·MAD.
+
+    Scale shape: two grouped exact medians (each |groups| rows out,
+    broadcast back onto the fact scan — the iqr_clip agg-then-broadcast
+    pattern twice, chained because MAD is a median OF residuals and
+    genuinely needs the first pass's result). Three fact scans total;
+    at 100 TB swap the exact medians for percentile_approx or
+    functions/quantiles.py per the §4.3 exactness ladder.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > _MAD_CUT * _MAD_K * F.col("mad")
+                ).cast("int")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

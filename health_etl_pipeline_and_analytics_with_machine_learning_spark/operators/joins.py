@@ -356,3 +356,62 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderpriority NULLS FIRST
         """
     )
+
+
+_RANK_TOP = 3
+
+
+@query(
+    "supplier_revenue_rank",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l GROUP BY l.l_suppkey
+    ),
+    ranked AS (
+      SELECT n.n_name AS nation, s.s_name, rev.revenue,
+             DENSE_RANK() OVER (
+               PARTITION BY n.n_name
+               ORDER BY ROUND(rev.revenue, {DP}) DESC, s.s_suppkey) AS rnk
+      FROM rev
+      JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, s_name, ROUND(revenue, {DP}) AS revenue, rnk
+    FROM ranked WHERE rnk <= {_RANK_TOP}
+    ORDER BY nation, rnk, s_name
+    """,
+)
+def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RANK_TOP} suppliers by discounted revenue within each
+    nation — the dense_rank leaderboard shape (TPC-H Q15's revenue view
+    + per-group ranking), joining fact → supplier → nation.
+
+    Scale shape: revenue reduces the fact table FIRST (one shuffle on
+    l_suppkey, partial-agg'd), so the joins see |suppliers| rows, not
+    line items — both dims broadcast. The rank window partitions by
+    nation over that reduced set, and the rnk filter plans
+    WindowGroupLimit. Ranking on the ROUNDED revenue with a suppkey
+    tiebreak keeps rank assignment identical in both engines even at
+    last-ULP float divergence.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    from pyspark.sql.window import Window
+
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc(F.round("revenue", DP)), "s_suppkey"
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "s_name", "revenue", "s_suppkey")
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= _RANK_TOP)
+        .select("nation", "s_name", F.round("revenue", DP).alias("revenue"), "rnk")
+        .orderBy("nation", "rnk", "s_name")
+    )

@@ -102,6 +102,8 @@ PROVENANCE = {
     "cohort_retention": "extension: weekly cohort retention triangle",
     "user_event_paths": "extension: ordered event-path sequence mining",
     "percent_rank_band": "extension: PERCENT_RANK decile banding",
+    "supplier_revenue_rank": "extension: per-nation dense_rank leaderboard (TPC-H Q15 shape)",
+    "mad_outlier_detect": "extension: MAD robust outlier detection",
 }
 
 

@@ -415,3 +415,59 @@ def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "s_name", F.round("revenue", DP).alias("revenue"), "rnk")
         .orderBy("nation", "rnk", "s_name")
     )
+
+
+@query(
+    "basket_concentration_hhi",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_items,
+             SUM(l_extendedprice * l_extendedprice)
+               / (SUM(l_extendedprice) * SUM(l_extendedprice)) AS hhi
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {round_cmp_sql("AVG(a.n_items)")} AS avg_items,
+           {round_cmp_sql("AVG(a.hhi)")} AS avg_hhi
+    FROM agg a JOIN orders o ON a.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def basket_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket concentration per order — the Herfindahl-Hirschman index
+    Σ(share_i²) of line-item spend within each order, averaged per
+    priority class: HHI→1 means one item dominates the basket, HHI→1/n
+    means even spread. The market-concentration aggregate, applied to
+    baskets.
+
+    Scale shape: shares need the per-order total, so the plan is one
+    window-free double aggregation... except shares are a ratio to a
+    group sum — computed here with a single shuffle on l_orderkey: the
+    groupBy computes Σx and Σx² in ONE pass and
+    HHI = Σ(x²)/(Σx)² (algebraically identical to summing squared
+    shares, no second pass, no window). The |orders|-row result joins
+    the 2-column orders projection; the priority rollup is tiny.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+            / (F.sum("l_extendedprice") * F.sum("l_extendedprice"))
+        ).alias("hhi"),
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_cmp(F.avg("n_items")).alias("avg_items"),
+            round_cmp(F.avg("hhi")).alias("avg_hhi"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -104,6 +104,7 @@ PROVENANCE = {
     "percent_rank_band": "extension: PERCENT_RANK decile banding",
     "supplier_revenue_rank": "extension: per-nation dense_rank leaderboard (TPC-H Q15 shape)",
     "mad_outlier_detect": "extension: MAD robust outlier detection",
+    "basket_concentration_hhi": "extension: basket HHI (single-pass share-of-group-sum)",
 }
 
 

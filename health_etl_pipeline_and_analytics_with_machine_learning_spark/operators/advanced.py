@@ -448,3 +448,138 @@ def percent_rank_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "decile_band")
     )
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY ROUND(monetary, {DP}) DESC, o_custkey) AS m,
+             monetary
+      FROM per_cust
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           COUNT(*) AS n_customers,
+           {round_cmp_sql("AVG(monetary)")} AS avg_monetary
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quartile
+    scores composed into segments, the canonical marketing-analytics
+    composite (and a three-metric generalization of ntile_quartiles).
+
+    Scale shape: the per-customer base reduces the orders table on ONE
+    shuffle key; the corpus max-date is a 1-row broadcast. The three
+    NTILE windows are global (unpartitioned) — fine over |customers|
+    score rows after reduction, and at true 100 TB scale the swap is
+    percentile_approx thresholds (§4.3) instead of a global sort. Every
+    NTILE orders by (metric, custkey): bucket edges split ties
+    arbitrarily otherwise, and the two engines WILL split them
+    differently. Monetary ranks on the ROUNDED value for the same
+    reason (last-ULP sum noise).
+    """
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    max_date = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("corpus_max", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc(F.round("monetary", DP)), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_cmp(F.avg("monetary")).alias("avg_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
+    "brand_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_type, p.p_brand,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_brand
+    )
+    SELECT p_type, p_brand,
+           ROUND(revenue, {DP}) AS revenue,
+           {round_cmp_sql("revenue / SUM(revenue) OVER (PARTITION BY p_type)")}
+             AS share_of_type,
+           {round_cmp_sql("revenue / SUM(revenue) OVER ()")} AS share_of_total
+    FROM rev
+    ORDER BY p_type, p_brand
+    """,
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each brand's revenue as a share of its type and
+    of the whole corpus — the reporting window family (share-of-parent)
+    that none of the rank/frame windows cover.
+
+    Scale shape: the fact table reduces FIRST (one shuffle keyed by the
+    broadcast-joined part dims), and both ratio windows run over the
+    |type × brand| aggregate — the unpartitioned total is a window over
+    that tiny set, never over line items. round_cmp on the shares: a
+    ratio of two group sums inherits summation-order noise from both
+    sides.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    from pyspark.sql.window import Window
+
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+    w_type = Window.partitionBy("p_type")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "p_type",
+        "p_brand",
+        F.round("revenue", DP).alias("revenue"),
+        round_cmp(F.col("revenue") / F.sum("revenue").over(w_type)).alias(
+            "share_of_type"
+        ),
+        round_cmp(F.col("revenue") / F.sum("revenue").over(w_all)).alias(
+            "share_of_total"
+        ),
+    ).orderBy("p_type", "p_brand")

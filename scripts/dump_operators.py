@@ -105,6 +105,8 @@ PROVENANCE = {
     "supplier_revenue_rank": "extension: per-nation dense_rank leaderboard (TPC-H Q15 shape)",
     "mad_outlier_detect": "extension: MAD robust outlier detection",
     "basket_concentration_hhi": "extension: basket HHI (single-pass share-of-group-sum)",
+    "rfm_segments": "extension: RFM quartile customer segmentation",
+    "brand_revenue_share": "extension: ratio-to-report revenue shares",
 }
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, query
+from .registry import load, query, round_cmp, round_cmp_sql
 
 # shared normalization: collapse whitespace, trim, lowercase
 def _norm(col):
@@ -386,4 +386,76 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tfidf"), "doc_id", "token")
         .limit(TFIDF_TOP_K)
+    )
+
+
+@query(
+    "unigram_cross_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    lm AS (
+      SELECT token, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM tok2) AS p
+      FROM tok2 GROUP BY token
+    ),
+    per_doc AS (
+      SELECT t.doc_id, AVG(-ln(lm.p)) AS xent
+      FROM tok2 t JOIN lm ON t.token = lm.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           {round_cmp_sql("AVG(pd.xent)")} AS avg_xent,
+           ROUND(MIN(pd.xent), 4) AS min_xent,
+           ROUND(MAX(pd.xent), 4) AS max_xent
+    FROM per_doc pd JOIN documents d ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own unigram LM —
+    the cheapest model-based quality signal (the degenerate case of the
+    KenLM perplexity filters used on web corpora): documents made of
+    rare tokens score high, boilerplate scores low.
+
+    Scale shape: the LM is |vocab| rows (token → corpus probability) —
+    aggregated once from the token stream with map-side combine, then
+    BROADCAST back onto the same stream; per-doc scoring is one
+    aggregation keyed by doc_id. Zipf skew lands on the LM build's
+    partial agg (where hot tokens collapse map-side), never on a pair
+    join. At 100 TB the vocab still broadcasts (natural-language vocab
+    plateaus in the millions); an n-gram LM swaps the unigram count for
+    a hashed n-gram count with the same plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select("token", (F.col("n") / F.col("n_total")).alias("p"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log("p")).alias("xent"))
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_cmp(F.avg("xent")).alias("avg_xent"),
+            F.round(F.min("xent"), 4).alias("min_xent"),
+            F.round(F.max("xent"), 4).alias("max_xent"),
+        )
+        .orderBy("source")
     )

@@ -107,6 +107,7 @@ PROVENANCE = {
     "basket_concentration_hhi": "extension: basket HHI (single-pass share-of-group-sum)",
     "rfm_segments": "extension: RFM quartile customer segmentation",
     "brand_revenue_share": "extension: ratio-to-report revenue shares",
+    "unigram_cross_entropy": "LLM-pipeline: unigram-LM cross-entropy quality signal",
 }
 
 

@@ -536,3 +536,57 @@ def mad_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "forward_fill_last_purchase",
+    oracle=f"""
+    WITH filled AS (
+      SELECT user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(last_purchase) AS n_with_carry,
+           {round_cmp_sql("AVG(last_purchase)")} AS avg_carried
+    FROM filled
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): every
+    event annotated with the user's most recent purchase value — the
+    time-series imputation primitive (pandas ``ffill``) the reference's
+    fillna-with-constant cleaning never reaches.
+
+    ``last(expr, ignorenulls=True)`` over a running frame is the native
+    Spark form — no self-join, no gaps-and-islands gymnastics. ONE
+    shuffle on user_id serves the window sort and nothing else moves;
+    the carry state inside the frame is a single value per row.
+    Tie-broken ordering (ts, event_id) keeps the carried value
+    engine-identical when timestamps collide.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    filled = ev.select(
+        "event_type",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase"),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("last_purchase").alias("n_with_carry"),
+            round_cmp(F.avg("last_purchase")).alias("avg_carried"),
+        )
+        .orderBy("event_type")
+    )

@@ -341,3 +341,56 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: output shard fan-out for the sharded-export shape
+_N_SHARDS = 16
+
+
+@query(
+    "shard_assignment_balance",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % {_N_SHARDS} AS INT) AS shard,
+             n_chars
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for sharded corpus export — the
+    step before ``df.repartition(N, shard).write``: every document maps
+    to ``md5(doc_id) % {_N_SHARDS}``, and the op reports per-shard
+    doc/byte balance (the skew check you run BEFORE burning a 100 TB
+    write).
+
+    Hash-sharding beats round-robin at scale for the same reason as
+    stratified_hash_sample: assignment is a pure row function —
+    reproducible across reruns, engines, and repartitioning — so
+    incremental appends land in stable shards and a failed write
+    retries identically. The md5 prefix (not hash()) keeps the oracle
+    byte-identical; balance follows from md5 uniformity, asserted in
+    tests rather than hoped.
+    """
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

@@ -108,6 +108,8 @@ PROVENANCE = {
     "rfm_segments": "extension: RFM quartile customer segmentation",
     "brand_revenue_share": "extension: ratio-to-report revenue shares",
     "unigram_cross_entropy": "LLM-pipeline: unigram-LM cross-entropy quality signal",
+    "forward_fill_last_purchase": "extension: LOCF forward fill (last ignorenulls)",
+    "shard_assignment_balance": "LLM-pipeline: deterministic shard export balance",
 }
 
 

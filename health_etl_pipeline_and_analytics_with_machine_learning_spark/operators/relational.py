@@ -1009,3 +1009,53 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+               WHERE event_type = 'purchase'),
+         both_all AS (SELECT * FROM c INTERSECT ALL SELECT * FROM p),
+         click_excess AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
+    SELECT (SELECT COUNT(*) FROM c) AS n_click_rows,
+           (SELECT COUNT(*) FROM p) AS n_purchase_rows,
+           (SELECT COUNT(*) FROM both_all) AS n_intersect_all,
+           (SELECT COUNT(*) FROM click_excess) AS n_except_all,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM c INTERSECT SELECT DISTINCT * FROM p))
+             AS n_intersect_distinct
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset siblings of
+    set_intersect_except: multiplicity is preserved (a user with 3
+    click-days and 2 purchase-days contributes min(3,2)=2 rows to the
+    intersection, 1 to the excess), which the DISTINCT forms destroy.
+    The distinct intersection rides along to make the difference
+    visible in one row of output.
+
+    Scale shape: Spark plans intersectAll/exceptAll as a count-per-key
+    aggregation + generate (replicate min/difference counts) — one
+    shuffle per side on the full row key, no pairwise join blowup;
+    multiplicities travel as counts, not repeated rows, until the final
+    replication.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    counts = [
+        c.count(),
+        p.count(),
+        c.intersectAll(p).count(),
+        c.exceptAll(p).count(),
+        c.distinct().intersect(p.distinct()).count(),
+    ]
+    spark_df = spark.createDataFrame(
+        [tuple(counts)],
+        "n_click_rows long, n_purchase_rows long, n_intersect_all long, "
+        "n_except_all long, n_intersect_distinct long",
+    )
+    return spark_df

@@ -110,6 +110,7 @@ PROVENANCE = {
     "unigram_cross_entropy": "LLM-pipeline: unigram-LM cross-entropy quality signal",
     "forward_fill_last_purchase": "extension: LOCF forward fill (last ignorenulls)",
     "shard_assignment_balance": "LLM-pipeline: deterministic shard export balance",
+    "set_ops_bag_semantics": "extension: INTERSECT ALL / EXCEPT ALL multiset ops",
 }
 
 

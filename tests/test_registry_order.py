@@ -1,0 +1,88 @@
+"""Registry-order pins.
+
+The driver's per-round correctness run checks a bounded PREFIX of the
+registry (50 entries in round 1), and `__spark_entry__.queries()` emits
+registry insertion order verbatim — so ordering is part of the external
+verification contract, not cosmetics. These tests pin:
+
+- every SURVEY §2 core parity id inside the first-50 window,
+- every id whose semantics changed this round (or that had no driver
+  row in round 1) inside the window,
+- the hoist mechanism in `operators/__init__.py` (_RECHECK_FIRST).
+"""
+
+from __future__ import annotations
+
+import health_etl_pipeline_and_analytics_with_machine_learning_spark.operators as ops
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+    REGISTRY,
+)
+
+WINDOW = 50
+
+#: SURVEY §2 parity ids (relational.py) — unchecked by the driver in r1
+#: because alphabetical module order registered them at positions 59-91.
+PARITY_IDS = [
+    "project_dropna",
+    "range_filter_agg",
+    "eq_filter_group_agg",
+    "filter_group_avg_topk",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "filter_group2_avg2_count_sort",
+    "group_avg_sum2_topk",
+    "two_level_agg",
+    "trend_group_avg_sort",
+    "overview_scalars",
+    "value_counts_topk",
+    "dedup_exact",
+    "median_fill",
+    "iqr_clip",
+    "corr_matrix",
+    "window_group_median_fill",
+    "global_sort_rowid",
+    "group_quantiles",
+    "zscore_normalize",
+]
+
+#: scale-path certifications + ids changed in round 2
+ROUND2_IDS = [
+    "median_fill_scaled",
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+    "simhash_near_pairs",
+    "set_ops_bag_semantics",
+    "salted_skew_agg",
+]
+
+#: tier-3 ids that were past the r1 window
+TIER3_SAMPLE = [
+    "multimodal_meta",
+    "doc_chunk_explode",
+    "stratified_hash_sample",
+    "similarity_bruteforce_topk",
+    "embedding_int8_quantize",
+]
+
+
+def test_parity_and_round2_ids_inside_driver_window():
+    prefix = list(REGISTRY)[:WINDOW]
+    missing = [n for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE if n not in prefix]
+    assert not missing, f"ids outside the driver's {WINDOW}-entry window: {missing}"
+
+
+def test_recheck_ids_lead_the_registry():
+    names = list(REGISTRY)
+    for i, n in enumerate(ops._RECHECK_FIRST):
+        assert names[i] == n, (n, names[:5])
+
+
+def test_every_registered_query_has_fn_and_consistent_oracle_keys():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert list(q) == list(REGISTRY)
+    assert set(o) <= set(q)
+    for name, sql in o.items():
+        assert sql and sql.strip(), name

@@ -46,7 +46,9 @@ def exact_quantiles(
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_parts = max(counts.rdd.getNumPartitions(), 1)
+    # session parallelism, not counts.rdd.getNumPartitions() — the RDD
+    # property forces a DataFrame→RDD conversion just to read an int
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (
         counts.repartitionByRange(n_parts, "v")
         .sortWithinPartitions("v")

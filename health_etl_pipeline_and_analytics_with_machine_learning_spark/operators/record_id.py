@@ -36,7 +36,12 @@ def with_record_id(
     if mode != "scaled":
         raise ValueError(f"unknown mode {mode!r}")
 
-    n_parts = max(df.rdd.getNumPartitions(), 1)
+    # cluster default parallelism, NOT df.rdd.getNumPartitions(): reading
+    # the partition count off the RDD forces a DataFrame→RDD conversion
+    # (deserialization plan) just to fetch an integer; the target
+    # partition count for the range shuffle only needs to match the
+    # session's parallelism anyway.
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     ordered = (
         df.repartitionByRange(n_parts, *[F.col(f"`{c}`") for c in order_cols])
         .sortWithinPartitions(*[F.col(f"`{c}`") for c in order_cols])

@@ -1036,26 +1036,37 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct intersection rides along to make the difference
     visible in one row of output.
 
-    Scale shape: Spark plans intersectAll/exceptAll as a count-per-key
-    aggregation + generate (replicate min/difference counts) — one
-    shuffle per side on the full row key, no pairwise join blowup;
-    multiplicities travel as counts, not repeated rows, until the final
-    replication.
+    Scale shape — ONE distributed plan, not five jobs: INTERSECT ALL /
+    EXCEPT ALL are, by definition, arithmetic over per-key
+    multiplicities (min(nc,np) and max(nc-np,0)), so a single shuffle
+    on (user_id, day) computing both sides' counts at once, followed by
+    a global conditional aggregate, answers all five numbers in one
+    scan of events. multiplicities travel as counts, never as
+    replicated rows; the final agg is partial→final over 5 longs.
+    (Round-1 form ran five separate .count() actions — 5 scans and a
+    driver-side createDataFrame; flagged weak and rebuilt.)
     """
     ev = load(spark, sf_dir, "events")
-    day = F.col("ts").cast("date").alias("day")
-    c = ev.filter(F.col("event_type") == "click").select("user_id", day)
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
-    counts = [
-        c.count(),
-        p.count(),
-        c.intersectAll(p).count(),
-        c.exceptAll(p).count(),
-        c.distinct().intersect(p.distinct()).count(),
-    ]
-    spark_df = spark.createDataFrame(
-        [tuple(counts)],
-        "n_click_rows long, n_purchase_rows long, n_intersect_all long, "
-        "n_except_all long, n_intersect_distinct long",
+    per_key = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "click").cast("long").alias("is_c"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("is_c").alias("nc"), F.sum("is_p").alias("np"))
     )
-    return spark_df
+    zero = F.lit(0).cast("long")
+    return per_key.agg(
+        F.coalesce(F.sum("nc"), zero).alias("n_click_rows"),
+        F.coalesce(F.sum("np"), zero).alias("n_purchase_rows"),
+        F.coalesce(F.sum(F.least("nc", "np")), zero).alias("n_intersect_all"),
+        F.coalesce(F.sum(F.greatest(F.col("nc") - F.col("np"), zero)), zero).alias(
+            "n_except_all"
+        ),
+        F.coalesce(
+            F.sum(((F.col("nc") > 0) & (F.col("np") > 0)).cast("long")), zero
+        ).alias("n_intersect_distinct"),
+    )

@@ -45,16 +45,19 @@ def salted_group_agg(
     """``groupBy(keys).agg(...)`` with a salt-split merge.
 
     ``aggs`` maps output column name → (fn, input column), fn in
-    {sum, count, min, max, avg}. Example::
+    {sum, count, min, max, avg}; column ``"*"`` with ``count`` means
+    SQL ``COUNT(*)`` (count rows, not non-null values). Example::
 
         salted_group_agg(ev, ["event_type"],
-                         {"n": ("count", "event_id"),
+                         {"n": ("count", "*"),
                           "avg_value": ("avg", "value")})
     """
     partials: dict[str, Column] = {}
     merges: dict[str, Column] = {}
     finals: dict[str, Column] = {}
     for out, (fn, col) in aggs.items():
+        if fn == "count" and col == "*":
+            col = F.lit(1)
         if fn == "avg":
             partials[f"__{out}_s"] = F.sum(col)
             partials[f"__{out}_c"] = F.count(col)
@@ -108,7 +111,9 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         {
-            "n_events": ("count", "event_id"),
+            # "*" = COUNT(*) row semantics, matching the oracle even if a
+            # future fixture carries null event_ids
+            "n_events": ("count", "*"),
             "sum_value_raw": ("sum", "value"),
             "avg_value_raw": ("avg", "value"),
             "min_value": ("min", "value"),

@@ -59,16 +59,45 @@ def write_compacted_parquet(
     File count = ceil(estimated_bytes / target). The estimate comes
     from the plan's logical statistics (sizeInBytes — parquet footer
     totals adjusted by Catalyst through the operator tree), a
-    driver-side lookup, NOT an extra scan of the data. `coalesce` (not
-    `repartition`) folds upstream partitions without a shuffle when
-    shrinking; an exact-size rebalance that must SPLIT skewed
-    partitions would use repartition and pay one shuffle.
+    driver-side lookup, NOT an extra scan of the data. When Catalyst
+    has NO stats for a subtree it propagates a defensive huge default
+    (≈ Long.MaxValue), which would make n_files enormous and silently
+    skip compaction — that case is detected and falls back to a bounded
+    file count with a warning instead of degrading quietly. (The stats
+    lookup goes through `df._jdf` — a private bridge, flagged as such;
+    there is no public DataFrame-stats API to replace it yet.)
+
+    `coalesce` (not `repartition`) folds upstream partitions without a
+    shuffle when shrinking; an exact-size rebalance that must SPLIT
+    skewed partitions would use repartition and pay one shuffle.
     """
     import math
+    import warnings
 
-    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(1, math.ceil(int(est_bytes) / target_file_bytes))
-    if n_files < df.rdd.getNumPartitions():
-        df = df.coalesce(n_files)
+    #: anything above this is Catalyst's "unknown" propagation, not a
+    #: real size (1 PiB — far beyond any single compacted write)
+    _SANE_MAX_BYTES = 1 << 50
+    _FALLBACK_N_FILES = 32
+
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception as exc:  # private API moved — degrade loudly
+        warnings.warn(
+            f"plan-stats lookup failed ({exc!r}); compacting to "
+            f"{_FALLBACK_N_FILES} files instead of a size-based count"
+        )
+        est_bytes = None
+    if est_bytes is None or est_bytes > _SANE_MAX_BYTES:
+        if est_bytes is not None:
+            warnings.warn(
+                f"Catalyst sizeInBytes={est_bytes} is the unknown-stats "
+                f"default, not a real size; compacting to {_FALLBACK_N_FILES} files"
+            )
+        n_files = _FALLBACK_N_FILES
+    else:
+        n_files = max(1, math.ceil(est_bytes / target_file_bytes))
+    df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(path)
     return path

@@ -6,6 +6,7 @@ the repetition scores equal to a plain-Python reference implementation.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -85,11 +86,18 @@ def test_repetition_scores_match_python_reference(spark):
         )
     got = {r.lang: r for r in prep.text_repetition_flags(spark, SF_SMOKE).collect()}
     assert set(got) == set(per_lang)
+    # the operator rounds with round_cmp (floor half-up at 4dp after a
+    # 7dp noise-absorb); Python's round() is banker's rounding, which
+    # differs by 1e-4 exactly when a mean lands on a 4dp half-boundary —
+    # so the reference must reproduce round_cmp's formula, not round().
+    def round_cmp_py(x: float, dp: int = 4) -> float:
+        return math.floor(round(x, dp + 3) * 10**dp + 0.5) / 10**dp
+
     for lang, scores in per_lang.items():
         avg_ttr = sum(s[0] for s in scores) / len(scores)
         avg_top = sum(s[1] for s in scores) / len(scores)
-        assert abs(got[lang].avg_ttr - round(avg_ttr, 4)) < 1e-9, lang
-        assert abs(got[lang].avg_top_share - round(avg_top, 4)) < 1e-9, lang
+        assert abs(got[lang].avg_ttr - round_cmp_py(avg_ttr)) < 1e-9, lang
+        assert abs(got[lang].avg_top_share - round_cmp_py(avg_top)) < 1e-9, lang
         assert got[lang].n_flagged == sum(
             1 for s in scores if s[1] > prep._TOP_WORD_SHARE
         )

@@ -18,11 +18,63 @@ from . import text, dedup, curation, advanced, events, joins  # noqa: F401  (tie
 
 from .registry import REGISTRY as _R
 
-#: ids whose SEMANTICS changed this round — they need a fresh driver
-#: correctness row regardless of which module defines them, so they are
-#: hoisted to the very front of the registry (prefix positions 1..k).
+#: ids that must occupy the driver's 50-entry correctness-window PREFIX,
+#: in priority order. Front section = ids whose semantics changed (or
+#: whose load path broke) this round and need a FRESH driver row; back
+#: section = previously-certified window residents kept inside the
+#: window so their green rows refresh instead of decaying to local-only.
+#: r4 front: the 20 events-table queries revived by the schema-adaptive
+#: registry.load() fix (events.ts flipped nanos-long → timestamp[us] on
+#: disk in r3), plus simhash_near_pairs (new hot-bucket cap).
 _RECHECK_FIRST = [
-    "simhash_near_pairs",  # r2: single-band → multi-band candidates
+    # — fresh-row tier (r4 changes) —
+    "eq_filter_group_agg",
+    "value_counts_topk",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "stratified_hash_sample",
+    "salted_skew_agg",
+    "asof_join_attribution",
+    "cohort_retention",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "pivot_event_counts",
+    "running_distinct_users",
+    "sessionization",
+    "user_event_paths",
+    "window_lag_value_delta",
+    "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
+    # — keep-certified tier (SURVEY §2 parity + r2/r3 window residents) —
+    "project_dropna",
+    "range_filter_agg",
+    "filter_group_avg_topk",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "filter_group2_avg2_count_sort",
+    "group_avg_sum2_topk",
+    "two_level_agg",
+    "trend_group_avg_sort",
+    "overview_scalars",
+    "dedup_exact",
+    "median_fill",
+    "iqr_clip",
+    "corr_matrix",
+    "window_group_median_fill",
+    "global_sort_rowid",
+    "group_quantiles",
+    "zscore_normalize",
+    "median_fill_scaled",
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+    "multimodal_meta",
+    "doc_chunk_explode",
+    "similarity_bruteforce_topk",
+    "embedding_int8_quantize",
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -467,6 +467,12 @@ _SIMHASH_BANDS = 5
 _SIMHASH_BAND_BITS = 12
 _SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
 _SIMHASH_RADIUS = 12
+#: hot-bucket suppression, same rationale as MAX_BUCKET above: a
+#: degenerate band key (boilerplate / empty docs hashing alike) pairs
+#: O(B²) inside its bucket — at 100 TB one mega-bucket is quadratic.
+#: Buckets past the cap are dropped from candidate generation (mirrored
+#: in the oracle's HAVING), keeping the band join near-linear.
+_SIMHASH_MAX_BUCKET = 64
 
 
 def _simhash_bands(sig: DataFrame) -> DataFrame:
@@ -517,10 +523,15 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
       SELECT doc_id, simhash, bk,
              (simhash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
       FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
-    )
+    ),
+    keep AS (
+      SELECT bk, band_key FROM bands
+      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM bands a JOIN bands b
+    FROM kb a JOIN kb b
       ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_RADIUS}
     ORDER BY hamming, doc_a, doc_b
@@ -542,14 +553,26 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: candidate volume is governed by band width — 12 bits =
     4096 buckets per band at this corpus size; widen bands (and add more
-    of them) as the corpus grows so per-bucket membership stays bounded,
-    and apply dedup_minhash_lsh's hot-bucket cap when natural-language
-    skew (boilerplate fingerprints) creates mega-buckets.
+    of them) as the corpus grows so per-bucket membership stays bounded.
+    Natural-language skew (boilerplate fingerprints) is handled the same
+    way as dedup_minhash_lsh: (bk, band_key) buckets past
+    _SIMHASH_MAX_BUCKET are dropped via a broadcast bucket-size filter
+    before the self-join, so no bucket ever goes quadratic.
     """
     from .text import text_simhash
 
     sig = text_simhash(spark, sf_dir)
-    bands = _simhash_bands(sig)
+    # bands feed three consumers (bucket-size pass + both self-join
+    # sides); a lazy localCheckpoint evaluates the signature expression
+    # stack (md5 per token, 60 bit-sums) once per execution and shares
+    # the materialized partitions — unlike persist(), a fresh call gets
+    # a fresh RDD, so repeated benchmark runs stay honest
+    bands = _simhash_bands(sig).localCheckpoint(eager=False)
+    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -76,18 +76,37 @@ def round_cmp_sql(expr: str, dp: int = ROUND_DP) -> str:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one of the driver's parquet tables.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright. We read nanos as a long
-    (legacy conf, runtime-settable) and rebuild a microsecond timestamp —
-    the same precision DuckDB coerces nanos to, so oracle comparisons on
-    derived time columns agree.
+    ``events.parquet`` has shipped with two different on-disk ``ts``
+    encodings across driver versions — TIMESTAMP(NANOS) (which Spark's
+    reader rejects unless nanos are read as a long) and plain
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ). We branch on the schema
+    Spark actually resolves, so either encoding yields the same
+    session-TZ TIMESTAMP column at microsecond precision — the precision
+    DuckDB uses, so oracle comparisons on derived time columns agree.
+    (Session TZ is UTC per session.py, so NTZ→TIMESTAMP preserves epoch
+    micros exactly.)
     """
-    if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+    path = f"{sf_dir}/{table}.parquet"
+    if table != "events":
+        return spark.read.parquet(path)
 
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        # integer division: ts/1000 via `/` is a double and loses the
-        # last microsecond above 2^53 ns — DuckDB truncates exactly
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # footer said TIMESTAMP(NANOS) and the legacy conf was off:
+        # read nanos as a long, rebuild below
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # nanos-as-long; integer division: ts/1000 via `/` is a double
+        # and loses the last microsecond above 2^53 ns — DuckDB
+        # truncates exactly
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df

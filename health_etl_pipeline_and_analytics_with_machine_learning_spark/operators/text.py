@@ -233,8 +233,12 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode(tokens) × 60 bit positions → two partial-agg
     shuffles keyed by doc_id — linear in corpus size, no pairwise work.
-    Near-dup candidates then come from hamming-distance banding on the
-    fingerprint (see dedup.simhash_near_pairs), never from O(n²) scans.
+    (A measured alternative — 60 conditional SUMs in one wide
+    groupBy(doc_id), no 60× explode — benched 2.6× SLOWER at sf0.1:
+    Spark's narrow partial aggregation over exploded rows beats 60 wide
+    aggregate buffers per group.) Near-dup candidates then come from
+    hamming-distance banding on the fingerprint (see
+    dedup.simhash_near_pairs), never from O(n²) scans.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(

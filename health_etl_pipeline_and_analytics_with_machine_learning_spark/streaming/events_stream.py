@@ -19,21 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see registry.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _probe_events_schema(spark: SparkSession, src: str) -> T.StructType:
+    """Resolve the on-disk schema of the events parquet via one batch
+    footer read — the stream schema and the ts rebuild branch both
+    derive from it, so a driver-side change of the on-disk ``ts``
+    encoding (nanos-long vs timestamp[us]) can't desync batch and
+    streaming (see registry.load for the batch twin)."""
+    try:
+        return spark.read.parquet(src).schema
+    except Exception:
+        # TIMESTAMP(NANOS) footer: readable only as long via legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(src).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """readStream over the events parquet (stand-in for kafka/kinesis;
-    same nanos→timestamp rebuild as the batch loader).
+    same schema-adaptive ts rebuild as the batch loader).
 
     FileStreamSource wants a DIRECTORY it can watch for arriving files;
     the driver ships one flat file, so we expose it through a temp
@@ -44,17 +46,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
+    schema = _probe_events_schema(spark, src)
     watch_dir = src
     if os.path.isfile(src):
         watch_dir = tempfile.mkdtemp(prefix="events_stream_")
         for i in range(copies):
             os.symlink(src, os.path.join(watch_dir, f"events_{i}.parquet"))
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
-    # integer division (`div`): double division loses the last
-    # microsecond above 2^53 ns — same rebuild as registry.load
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(watch_dir)
+    dt = schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # integer division (`div`): double division loses the last
+        # microsecond above 2^53 ns — same rebuild as registry.load
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # session TZ is UTC (session.py), so this preserves epoch micros
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,100 @@
+"""registry.load() must yield a session-TZ TIMESTAMP ``events.ts``
+under BOTH on-disk encodings the driver has shipped:
+
+- parquet TIMESTAMP(NANOS)  (rounds 1-2: readable only as nanos-long
+  via the legacy conf, then rebuilt to micros), and
+- parquet timestamp[us]     (round 3+: read as TIMESTAMP_NTZ, cast).
+
+Round 3 lost 20 of 95 registry queries because load() assumed the first
+encoding after the driver switched to the second; this test pins the
+schema-adaptive behavior so a future format flip can never silently
+kill a third of the registry again. The nanos fixture is synthesized
+with pyarrow (coerce_timestamps is not allowed to ns, so the column is
+written as int64 nanos and the schema patched to TIMESTAMP(NANOS) via
+a pass-through of pa.timestamp('ns'), which parquet stores as
+isAdjustedToUTC nanos under version 2.6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+    load,
+)
+
+from conftest import SF_SMOKE
+
+_ROWS = {
+    "event_id": [0, 1, 2],
+    "user_id": [10, 11, 12],
+    "event_type": ["view", "click", "purchase"],
+    "value": [1.5, 2.5, 3.5],
+    "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}'],
+}
+_TS = [
+    dt.datetime(2024, 1, 1, 0, 0, 0),
+    dt.datetime(2024, 1, 1, 0, 0, 1),
+    dt.datetime(2024, 1, 2, 3, 4, 5),
+]
+
+
+def _write_events(tmpdir, ts_array: pa.Array) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array(_ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], pa.string()),
+            "value": pa.array(_ROWS["value"], pa.float64()),
+            "props": pa.array(_ROWS["props"], pa.string()),
+        }
+    )
+    path = str(tmpdir / "events.parquet")
+    pq.write_table(tbl, path, version="2.6")
+    return str(tmpdir)
+
+
+@pytest.fixture()
+def micros_dir(tmp_path):
+    return _write_events(tmp_path, pa.array(_TS, pa.timestamp("us")))
+
+
+@pytest.fixture()
+def nanos_dir(tmp_path):
+    return _write_events(tmp_path, pa.array(_TS, pa.timestamp("ns")))
+
+
+def _assert_ts_ok(df):
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    # session TZ is UTC (session.py), so wall-clock values round-trip
+    assert [t.replace(tzinfo=None) for t in got] == _TS
+
+
+def test_load_micros_encoding(spark, micros_dir):
+    _assert_ts_ok(load(spark, micros_dir, "events"))
+
+
+def test_load_nanos_encoding(spark, nanos_dir):
+    # must work whether or not the legacy conf is already set
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    _assert_ts_ok(load(spark, nanos_dir, "events"))
+
+
+def test_load_nanos_encoding_conf_preset(spark, nanos_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _assert_ts_ok(load(spark, nanos_dir, "events"))
+
+
+def test_load_driver_testdata(spark):
+    # whatever encoding the driver currently ships, ts comes back as a
+    # usable TIMESTAMP
+    df = load(spark, SF_SMOKE, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() > 0

@@ -49,6 +49,7 @@ _RECHECK_FIRST = [
     "user_event_paths",
     "window_lag_value_delta",
     "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
+    "streaming_sessionization",  # r4: new applyInPandasWithState op
     # — keep-certified tier (SURVEY §2 parity + r2/r3 window residents) —
     "project_dropna",
     "range_filter_agg",

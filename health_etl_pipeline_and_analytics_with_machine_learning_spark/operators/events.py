@@ -590,3 +590,43 @@ def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(COUNT(*) * 1.0 / MAX(session_id), 4) AS events_per_session
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sessionization``, certified by the SAME
+    oracle: the events table is replayed as time-ordered micro-batches
+    through an ``applyInPandasWithState`` stateful operator (per-user
+    O(1) state), and the bounded stream's final per-user session stats
+    must hash-match the batch/DuckDB gaps-and-islands answer. See
+    streaming/sessionize.py for the operator and its scale notes."""
+    from ..streaming.sessionize import stream_sessionization
+
+    return stream_sessionization(spark, sf_dir)

@@ -1,0 +1,174 @@
+"""Streaming sessionization — the custom STATEFUL streaming operator
+(SURVEY §2.9 extension tier): per-user 30-minute-inactivity sessions
+maintained incrementally with ``applyInPandasWithState``.
+
+The batch twin is ``operators.events.sessionization`` (gaps-and-islands
+via two window passes); built-in ``session_window`` is NOT its streaming
+equivalent — its gap boundary is exclusive (an event exactly 30:00 after
+the previous one starts a NEW session) while the batch rule keeps it
+(``gap > 1800`` strictly, on second-truncated timestamps). The stateful
+operator below implements the batch rule bit-for-bit, so the bounded
+stream's final answer hash-matches the batch/DuckDB result — a full
+oracle certification of a streaming operator.
+
+State per user: (last event time in truncated seconds, sessions so far,
+events so far) — O(1) per key, the property that makes this viable on an
+unbounded stream. Arrow moves each micro-batch group to pandas in one
+batch (no per-row Python). Emission is ``update`` mode: every
+micro-batch yields the user's current running totals; the final totals
+are the rows with the max n_events per user (n_events is strictly
+increasing), recovered relationally after the bounded run.
+
+At 100 TB (unbounded production): add EventTimeTimeout + watermark to
+evict idle users' state and emit their final sessions; the bounded
+parquet replay here processes every file, so NoTimeout keeps the test
+deterministic while exercising identical state-transition code.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events_stream import _probe_events_schema
+
+#: batch twin's inactivity gap (operators/events.py sessionization)
+SESSION_GAP_S = 30 * 60
+
+_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_STATE_SCHEMA = "last_ts_s long, n_sessions long, n_events long"
+
+
+def _sessionize_user(key, pdf_iter, state: GroupState):
+    """Fold one user's micro-batch events through (last_ts, n_sessions,
+    n_events) state. Matches the batch rule exactly: timestamps truncate
+    to whole seconds, a gap of exactly 1800 s continues the session."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    # datetime64[us/ns] → epoch seconds, truncated like CAST(ts AS LONG)
+    for ts in rows["ts"].astype("datetime64[us]").astype("int64") // 1_000_000:
+        if last_ts is None or (ts - last_ts) > SESSION_GAP_S:
+            n_sessions += 1
+        last_ts = int(ts)
+        n_events += 1
+
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Split the events table into ``n_chunks`` time-ordered parquet
+    files in a temp dir, so FileStreamSource (maxFilesPerTrigger=1)
+    replays them as successive micro-batches — every user active in
+    more than one time slice crosses batch boundaries and exercises the
+    cross-batch state path."""
+    from ..operators.registry import load
+
+    # the schema-adaptive loader normalizes either on-disk ts encoding
+    # to a session-TZ TIMESTAMP; chunks re-encode as timestamp[us], so
+    # the stream probe below never needs the legacy nanos path
+    ev = load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="events_chunks_")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if chunk.empty:
+            continue
+        path = os.path.join(out, f"chunk_{i:03d}.parquet")
+        chunk.to_parquet(path, index=False, coerce_timestamps="us")
+        # FileStreamSource orders by modification time; pin it explicitly
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def stream_sessionization(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Run the bounded event stream through the stateful sessionizer to
+    completion and return the FINAL per-user session stats — same
+    columns, same values as the batch ``sessionization`` query (and its
+    DuckDB oracle)."""
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    schema = _probe_events_schema(spark, os.path.join(watch_dir, os.listdir(watch_dir)[0]))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):  # nanos-long encoding
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+
+    updates = (
+        raw.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "sessionize_updates"
+    # state-store partition count follows spark.sql.shuffle.partitions at
+    # query START; per-micro-batch overhead is proportional to it (one
+    # state file + one Python worker exchange per partition per batch).
+    # User-count cardinality is tiny next to the event volume, so pin a
+    # small state layout for the bounded replay and restore the session
+    # conf after. (Production unbounded runs size this to key cardinality.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    all_updates = spark.sql(f"SELECT * FROM {name}")
+    # final row per user = the update with the largest n_events
+    # (strictly increasing across micro-batches)
+    final = (
+        all_updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_sessions").alias("n_sessions"),
+            F.col("s.n_events").alias("n_events"),
+        )
+    )
+    return final.select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_sessions"), 4).alias("events_per_session"),
+    ).orderBy("user_id")

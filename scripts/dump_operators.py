@@ -41,6 +41,7 @@ PROVENANCE = {
     "events_hour_agg": "§2.9-adjacent batch twin of streaming rollup",
     "group_quantiles": "§2.4 quantile per group (exact)",
     "sessionization": "extension: event sessionization (batch twin)",
+    "streaming_sessionization": "§2.9 stateful streaming sessionization (applyInPandasWithState), oracle-certified vs the batch twin",
     "json_props_extract": "extension: declared-schema JSON extraction",
     "set_intersect_except": "extension: INTERSECT/EXCEPT cohorts",
     "star_join_revenue": "extension: star join (broadcast dims)",
@@ -111,6 +112,9 @@ PROVENANCE = {
     "forward_fill_last_purchase": "extension: LOCF forward fill (last ignorenulls)",
     "shard_assignment_balance": "LLM-pipeline: deterministic shard export balance",
     "set_ops_bag_semantics": "extension: INTERSECT ALL / EXCEPT ALL multiset ops",
+    "median_fill_scaled": "§2.4 column medians — 100 TB path (histogram distributed-exact, no per-value buffer)",
+    "iqr_clip_scaled": "§2.4 IQR clipping — 100 TB path (histogram distributed-exact)",
+    "group_quantiles_scaled": "§2.5 grouped quantiles — 100 TB path (histogram distributed-exact)",
 }
 
 
@@ -149,7 +153,7 @@ def main() -> None:
         "own dirty CSV), health analytics q1-q6 with SQL twins (`queries.py`),",
         "the MLlib RandomForest model (`ml.py`), data-quality report",
         "(`quality.py`), report/export sinks (`report.py`, `sources/sinks.py`),",
-        "bucketed/partitioned/range-sorted table layouts (`sources/`), and four",
+        "bucketed/partitioned/range-sorted table layouts (`sources/`), and five",
         "Structured Streaming flows (`streaming/`).",
         "",
     ]

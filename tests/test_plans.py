@@ -130,6 +130,16 @@ def test_neardup_joins_are_equi_not_cartesian(spark):
         assert strategies, f"{name} lost its join"
 
 
+def test_neardup_hot_bucket_caps_are_broadcast(spark):
+    # both banded near-dup paths suppress degenerate buckets via a
+    # BROADCAST join against the (small) oversized-bucket list — if a
+    # refactor turns it into a shuffle join, the cap costs more than the
+    # skew it prevents
+    for name in ("simhash_near_pairs", "dedup_minhash_lsh"):
+        strategies = join_strategies(q(name, spark))
+        assert "BroadcastHashJoin" in strategies, name
+
+
 def test_topk_per_group_prelimits_before_shuffle(spark):
     # rnk <= k plans WindowGroupLimit on BOTH sides of the shuffle:
     # map tasks pre-trim to their local top-k per group, so shuffle

@@ -50,6 +50,9 @@ _RECHECK_FIRST = [
     "window_lag_value_delta",
     "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
     "streaming_sessionization",  # r4: new applyInPandasWithState op
+    "sequence_pack_stats",  # r4: new concat-and-chunk packing
+    "sequence_pack_scaled",  # r4: its two-phase-cumsum 100 TB twin
+    "vocab_oov_rate",  # r4: new top-V vocabulary coverage
     # — keep-certified tier (SURVEY §2 parity + r2/r3 window residents) —
     "project_dropna",
     "range_filter_agg",

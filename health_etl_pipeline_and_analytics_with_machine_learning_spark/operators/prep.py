@@ -394,3 +394,145 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: fixed training-sequence capacity (tokens) for concat-and-chunk packing
+_SEQ_CAP = 2048
+
+#: whitespace-token count, shared with text.text_token_count (n_ws_tokens)
+_TOK_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def _ws_tokens():
+    t = F.col("text")
+    return (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+
+
+_PACK_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS n_tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+               AS tok_start
+      FROM tok
+    )
+    SELECT CAST(tok_start // {_SEQ_CAP} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n_tok > 0
+                          AND (tok_start + n_tok - 1) // {_SEQ_CAP}
+                              > tok_start // {_SEQ_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM pos
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """
+
+
+def _pack_stats(pos: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, tok_start) → per-sequence packing stats. seq_id is
+    the fixed-capacity window containing the doc's FIRST token;
+    n_spanning counts docs that run past their sequence's right edge
+    (they get split across model samples — the quantity you monitor)."""
+    seq_id = F.expr(f"tok_start div {_SEQ_CAP}")
+    spans = (F.col("n_tok") > 0) & (
+        F.expr(f"(tok_start + n_tok - 1) div {_SEQ_CAP}") > seq_id
+    )
+    return (
+        pos.groupBy(seq_id.alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(spans.cast("long")).cast("long").alias("n_spanning"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@query("sequence_pack_stats", oracle=_PACK_ORACLE)
+def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that concatenates the doc-id-ordered token stream and cuts it
+    into fixed {_SEQ_CAP}-token training sequences. Reports, per
+    sequence: docs starting there, their token mass, and how many run
+    over the boundary (split samples).
+
+    Parity tier: the running token offset is one global-window
+    cumulative sum — a single-task funnel, same trade-off as
+    global_sort_rowid (SURVEY §4.4). The 100 TB path is
+    ``sequence_pack_scaled`` below: identical answer, no funnel.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = d.select("doc_id", _ws_tokens().alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pos = tok.withColumn("tok_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return _pack_stats(pos)
+
+
+@query("sequence_pack_scaled", oracle=_PACK_ORACLE)
+def sequence_pack_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB twin of ``sequence_pack_stats`` — same oracle, no global
+    funnel. Two-phase cumulative sum: doc_id range buckets from ONE
+    driver-side quantile sketch, per-bucket token totals (a narrow
+    counting job whose result is one long per bucket), prefix offsets
+    broadcast back, then a PER-BUCKET window finishes the cumsum —
+    every window task owns one id range, so the plan scales with
+    bucket count instead of funneling the corpus through one task.
+
+    Bucket assignment is a STATIC expression over literal boundaries —
+    not ``repartitionByRange``, whose per-job boundary *sampling* may
+    disagree between the counting job and the window job (two separate
+    actions don't share an exchange), silently shifting every offset.
+    Deterministic boundaries make the two phases see identical buckets
+    by construction.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = d.select("doc_id", _ws_tokens().alias("n_tok"))
+    n_parts = max(d.sparkSession.sparkContext.defaultParallelism, 1)
+    qs = [i / n_parts for i in range(1, n_parts)]
+    # GK sketch: one pass, no RNG — identical boundaries every job. The
+    # 1e-3 relative error only skews bucket *balance*, never correctness.
+    bounds = sorted(set(tok.stat.approxQuantile("doc_id", qs, 0.001))) if qs else []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("doc_id") > F.lit(b), 1).otherwise(0)
+    tok = tok.withColumn("__pid", pid.cast("int"))
+    # tiny driver-sized collect: one (bucket, token-total) row per bucket
+    totals = dict(tok.groupBy("__pid").agg(F.sum("n_tok")).collect())
+    offsets, acc = [], 0
+    for p in sorted(totals):
+        offsets.append((p, acc))
+        acc += totals[p] or 0
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = (
+        tok.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "tok_start",
+            F.col("__off") + F.sum("n_tok").over(w) - F.col("n_tok"),
+        )
+        .drop("__pid", "__off")
+    )
+    return _pack_stats(pos)

@@ -47,6 +47,14 @@ def with_record_id(
         .sortWithinPartitions(*[F.col(f"`{c}`") for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
     )
+    # PIN the range partitioning before reading it twice: the counting
+    # action below and the mapInPandas action are separate jobs, and
+    # repartitionByRange re-SAMPLES its boundaries per job (reservoir
+    # sampling over RDD-id-seeded draws) — at scale the two jobs could
+    # place a row in different partitions and every offset after the
+    # first drifted boundary would be wrong. Checkpointing materializes
+    # one partitioning that both jobs then share.
+    ordered = ordered.localCheckpoint()
     # one narrow counting pass; tiny result collected to the driver
     counts = dict(
         ordered.groupBy("__pid").count().collect()

@@ -463,3 +463,79 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: tokenizer-training vocabulary size for the coverage report
+_VOCAB_SIZE = 1000
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, tok
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM t
+      GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok
+      LIMIT {_VOCAB_SIZE}
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           {round_cmp_sql("SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")}
+             AS oov_rate
+    FROM t LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-{_VOCAB_SIZE} corpus vocabulary
+    by token frequency (deterministic tie-break on the token itself),
+    then report each source's out-of-vocabulary occurrence rate — the
+    tokenizer-training sanity check run before fixing a vocab, and the
+    drift alarm run after (a source whose OOV rate jumps is feeding the
+    model unseen script/jargon).
+
+    Scale shape: token explode is narrow; the frequency count is one
+    hash-agg shuffle with map-side partial counts; the top-V cut is
+    TakeOrderedAndProject (V rows to the driver, never a global sort);
+    and the vocab side of the membership join is BROADCAST — the big
+    token stream is never shuffled for the join, so the whole plan adds
+    exactly one shuffle beyond the final per-source rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.col("__in_vocab").isNull().cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            round_cmp(F.sum(oov) / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -54,14 +54,16 @@ def _sessionize_user(key, pdf_iter, state: GroupState):
     else:
         last_ts, n_sessions, n_events = None, 0, 0
 
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    pdfs = list(pdf_iter)
+    rows = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"])
-    # datetime64[us/ns] → epoch seconds, truncated like CAST(ts AS LONG)
-    for ts in rows["ts"].astype("datetime64[us]").astype("int64") // 1_000_000:
-        if last_ts is None or (ts - last_ts) > SESSION_GAP_S:
-            n_sessions += 1
-        last_ts = int(ts)
-        n_events += 1
+    # datetime64[us/ns] → epoch seconds, truncated like CAST(ts AS LONG);
+    # the gap scan is vectorized — no per-row Python in the hot path
+    ts = (rows["ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()
+    first_starts = 1 if (last_ts is None or ts[0] - last_ts > SESSION_GAP_S) else 0
+    n_sessions += first_starts + int((ts[1:] - ts[:-1] > SESSION_GAP_S).sum())
+    n_events += len(ts)
+    last_ts = int(ts[-1])
 
     state.update((last_ts, n_sessions, n_events))
     yield pd.DataFrame(

@@ -111,6 +111,19 @@ SHOWCASE = {
         "doc-length aggregate in token space (never occurrence space); df and "
         "N broadcast back; top-k via TakeOrderedAndProject, no global sort."
     ),
+    "sequence_pack_scaled": (
+        "Two-phase cumulative sum for concat-and-chunk packing: static "
+        "quantile-boundary buckets (no per-job range re-sampling), per-bucket "
+        "Window cumsum — note the Window partitions by __pid, NOT "
+        "SinglePartition like the parity twin — and a broadcast join carries "
+        "the prefix offsets back. No task ever sees more than one id range."
+    ),
+    "vocab_oov_rate": (
+        "Vocabulary coverage: one hash-agg shuffle builds token counts with "
+        "map-side partials, TakeOrderedAndProject cuts the top-V (V rows to "
+        "the driver, no global sort), and the membership join broadcasts the "
+        "vocab — the exploded token stream is never shuffled for the join."
+    ),
 }
 
 

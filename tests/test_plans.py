@@ -286,3 +286,28 @@ def test_zscore_stats_broadcast_back(spark):
     df = q("zscore_normalize", spark)
     js = join_strategies(df)
     assert js == ["BroadcastHashJoin"]
+
+
+def test_sequence_pack_scaled_has_no_global_window_funnel(spark):
+    # the parity tier funnels the cumsum through one task (SinglePartition
+    # window); the scaled twin must instead window per id-bucket — same
+    # oracle answer, no single-task stage over the corpus
+    parity = formatted_plan(q("sequence_pack_stats", spark))
+    assert "SinglePartition" in parity  # documented parity-tier trade-off
+    scaled = q("sequence_pack_scaled", spark)
+    plan = formatted_plan(scaled)
+    assert "Window" in plan
+    window_args = [ln for ln in plan.splitlines() if "partitionBy" in ln.lower() or "__pid" in ln]
+    assert any("__pid" in ln for ln in plan.splitlines()), window_args
+    # offsets come back via a broadcast join, never a shuffle of the corpus
+    assert "BroadcastHashJoin" in join_strategies(scaled)
+
+
+def test_vocab_membership_join_is_broadcast(spark):
+    # the top-V vocab (V rows) broadcasts; the exploded token stream must
+    # not shuffle for the membership join
+    df = q("vocab_oov_rate", spark)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    plan = formatted_plan(df)
+    # top-V cut is a bounded take, not a global sort of the counts
+    assert "TakeOrderedAndProject" in plan

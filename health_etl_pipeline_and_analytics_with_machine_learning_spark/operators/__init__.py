@@ -53,6 +53,7 @@ _RECHECK_FIRST = [
     "sequence_pack_stats",  # r4: new concat-and-chunk packing
     "sequence_pack_scaled",  # r4: its two-phase-cumsum 100 TB twin
     "vocab_oov_rate",  # r4: new top-V vocabulary coverage
+    "salted_skew_join",  # r4: new hot/cold salted join
     # — keep-certified tier (SURVEY §2 parity + r2/r3 window residents) —
     "project_dropna",
     "range_filter_agg",
@@ -78,7 +79,9 @@ _RECHECK_FIRST = [
     "multimodal_meta",
     "doc_chunk_explode",
     "similarity_bruteforce_topk",
-    "embedding_int8_quantize",
+    # embedding_int8_quantize: rotated out of the keep tier in r4 — its
+    # r3 driver row is green and the local differential still runs; the
+    # slot pays for salted_skew_join's first certification.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -128,3 +128,102 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+#: orders-per-customer threshold above which a key is treated as hot
+_HOT_MIN_ORDERS = 20
+#: salt fan-out for the hot-key join slice
+_JOIN_SALT = 8
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe big-big equi-join via a hot/cold split — semantically a
+    plain ``orders ⋈ customer`` (exactly what the oracle runs), executed
+    the way you survive one customer owning 40% of all orders when the
+    dim side is too big to broadcast:
+
+    1. HOT-KEY DETECTION: one narrow count-aggregate finds keys above
+       ``_HOT_MIN_ORDERS``; the surviving key list is tiny by definition
+       and broadcasts everywhere it's used.
+    2. COLD SLICE: normal shuffle join — no hot key, no straggler.
+    3. HOT SLICE: fact rows get a DETERMINISTIC salt
+       (``xxhash64(o_orderkey) mod {_JOIN_SALT}``, not rand() — reruns
+       and retries place every row identically), dim rows for hot keys
+       are exploded ×{_JOIN_SALT}, and the join key becomes
+       (custkey, salt): the hottest key's rows spread over
+       {_JOIN_SALT} reduce tasks instead of one.
+    4. Union, then aggregate — the decomposable rollup makes the split
+       invisible in the result.
+
+    ``shuffle_hash`` hints pin both slices to shuffled joins so the plan
+    demonstrates (and the plan test asserts) the salt doing the work —
+    on this corpus Spark would otherwise just broadcast the dim, which
+    is the right call at dim≤threshold but not the scenario this
+    operator exists for. AQE's skew-split handles sort-merge stragglers
+    reactively; explicit salting is the proactive variant that also
+    covers shuffled-hash joins and deterministic replays.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    hot_keys = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > _HOT_MIN_ORDERS)
+        .select("o_custkey", F.lit(1).alias("__hot"))
+    )
+    fact = o.join(F.broadcast(hot_keys), "o_custkey", "left")
+
+    cold = (
+        fact.filter(F.col("__hot").isNull())
+        .join(c.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "o_totalprice")
+    )
+
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(_JOIN_SALT)).cast("int")
+    fact_hot = fact.filter(F.col("__hot").isNotNull()).withColumn("__salt", salt)
+    dim_hot = (
+        c.join(
+            F.broadcast(hot_keys.select(F.col("o_custkey").alias("c_custkey"))),
+            "c_custkey",
+        )
+        .withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALT)])),
+        )
+    )
+    hot = (
+        fact_hot.join(
+            dim_hot.hint("shuffle_hash"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (fact_hot["__salt"] == dim_hot["__salt"]),
+        )
+        .select("c_nationkey", "o_totalprice")
+    )
+
+    return (
+        cold.unionByName(hot)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

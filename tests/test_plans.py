@@ -311,3 +311,16 @@ def test_vocab_membership_join_is_broadcast(spark):
     plan = formatted_plan(df)
     # top-V cut is a bounded take, not a global sort of the counts
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_skew_join_splits_hot_and_cold(spark):
+    # hot/cold split: Union of a plain shuffled join (cold keys) and a
+    # salted shuffled join (hot keys); the hot-key list and the nation
+    # dim broadcast; nothing degenerates to a cartesian product
+    df = q("salted_skew_join", spark)
+    plan = formatted_plan(df)
+    assert "Union" in plan
+    strategies = join_strategies(df)
+    assert "ShuffledHashJoin" in strategies, strategies
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies

@@ -56,18 +56,32 @@ ROUND2_IDS = [
 ]
 
 #: tier-3 ids that were past the r1 window
+#: (embedding_int8_quantize rotated out in r4: driver-green in r3, still
+#: locally differential-tested; its window slot funds salted_skew_join)
 TIER3_SAMPLE = [
     "multimodal_meta",
     "doc_chunk_explode",
     "stratified_hash_sample",
     "similarity_bruteforce_topk",
-    "embedding_int8_quantize",
+]
+
+#: ids that MUST newly certify in the r4 window
+ROUND4_IDS = [
+    "streaming_sessionization",
+    "sequence_pack_stats",
+    "sequence_pack_scaled",
+    "vocab_oov_rate",
+    "salted_skew_join",
 ]
 
 
 def test_parity_and_round2_ids_inside_driver_window():
     prefix = list(REGISTRY)[:WINDOW]
-    missing = [n for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE if n not in prefix]
+    missing = [
+        n
+        for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE + ROUND4_IDS
+        if n not in prefix
+    ]
     assert not missing, f"ids outside the driver's {WINDOW}-entry window: {missing}"
 
 

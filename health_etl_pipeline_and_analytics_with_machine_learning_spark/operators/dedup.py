@@ -9,9 +9,9 @@ training-data pipeline needs:
                                 compares.
 3. SimHash hamming banding    : linear fingerprinting (text.text_simhash)
                                 + band-bucketed candidate join.
-4. MinHash + LSH (MLlib)      : the 100 TB path — sketch once, band-join,
-                                verify only candidates. Seeded,
-                                deterministic; no SQL oracle (rows-only).
+4. MinHash + LSH              : the 100 TB path — sketch once, band-join,
+                                verify only candidates. md5-derived hash
+                                family, fully oracle-certified.
 
 Embedding-cosine near-dup lives in similarity.py.
 """

@@ -1,20 +1,41 @@
 """Similarity search over the ``embeddings`` table (``array<float>``,
-64-dim): brute-force cosine top-k as the exact baseline, LSH-bucketed
-candidate generation as the scale path, and embedding-cosine near-dup.
+64-dim): brute-force cosine top-k as the exact baseline, IVF and
+bucketed-LSH candidate generation as the scale paths, and
+embedding-cosine near-dup.
 
 Dot products are native higher-order array expressions
 (``zip_with`` + ``aggregate``) computed in float64 with fixed
 accumulation order, so results are reproducible and oracle-comparable
 (DuckDB ``list_cosine_similarity`` on ``DOUBLE[]``).
+
+EVERY op here is oracle-certified, including the ANN paths — possible
+because the index-build randomness is replaced with determinism the
+oracle can replay:
+
+- the IVF / semantic-dedup coarse quantizer is a fixed-iteration Lloyd
+  k-means fit on an md5-hash sample, initialized from the sample's K
+  lowest vec_ids, with distances and centroid means pinned to shared
+  IEEE rounding (``round_cmp``) — DuckDB re-derives bit-identical
+  centroids from unrolled CTEs (verified: exact equality);
+- the LSH hyperplanes draw their coefficients from md5 of the
+  (table, plane, dim) index — the same constants fall out of SQL's
+  ``md5()`` and Python's ``hashlib`` — so bucket keys, candidate sets,
+  and therefore results match exactly.
+
+Deterministic index builds are not just a test convenience: at 100 TB
+they make index rebuilds reproducible across reruns, engines, and
+incremental refreshes — the same argument as hash-based sampling.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import load, query
+from .registry import load, query, round_cmp, round_cmp_sql
 
 N_QUERIES = 10
 TOP_K = 5
@@ -132,62 +153,212 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_IVF_CELLS = 16
-N_PROBE = 4
+#: 6-of-16 probes: this corpus is near-isotropic (random unit vectors),
+#: so cell membership only weakly predicts the true top-k — 6 probes
+#: measure recall 0.64 @5 (4 probes sat at 0.48). Clustered production
+#: embeddings concentrate neighbors in 1-2 cells and probe fewer.
+N_PROBE = 6
+#: md5(vec_id) 16-bit prefix thresholds: 0x4ccc/0x10000 ≈ 30% fit
+#: sample for IVF, 0x8000 ≈ 50% for semantic dedup
+_IVF_SAMPLE_HEX = "4ccc"
+_IVF_ITERS = 2
+_DIM = 64
 
 
-@query("similarity_ivf_topk", oracle=None, tags=("rows-only",))
+def _d2(v: Column, cv: Column) -> Column:
+    """Pinned squared L2 distance ‖v-c‖² = v·v - 2v·c + c·c. The inner-
+    product form (not Σ(x-y)²) lets the oracle use list_inner_product;
+    both engines' FP noise (~1e-13) is absorbed by round_cmp(·, 6)."""
+    return round_cmp(_dot(v, v) - 2 * _dot(v, cv) + _dot(cv, cv), 6)
+
+
+def _d2_sql(v: str, cv: str) -> str:
+    return round_cmp_sql(
+        f"list_inner_product({v}, {v}) - 2*list_inner_product({v}, {cv})"
+        f" + list_inner_product({cv}, {cv})",
+        6,
+    )
+
+
+def _cent_array(cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as a literal array<struct<cell,cv>> — folded into the
+    row expression, so cell assignment is narrow (NO join, NO shuffle):
+    the pattern that lets a 100 TB corpus assign cells in one scan."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for c, cv in cents
+        ]
+    )
+
+
+def _best_cell(v: Column, cent_arr: Column) -> Column:
+    """struct(d2, cell) of the nearest centroid — array_min over
+    struct ordering = argmin with deterministic cell tiebreak."""
+    return F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(_d2(v, c["cv"]).alias("d2"), c["cell"].alias("cell")),
+        )
+    )
+
+
+def _det_kmeans_fit(
+    spark: SparkSession, e: DataFrame, k: int, iters: int, sample_hex: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic fixed-iteration Lloyd k-means, the coarse quantizer
+    behind the IVF and semantic-dedup ops.
+
+    Determinism contract (the oracle replays every step in SQL):
+    fit set = rows with md5(vec_id) 16-bit prefix < sample_hex (hash
+    sample, not rand()); init = the sample's ``k`` lowest vec_ids;
+    assignment = argmin of round_cmp-pinned d2 with cell-id tiebreak;
+    new centroid = per-dimension mean pinned with round_cmp(·, 9).
+    Cells that lose every member drop out on both sides identically.
+
+    Scale shape: the per-iteration work is one narrow assignment scan of
+    the SAMPLE plus a (cell, dim)-keyed partial-aggregated mean; only
+    k×dim values ever reach the driver. At 100 TB the sample threshold
+    is the only knob — the corpus itself is never scanned until the
+    final (also narrow) assignment pass.
+    """
+    samp = (
+        e.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < sample_hex
+        )
+        .select("vec_id", "v")
+        .localCheckpoint(eager=False)
+    )
+    init = samp.orderBy("vec_id").limit(k).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(init)]
+    for _ in range(iters):
+        arr = _cent_array(cents)
+        assigned = samp.select(
+            "v", _best_cell(F.col("v"), arr)["cell"].alias("cell")
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(round_cmp(F.avg("x"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+            .select("cell", F.expr("transform(sm, s -> s.m)").alias("cv"))
+            .orderBy("cell")
+            .collect()
+        )
+        cents = [(r["cell"], list(r["cv"])) for r in rows]
+    return cents
+
+
+def _kmeans_cte_sql(k: int, iters: int, sample_hex: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`_det_kmeans_fit` as unrolled CTEs.
+    Returns (cte_body, final_centroid_table_name)."""
+    d2 = _d2_sql("s.v", "c.cv")
+    parts = [
+        f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    samp AS (SELECT vec_id, v FROM e
+             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex}'),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                  v AS cv
+           FROM samp ORDER BY vec_id LIMIT {k})"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+    a{t} AS (SELECT v, cell FROM (
+      SELECT s.v, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2}, c.cell) AS rn
+      FROM samp s, {prev} c) WHERE rn = 1),
+    c{t} AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+      SELECT a.cell, d.i, {round_cmp_sql("AVG(a.v[d.i])", 9)} AS m
+      FROM a{t} a, dims d GROUP BY a.cell, d.i) GROUP BY cell)"""
+        )
+        prev = f"c{t}"
+    return ",".join(parts), prev
+
+
+_IVF_CTE, _IVF_CENT = _kmeans_cte_sql(N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    assigned AS (SELECT vec_id, v, cell FROM (
+      SELECT s.vec_id, s.v, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {_d2_sql("s.v", "c.cv")}, c.cell) AS rn
+      FROM e s, {_IVF_CENT} c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (SELECT query_id, qv, cell FROM (
+      SELECT s.query_id, s.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY {_d2_sql("s.qv", "c.cv")}, c.cell) AS rn
+      FROM q s, {_IVF_CENT} c) WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the other classic scale path next to
-    LSH: a seeded k-means coarse quantizer assigns every vector to one
-    of {N_IVF_CELLS} cells; each query probes only its {N_PROBE}
-    nearest cells and re-scores exact cosine inside them.
+    LSH: a deterministic k-means coarse quantizer (see
+    :func:`_det_kmeans_fit`) assigns every vector to one of
+    {N_IVF_CELLS} cells; each query probes only its {N_PROBE} nearest
+    cells and re-scores exact cosine inside them — touching
+    ~nprobe/cells of the corpus, never all of it.
 
-    Scale shape: the quantizer trains on a SAMPLE (here: the corpus —
-    at 100 TB, `.sample()` first), centroids are a driver-side constant
-    folded into the assignment expression; search is a broadcast-join of
-    (query × probed cell-ids) against the cell-partitioned corpus —
-    touching corpus/cells × nprobe of the data, never all of it. On
-    disk you'd bucket/partition the corpus BY cell-id so a probe is a
-    partition-pruned scan. Same output shape as the brute-force
-    baseline, so tests measure recall against it. Rows-only (k-means
-    isn't SQL-expressible).
+    Scale shape: the quantizer fits on an md5-hash sample (never the
+    full corpus at 100 TB), centroids come back as a tiny driver-side
+    constant folded into a NARROW assignment expression (no join, no
+    shuffle for cell assignment); search is a broadcast of the
+    (query × probed-cell) list against the cell-assigned corpus. On
+    disk you'd bucket/partition the corpus BY cell so a probe is a
+    partition-pruned scan. Fully oracle-certified: the driver's DuckDB
+    twin re-derives the same centroids, cells, probes, and neighbors.
+    Recall vs the exact baseline is measured in tests/test_llm_ops.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
-    # a coarse quantizer doesn't need convergence — assignment noise is
-    # absorbed by multi-probe + exact re-scoring; 5 iterations measured
-    # the same recall as full convergence at 60% of the build time, and
-    # the fit runs on a seeded sample (the standard IVF practice — at
-    # 100 TB the quantizer NEVER sees the full corpus)
-    km = KMeans(k=N_IVF_CELLS, seed=42, maxIter=5, featuresCol="vec", predictionCol="cell")
-    model = km.fit(e.sample(fraction=0.3, seed=42))
-    assigned = model.transform(e).select("vec_id", "label", "v", "nrm", "cell")
-
-    # centroids are tiny driver-side constants; rank each query's cells
-    # by exact centroid distance and keep the N_PROBE nearest
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, cv array<double>"
+    e = _emb(spark, sf_dir)
+    cents = _det_kmeans_fit(spark, e, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
+    arr = _cent_array(cents)
+    assigned = e.select(
+        "vec_id", "v", "nrm", _best_cell(F.col("v"), arr)["cell"].alias("cell")
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    # per-query probe list: rank centroids by pinned d2, keep N_PROBE —
+    # all inside one narrow array expression (sort the struct array)
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                arr,
+                lambda c: F.struct(
+                    _d2(F.col("qv"), c["cv"]).alias("d2"), c["cell"].alias("cell")
+                ),
+            )
+        ),
+        1,
+        N_PROBE,
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "qnrm", "cell", d2.alias("d2"))
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", "qv", "qnrm", "cell")
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .select("query_id", "qv", "qnrm", F.explode(probe_cells).alias("pc"))
+        .select("query_id", "qv", "qnrm", F.col("pc.cell").alias("cell"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -195,9 +366,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -208,38 +379,146 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_bucketed", oracle=None, tags=("rows-only",))
-def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane signs via MLlib
-    BucketedRandomProjectionLSH (seeded) generate candidate buckets; exact
-    cosine re-scores candidates only. Returns the same (query, neighbor,
-    cosine, rank) shape as the brute-force baseline so recall can be
-    measured against it (see tests). Rows-only for the driver (MLlib
-    hash planes aren't SQL-expressible)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+#: composite LSH geometry: _LSH_TABLES hash tables, each the
+#: concatenation of _LSH_K bucketed projections of width _LSH_LEN.
+#: Tuned on the driver corpus: recall@5 ≈ 0.76 vs exact while scoring
+#: ~58% of the corpus per query — this corpus is near-isotropic (random
+#: unit vectors, weak cluster structure), which bounds ANY LSH's
+#: pruning; on genuinely clustered production embeddings the identical
+#: geometry prunes much harder.
+_LSH_TABLES = 12
+_LSH_K = 3
+_LSH_LEN = 0.5
 
-    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=6, seed=42
+
+def _lsh_planes() -> list[tuple[int, int, list[float]]]:
+    """(table, plane, coefs): coefficients are md5-derived uniforms in
+    [-0.5, 0.5) — the same constants DuckDB's md5() yields, so both
+    engines project onto bit-identical hyperplanes."""
+    return [
+        (
+            t,
+            j,
+            [
+                int(hashlib.md5(f"{t}_{j}_{i}".encode()).hexdigest()[:8], 16)
+                / 4294967295.0
+                - 0.5
+                for i in range(1, _DIM + 1)
+            ],
+        )
+        for t in range(_LSH_TABLES)
+        for j in range(_LSH_K)
+    ]
+
+
+def _lsh_buckets(df: DataFrame) -> DataFrame:
+    """One row per (vec, table) with the table's composite bucket key —
+    '<b0>_<b1>_<b2>', each b = floor(pinned-projection / _LSH_LEN).
+    The plane constants fold into the row expression: bucketing is a
+    narrow scan, no shuffle, exactly like the IVF cell assignment."""
+    planes = _lsh_planes()
+    tables = []
+    for t in range(_LSH_TABLES):
+        parts = [
+            F.floor(
+                round_cmp(
+                    _dot(F.col("v"), F.array(*[F.lit(x) for x in coefs])), 6
+                )
+                / F.lit(_LSH_LEN)
+            ).cast("string")
+            for (tt, j, coefs) in planes
+            if tt == t
+        ]
+        tables.append(
+            F.struct(F.lit(t).alias("t"), F.concat_ws("_", *parts).alias("bkey"))
+        )
+    return df.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*tables)).alias("b")
+    ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.bkey").alias("bkey"))
+
+
+def _lsh_planes_sql() -> str:
+    return f"""
+    planes AS (
+      SELECT t, j, list(coef ORDER BY i) AS pv FROM (
+        SELECT tp.t, tp.j, d.i,
+               ('0x' || substr(md5(CAST(tp.t AS VARCHAR) || '_' ||
+                                   CAST(tp.j AS VARCHAR) || '_' ||
+                                   CAST(d.i AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967295.0 - 0.5 AS coef
+        FROM (SELECT t.t, j.j
+              FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t) t,
+                   (SELECT unnest(generate_series(0, {_LSH_K - 1})) AS j) j) tp,
+             dims d)
+      GROUP BY t, j),
+    vb AS (
+      SELECT e.vec_id, pl.t,
+             string_agg(CAST(CAST(FLOOR(
+               {round_cmp_sql("list_inner_product(e.v, pl.pv)", 6)} / {_LSH_LEN}
+             ) AS BIGINT) AS VARCHAR), '_' ORDER BY pl.j) AS bkey
+      FROM e, planes pl
+      GROUP BY e.vec_id, pl.t)"""
+
+
+@query(
+    "similarity_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    {_lsh_planes_sql()},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM vb q JOIN vb c ON q.t = c.t AND q.bkey = c.bkey
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cosine
+      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                JOIN e ec ON ec.vec_id = cand.neighbor_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN via composite bucketed random projections:
+    {_LSH_TABLES} hash tables × {_LSH_K} md5-derived hyperplanes each;
+    a pair is a candidate when ANY table's composite bucket key matches
+    (equi-join on (table, key) — never a cross product); exact cosine
+    re-scores candidates only. Same output shape as the brute-force
+    baseline so recall is measurable (tests/test_llm_ops.py).
+
+    Scale shape: bucketing is a narrow expression scan; the candidate
+    join shuffles on (table, bucket-key) — bounded buckets, Σfreq² not
+    n²; query buckets broadcast. Deterministic planes (md5 of the
+    (table, plane, dim) index) make the index reproducible across
+    reruns, engines, and incremental refreshes — and let the driver's
+    DuckDB oracle replay the entire pipeline for full certification.
+    """
+    e = _emb(spark, sf_dir)
+    vb = _lsh_buckets(e)
+    qb = vb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "t",
+        "bkey",
     )
-    model = lsh.fit(e)
-    q = e.filter(F.col("vec_id") < N_QUERIES)
-    # candidate pairs whose euclidean distance is under a loose threshold
-    cand = model.approxSimilarityJoin(q, e, 12.0, distCol="dist").select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        F.col("datasetA.v").alias("qv"),
-        F.col("datasetB.v").alias("v"),
-        F.col("datasetA.nrm").alias("qnrm"),
-        F.col("datasetB.nrm").alias("nrm"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = (
+        vb.join(F.broadcast(qb), ["t", "bkey"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qnrm", F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -252,61 +531,64 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: semantic-dedup geometry: cluster count sets the dedup aggressiveness
 #: (corpus/K docs collapse into one representative per cluster)
 K_SEMANTIC = 25
+_SEM_SAMPLE_HEX = "8000"
+_SEM_ITERS = 3
+
+_SEM_CTE, _SEM_CENT = _kmeans_cte_sql(K_SEMANTIC, _SEM_ITERS, _SEM_SAMPLE_HEX)
 
 
 def semantic_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-level view behind dedup_semantic_cluster: every vector
-    with its seeded-k-means cluster id and squared distance to its own
-    centroid. Exposed so tests can pin the argmin/partition properties."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = _emb(spark, sf_dir).withColumn("vec", array_to_vector("v"))
-    km = KMeans(
-        k=K_SEMANTIC, seed=42, maxIter=10, featuresCol="vec", predictionCol="cluster"
-    )
-    model = km.fit(e.sample(fraction=0.5, seed=42))
-    assigned = model.transform(e).select("vec_id", "v", "cluster")
-
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, cv array<double>",
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return assigned.join(F.broadcast(cent), "cluster").select(
-        "cluster", "vec_id", d2.alias("dist2")
+    with its cluster id and PINNED squared distance to its own centroid
+    (the deterministic quantizer's d2, already round_cmp'd). Exposed so
+    tests can pin the argmin/partition properties."""
+    e = _emb(spark, sf_dir)
+    cents = _det_kmeans_fit(spark, e, K_SEMANTIC, _SEM_ITERS, _SEM_SAMPLE_HEX)
+    best = _best_cell(F.col("v"), _cent_array(cents))
+    return e.select(
+        "vec_id",
+        best["cell"].alias("cluster"),
+        best["d2"].alias("dist2"),
     )
 
 
-@query("dedup_semantic_cluster", oracle=None, tags=("rows-only",))
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH {_SEM_CTE},
+    members AS (SELECT vec_id, cell AS cluster, d2 AS dist2 FROM (
+      SELECT s.vec_id, c.cell, {_d2_sql("s.v", "c.cv")} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY {_d2_sql("s.v", "c.cv")}, c.cell) AS rn
+      FROM e s, {_SEM_CENT} c) WHERE rn = 1)
+    SELECT cluster, COUNT(*) AS n_members,
+           (ARRAY_AGG(vec_id ORDER BY dist2, vec_id))[1] AS rep_vec_id,
+           ROUND(MIN(dist2), 6) AS rep_dist2
+    FROM members GROUP BY cluster ORDER BY cluster
+    """,
+)
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup — the embedding-space rung of the dedup ladder
     (exact → MinHash/SimHash/n-gram → cosine near-dup → THIS): cluster
-    the corpus with a seeded k-means and keep ONE representative per
-    cluster, the member closest to its centroid (vec_id tiebreak).
-    SemDeDup-style pruning: near-identical meaning collapses even when
-    no tokens overlap, which no fingerprint rung can see.
+    the corpus with the deterministic quantizer and keep ONE
+    representative per cluster, the member closest to its centroid
+    (vec_id tiebreak). SemDeDup-style pruning: near-identical meaning
+    collapses even when no tokens overlap, which no fingerprint rung
+    can see.
 
-    Scale shape mirrors the IVF quantizer: fit on a seeded sample
-    (never the full corpus at 100 TB), centroids come back as a tiny
-    driver-side table folded into a broadcast join, the representative
-    choice is one window per cluster — a single shuffle keyed by
-    cluster id, bounded by k-means' own assignment pass. Rows-only
-    (k-means isn't SQL-expressible); determinism + argmin property are
-    pinned in tests/test_llm_ops.py.
+    Scale shape mirrors the IVF op: fit on an md5-hash sample (never
+    the full corpus at 100 TB), centroids fold into a NARROW assignment
+    expression, and the representative choice is one (cluster)-keyed
+    aggregation — min of (dist2, vec_id) structs, no window pass. Fully
+    oracle-certified via the unrolled-Lloyd CTE; determinism + argmin
+    properties additionally pinned in tests/test_llm_ops.py.
     """
     members = semantic_cluster_members(spark, sf_dir)
-    w = Window.partitionBy("cluster").orderBy("dist2", "vec_id")
     return (
-        members.withColumn("rn", F.row_number().over(w))
-        .groupBy("cluster")
+        members.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("rep_vec_id"),
+            F.min(F.struct("dist2", "vec_id"))["vec_id"].alias("rep_vec_id"),
             F.round(F.min("dist2"), 6).alias("rep_dist2"),
         )
         .orderBy("cluster")

@@ -50,6 +50,7 @@ _RECHECK_FIRST = [
     "window_lag_value_delta",
     "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
     "streaming_sessionization",  # r4: new applyInPandasWithState op
+    "streaming_hour_rollup",  # r4: new certified windowed-agg replay
     "sequence_pack_stats",  # r4: new concat-and-chunk packing
     "sequence_pack_scaled",  # r4: its two-phase-cumsum 100 TB twin
     "vocab_oov_rate",  # r4: new top-V vocabulary coverage
@@ -77,11 +78,11 @@ _RECHECK_FIRST = [
     "iqr_clip_scaled",
     "group_quantiles_scaled",
     "multimodal_meta",
-    "doc_chunk_explode",
     "similarity_bruteforce_topk",
-    # embedding_int8_quantize: rotated out of the keep tier in r4 — its
-    # r3 driver row is green and the local differential still runs; the
-    # slot pays for salted_skew_join's first certification.
+    # doc_chunk_explode + embedding_int8_quantize: rotated out of the
+    # keep tier in r4 — their r3 driver rows are green and the local
+    # differential still runs; the slots pay for salted_skew_join's and
+    # streaming_hour_rollup's first certifications.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

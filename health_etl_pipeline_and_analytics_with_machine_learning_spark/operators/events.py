@@ -630,3 +630,30 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import stream_sessionization
 
     return stream_sessionization(spark, sf_dir)
+
+
+@query(
+    "streaming_hour_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+    tags=("streaming",),
+)
+def streaming_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``events_hour_agg`` (minus the distinct-user
+    column — exact DISTINCT isn't expressible inside a streaming
+    aggregate): the events table replays as time-ordered micro-batches
+    through a tumbling-1-hour windowed aggregation, and the bounded
+    stream's final window table must hash-match the batch/DuckDB
+    GROUP BY date_trunc answer. Second entry in the certified-streaming
+    family next to streaming_sessionization; see
+    streaming/sessionize.py for replay mechanics and scale notes."""
+    from ..streaming.sessionize import stream_hour_rollup
+
+    return stream_hour_rollup(spark, sf_dir)

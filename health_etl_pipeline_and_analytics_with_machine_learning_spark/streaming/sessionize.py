@@ -101,15 +101,13 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     return out
 
 
-def stream_sessionization(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 3
-) -> DataFrame:
-    """Run the bounded event stream through the stateful sessionizer to
-    completion and return the FINAL per-user session stats — same
-    columns, same values as the batch ``sessionization`` query (and its
-    DuckDB oracle)."""
-    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
-    schema = _probe_events_schema(spark, os.path.join(watch_dir, os.listdir(watch_dir)[0]))
+def _read_chunked_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
+    """FileStreamSource over a chunk dir (one file per micro-batch),
+    with the same schema-adaptive ts normalization as registry.load —
+    shared by the sessionizer and the rollup replay."""
+    schema = _probe_events_schema(
+        spark, os.path.join(watch_dir, sorted(os.listdir(watch_dir))[0])
+    )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -121,6 +119,18 @@ def stream_sessionization(
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
+
+
+def stream_sessionization(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Run the bounded event stream through the stateful sessionizer to
+    completion and return the FINAL per-user session stats — same
+    columns, same values as the batch ``sessionization`` query (and its
+    DuckDB oracle)."""
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    raw = _read_chunked_stream(spark, watch_dir)
 
     updates = (
         raw.select("user_id", "ts", "event_id")
@@ -174,3 +184,56 @@ def stream_sessionization(
         "n_events",
         F.round(F.col("n_events") / F.col("n_sessions"), 4).alias("events_per_session"),
     ).orderBy("user_id")
+
+
+def stream_hour_rollup(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Windowed streaming rollup replayed over time-ordered micro-batches
+    — the certified twin of the batch tumbling-hour aggregation
+    (operators.events.events_hour_agg, minus the distinct-user count:
+    exact DISTINCT inside a streaming aggregate isn't expressible, which
+    is itself a documented engine boundary — the production answer is
+    approx_count_distinct or a pre-window dropDuplicates stage).
+
+    The bounded replay runs in COMPLETE output mode, so the memory sink
+    holds the full window table at stream end — no watermark races, and
+    the final answer must equal the batch GROUP BY date_trunc exactly.
+    Production (unbounded) uses events_stream.hourly_rollup: the same
+    window expression with a 2 h watermark and append output to a real
+    sink. State here is O(hours × event types), not O(events)."""
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    raw = _read_chunked_stream(spark, watch_dir)
+    rolled = (
+        raw.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    name = "hour_rollup_replay"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )

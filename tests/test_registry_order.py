@@ -56,11 +56,11 @@ ROUND2_IDS = [
 ]
 
 #: tier-3 ids that were past the r1 window
-#: (embedding_int8_quantize rotated out in r4: driver-green in r3, still
-#: locally differential-tested; its window slot funds salted_skew_join)
+#: (doc_chunk_explode + embedding_int8_quantize rotated out in r4:
+#: driver-green in r3, still locally differential-tested; their window
+#: slots fund the brand-new r4 certifications)
 TIER3_SAMPLE = [
     "multimodal_meta",
-    "doc_chunk_explode",
     "stratified_hash_sample",
     "similarity_bruteforce_topk",
 ]
@@ -68,6 +68,7 @@ TIER3_SAMPLE = [
 #: ids that MUST newly certify in the r4 window
 ROUND4_IDS = [
     "streaming_sessionization",
+    "streaming_hour_rollup",
     "sequence_pack_stats",
     "sequence_pack_scaled",
     "vocab_oov_rate",

@@ -72,24 +72,10 @@ def test_streaming_csv_ingest_matches_batch_rowwise(spark, tmp_path):
     assert s_census == b_census
 
 
-def test_stateful_sessionization_matches_batch(spark):
-    """applyInPandasWithState sessionizer, after replaying the bounded
-    input, must land on the same per-user (n_sessions, n_events) as the
-    batch gaps-and-islands query."""
-    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.events import (
-        sessionization,
-    )
-    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming import (
-        sessionize_stream,
-    )
-
-    streamed = sessionize_stream.run_to_memory(spark, SF_SMOKE)
-    batch = sessionization(spark, SF_SMOKE)
-
-    s_rows = {r.user_id: (r.n_sessions, r.n_events) for r in streamed.collect()}
-    b_rows = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
-    assert s_rows == b_rows
-    assert len(s_rows) > 0
+# (the stateful sessionizer's stream-vs-batch equality now lives in
+# tests/test_streaming_sessionize.py against streaming/sessionize.py —
+# the chunked-replay, oracle-certified successor of the single-batch
+# sessionize_stream module removed in r4)
 
 
 def test_streaming_dedup_restores_exactly_once(spark):

@@ -38,3 +38,26 @@ def test_registered_with_oracle():
     rq = REGISTRY["streaming_sessionization"]
     assert rq.oracle is not None and "INTERVAL 30 MINUTE" in rq.oracle
     assert "streaming" in rq.tags
+
+
+def test_stream_hour_rollup_equals_batch():
+    rq = REGISTRY["streaming_hour_rollup"]
+    assert rq.oracle is not None and "date_trunc" in rq.oracle
+
+
+def test_stream_hour_rollup_values(spark):
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.events import (
+        events_hour_agg,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.sessionize import (
+        stream_hour_rollup,
+    )
+
+    stream = {tuple(r) for r in stream_hour_rollup(spark, SF_SMOKE).collect()}
+    batch = {
+        tuple(r)[:4]  # drop n_users, not expressible in streaming
+        for r in events_hour_agg(spark, SF_SMOKE).select(
+            "hour", "event_type", "n_events", "sum_value"
+        ).collect()
+    }
+    assert stream == batch and len(stream) > 0

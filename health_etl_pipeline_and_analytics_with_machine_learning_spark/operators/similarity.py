@@ -165,11 +165,16 @@ _IVF_ITERS = 2
 _DIM = 64
 
 
-def _d2(v: Column, cv: Column) -> Column:
-    """Pinned squared L2 distance ‖v-c‖² = v·v - 2v·c + c·c. The inner-
-    product form (not Σ(x-y)²) lets the oracle use list_inner_product;
-    both engines' FP noise (~1e-13) is absorbed by round_cmp(·, 6)."""
-    return round_cmp(_dot(v, v) - 2 * _dot(v, cv) + _dot(cv, cv), 6)
+def _d2s(vv: Column, v: Column, c: Column) -> Column:
+    """Pinned squared L2 distance ‖v-c‖² = v·v - 2v·c + c·c against one
+    centroid struct. The inner-product form (not Σ(x-y)²) lets the
+    oracle use list_inner_product; both engines' FP noise (~1e-13) is
+    absorbed by round_cmp(·, 6). ``vv`` is the row's v·v computed ONCE
+    (not per centroid), and ``c["cc"]`` is the centroid's c·c as a
+    driver-precomputed literal (Python's left-to-right double sum is
+    bit-identical to the engines') — so per-centroid work is a single
+    dot product."""
+    return round_cmp(vv - 2 * _dot(v, c["cv"]) + c["cc"], 6)
 
 
 def _d2_sql(v: str, cv: str) -> str:
@@ -181,27 +186,31 @@ def _d2_sql(v: str, cv: str) -> str:
 
 
 def _cent_array(cents: list[tuple[int, list[float]]]) -> Column:
-    """Centroids as a literal array<struct<cell,cv>> — folded into the
-    row expression, so cell assignment is narrow (NO join, NO shuffle):
-    the pattern that lets a 100 TB corpus assign cells in one scan."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for c, cv in cents
-        ]
-    )
+    """Centroids as a literal array<struct<cell,cv,cc>> — folded into
+    the row expression, so cell assignment is narrow (NO join, NO
+    shuffle): the pattern that lets a 100 TB corpus assign cells in one
+    scan. Built as ONE parsed SQL expression: the F.lit/F.struct
+    equivalent costs a py4j round-trip per literal (K×dim ≈ 1600 calls,
+    ~2 s of pure driver overhead per plan — measured); one F.expr parse
+    is ~5 ms. repr() round-trips doubles exactly, so the literals are
+    bit-identical to the collected centroid values."""
+    items = []
+    for c, cv in cents:
+        arr = ",".join(f"{float(x)!r}D" for x in cv)
+        cc = f"{float(sum(x * x for x in cv))!r}D"
+        items.append(
+            f"named_struct('cell', {int(c)}, 'cv', array({arr}), 'cc', {cc})"
+        )
+    return F.expr("array(" + ",".join(items) + ")")
 
 
-def _best_cell(v: Column, cent_arr: Column) -> Column:
+def _best_cell(v: Column, vv: Column, cent_arr: Column) -> Column:
     """struct(d2, cell) of the nearest centroid — array_min over
     struct ordering = argmin with deterministic cell tiebreak."""
     return F.array_min(
         F.transform(
             cent_arr,
-            lambda c: F.struct(_d2(v, c["cv"]).alias("d2"), c["cell"].alias("cell")),
+            lambda c: F.struct(_d2s(vv, v, c).alias("d2"), c["cell"].alias("cell")),
         )
     )
 
@@ -236,8 +245,8 @@ def _det_kmeans_fit(
     cents = [(i, list(r["v"])) for i, r in enumerate(init)]
     for _ in range(iters):
         arr = _cent_array(cents)
-        assigned = samp.select(
-            "v", _best_cell(F.col("v"), arr)["cell"].alias("cell")
+        assigned = samp.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+            "v", _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell")
         )
         rows = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
@@ -333,8 +342,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cents = _det_kmeans_fit(spark, e, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
     arr = _cent_array(cents)
-    assigned = e.select(
-        "vec_id", "v", "nrm", _best_cell(F.col("v"), arr)["cell"].alias("cell")
+    assigned = e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+        "vec_id",
+        "v",
+        "nrm",
+        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
     )
     # per-query probe list: rank centroids by pinned d2, keep N_PROBE —
     # all inside one narrow array expression (sort the struct array)
@@ -343,7 +355,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 arr,
                 lambda c: F.struct(
-                    _d2(F.col("qv"), c["cv"]).alias("d2"), c["cell"].alias("cell")
+                    _d2s(F.col("__qvv"), F.col("qv"), c).alias("d2"),
+                    c["cell"].alias("cell"),
                 ),
             )
         ),
@@ -357,6 +370,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
         )
+        .withColumn("__qvv", _dot(F.col("qv"), F.col("qv")))
         .select("query_id", "qv", "qnrm", F.explode(probe_cells).alias("pc"))
         .select("query_id", "qv", "qnrm", F.col("pc.cell").alias("cell"))
     )
@@ -415,26 +429,29 @@ def _lsh_buckets(df: DataFrame) -> DataFrame:
     """One row per (vec, table) with the table's composite bucket key —
     '<b0>_<b1>_<b2>', each b = floor(pinned-projection / _LSH_LEN).
     The plane constants fold into the row expression: bucketing is a
-    narrow scan, no shuffle, exactly like the IVF cell assignment."""
+    narrow scan, no shuffle, exactly like the IVF cell assignment. Like
+    _cent_array, the whole bucket expression is ONE parsed SQL string
+    (the F.lit equivalent would be ~2300 py4j calls); ROUND/FLOOR in
+    SQL text are the same Catalyst functions round_cmp composes, so the
+    pinned values are unchanged."""
     planes = _lsh_planes()
     tables = []
     for t in range(_LSH_TABLES):
-        parts = [
-            F.floor(
-                round_cmp(
-                    _dot(F.col("v"), F.array(*[F.lit(x) for x in coefs])), 6
-                )
-                / F.lit(_LSH_LEN)
-            ).cast("string")
-            for (tt, j, coefs) in planes
-            if tt == t
-        ]
+        parts = []
+        for (tt, j, coefs) in planes:
+            if tt != t:
+                continue
+            arr = ",".join(f"{float(x)!r}D" for x in coefs)
+            ip = f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y), 0.0D, (acc, w) -> acc + w)"
+            pinned = f"FLOOR(ROUND({ip}, 9) * 1000000.0 + 0.5) / 1000000.0"
+            parts.append(f"CAST(FLOOR({pinned} / {_LSH_LEN!r}D) AS STRING)")
         tables.append(
-            F.struct(F.lit(t).alias("t"), F.concat_ws("_", *parts).alias("bkey"))
+            f"named_struct('t', {t}, 'bkey', concat_ws('_', {','.join(parts)}))"
         )
-    return df.select(
-        "vec_id", "v", "nrm", F.explode(F.array(*tables)).alias("b")
-    ).select("vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.bkey").alias("bkey"))
+    b = F.expr("array(" + ",".join(tables) + ")")
+    return df.select("vec_id", "v", "nrm", F.explode(b).alias("b")).select(
+        "vec_id", "v", "nrm", F.col("b.t").alias("t"), F.col("b.bkey").alias("bkey")
+    )
 
 
 def _lsh_planes_sql() -> str:
@@ -544,8 +561,8 @@ def semantic_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests can pin the argmin/partition properties."""
     e = _emb(spark, sf_dir)
     cents = _det_kmeans_fit(spark, e, K_SEMANTIC, _SEM_ITERS, _SEM_SAMPLE_HEX)
-    best = _best_cell(F.col("v"), _cent_array(cents))
-    return e.select(
+    best = _best_cell(F.col("v"), F.col("__vv"), _cent_array(cents))
+    return e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
         "vec_id",
         best["cell"].alias("cluster"),
         best["d2"].alias("dist2"),

@@ -51,6 +51,8 @@ _RECHECK_FIRST = [
     "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
     "streaming_sessionization",  # r4: new applyInPandasWithState op
     "streaming_hour_rollup",  # r4: new certified windowed-agg replay
+    "streaming_view_purchase_join",  # r4: new certified stream-stream join
+    "similarity_ivf_topk",  # r4: rows-only -> full oracle (det quantizer)
     "sequence_pack_stats",  # r4: new concat-and-chunk packing
     "sequence_pack_scaled",  # r4: its two-phase-cumsum 100 TB twin
     "vocab_oov_rate",  # r4: new top-V vocabulary coverage
@@ -77,12 +79,15 @@ _RECHECK_FIRST = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
-    "multimodal_meta",
-    "similarity_bruteforce_topk",
-    # doc_chunk_explode + embedding_int8_quantize: rotated out of the
-    # keep tier in r4 — their r3 driver rows are green and the local
-    # differential still runs; the slots pay for salted_skew_join's and
-    # streaming_hour_rollup's first certifications.
+    # multimodal_meta, similarity_bruteforce_topk, doc_chunk_explode,
+    # embedding_int8_quantize: rotated out of the keep tier in r4 —
+    # their r3 driver rows are green and the local DuckDB differential
+    # (same check) still runs every test session; the four slots pay for
+    # the brand-new r4 certifications (salted_skew_join, the three
+    # streaming ops, sequence packing, vocab coverage) plus a fresh
+    # driver row for similarity_ivf_topk, the flagship rows-only→oracle
+    # flip of the deterministic-quantizer rework (its lsh/semantic
+    # siblings share the mechanism and keep local certification).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

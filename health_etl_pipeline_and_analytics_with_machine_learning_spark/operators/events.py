@@ -657,3 +657,36 @@ def streaming_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import stream_hour_rollup
 
     return stream_hour_rollup(spark, sf_dir)
+
+
+@query(
+    "streaming_view_purchase_join",
+    oracle="""
+    SELECT p.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases,
+           COUNT(DISTINCT v.event_id) AS n_views
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join, oracle-certified: purchases join the same
+    user's views within the preceding hour, both sides replayed as
+    independent micro-batch streams; the bounded stream's pair set must
+    hash-match the batch/DuckDB range join. Third certified streaming
+    operator class (windowed agg, custom applyInPandasWithState state,
+    and now the stateful stream-stream join buffer). See
+    streaming/sessionize.py for replay mechanics and the production
+    watermark form."""
+    from ..streaming.sessionize import stream_view_purchase_join
+
+    return stream_view_purchase_join(spark, sf_dir)

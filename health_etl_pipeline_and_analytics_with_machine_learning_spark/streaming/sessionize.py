@@ -237,3 +237,78 @@ def stream_hour_rollup(
         )
         .orderBy("hour", "event_type")
     )
+
+
+def stream_view_purchase_join(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """STREAM-STREAM inner join replay — the third stateful streaming
+    operator class next to the windowed aggregation and the custom
+    applyInPandasWithState state machine: each user's purchases join the
+    views they followed within one hour (event-time range condition).
+
+    Both sides read the same chunked replay directory as independent
+    FileStreamSources; the inner join buffers both sides' state, so the
+    bounded replay emits exactly the batch join's pairs regardless of
+    how micro-batches interleave — which is what the oracle certifies.
+    Production (unbounded) adds watermarks on BOTH sides plus the same
+    time-range predicate, which lets Spark expire view-state older than
+    the hour bound instead of buffering forever; the replay keeps the
+    unexpired form so the bounded answer is exact.
+
+    Scale shape: the join shuffles both streams on user_id once;
+    per-micro-batch work is new-rows × matching-state, with state
+    bounded by the watermark horizon in the production form."""
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    views = (
+        _read_chunked_stream(spark, watch_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        _read_chunked_stream(spark, watch_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    name = "view_purchase_pairs"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the pair set is the certified object; roll it up per user so the
+    # result is small and deterministically ordered
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.countDistinct("view_id").alias("n_views"),
+        )
+        .orderBy("user_id")
+    )

@@ -43,6 +43,7 @@ PROVENANCE = {
     "sessionization": "extension: event sessionization (batch twin)",
     "streaming_sessionization": "§2.9 stateful streaming sessionization (applyInPandasWithState), oracle-certified vs the batch twin",
     "streaming_hour_rollup": "§2.9 windowed streaming rollup replay, oracle-certified vs the batch hour agg",
+    "streaming_view_purchase_join": "§2.9 stream-stream event-time range join, oracle-certified vs the batch range join",
     "json_props_extract": "extension: declared-schema JSON extraction",
     "set_intersect_except": "extension: INTERSECT/EXCEPT cohorts",
     "star_join_revenue": "extension: star join (broadcast dims)",
@@ -158,9 +159,10 @@ def main() -> None:
         "own dirty CSV), health analytics q1-q6 with SQL twins (`queries.py`),",
         "the MLlib RandomForest model (`ml.py`), data-quality report",
         "(`quality.py`), report/export sinks (`report.py`, `sources/sinks.py`),",
-        "bucketed/partitioned/range-sorted table layouts (`sources/`), and six",
-        "Structured Streaming flows (`streaming/`), two of them oracle-certified",
-        "end-to-end (stateful sessionization + windowed rollup replay).",
+        "bucketed/partitioned/range-sorted table layouts (`sources/`), and seven",
+        "Structured Streaming flows (`streaming/`), three of them oracle-certified",
+        "end-to-end (stateful sessionization, windowed rollup replay, and the",
+        "stream-stream event-time range join).",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")

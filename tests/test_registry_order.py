@@ -55,24 +55,25 @@ ROUND2_IDS = [
     "salted_skew_agg",
 ]
 
-#: tier-3 ids that were past the r1 window
-#: (doc_chunk_explode + embedding_int8_quantize rotated out in r4:
-#: driver-green in r3, still locally differential-tested; their window
-#: slots fund the brand-new r4 certifications)
+#: tier-3 ids that were past the r1 window. The rest of the r2/r3 tier-3
+#: residents (multimodal_meta, doc_chunk_explode, similarity_bruteforce_
+#: topk, embedding_int8_quantize) were rotated out in r4: driver-green
+#: in r3, still locally differential-tested; their window slots fund the
+#: brand-new r4 certifications below.
 TIER3_SAMPLE = [
-    "multimodal_meta",
     "stratified_hash_sample",
-    "similarity_bruteforce_topk",
 ]
 
 #: ids that MUST newly certify in the r4 window
 ROUND4_IDS = [
     "streaming_sessionization",
     "streaming_hour_rollup",
+    "streaming_view_purchase_join",
     "sequence_pack_stats",
     "sequence_pack_scaled",
     "vocab_oov_rate",
     "salted_skew_join",
+    "similarity_ivf_topk",
 ]
 
 

@@ -61,3 +61,41 @@ def test_stream_hour_rollup_values(spark):
         ).collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_stream_join_equals_batch_range_join(spark):
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.sessionize import (
+        stream_view_purchase_join,
+    )
+
+    stream = sorted(
+        tuple(r) for r in stream_view_purchase_join(spark, SF_SMOKE).collect()
+    )
+    ev = load(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    batch = sorted(
+        tuple(r)
+        for r in p.join(v, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.countDistinct("view_id").alias("n_views"),
+        )
+        .collect()
+    )
+    assert stream == batch and len(stream) > 0

@@ -539,3 +539,69 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: BPE merge-candidate report size
+_BPE_TOP = 50
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS w, COUNT(*) AS wn
+      FROM (
+        SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, wn FROM (
+        SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM w)
+    )
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_pairs DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1 at corpus scale: count adjacent
+    character pairs weighted by word frequency — the statistic whose
+    argmax picks each merge. Reported as the top-{_BPE_TOP} merge
+    candidates.
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    (one hash-agg with map-side partials — pair explosion then runs
+    over |vocab| rows, not |corpus| occurrences, the same occurrence→
+    type-space trick as tfidf_top_terms); pair extraction is a narrow
+    substring explode inside codegen; the final count is one shuffle of
+    (pair, partial-sum) rows and a TakeOrderedAndProject top-k. A full
+    BPE trainer iterates this op, re-segmenting against learned merges
+    — each iteration stays this same linear shape.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    starts = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "wn",
+        F.explode(
+            F.transform(starts, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "pair")
+        .limit(_BPE_TOP)
+    )

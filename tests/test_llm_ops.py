@@ -15,7 +15,7 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators imp
     similarity,
 )
 
-from conftest import SF_CORRECT
+from conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_minhash_pairs_are_verified_near_dups(spark):
@@ -139,3 +139,25 @@ def test_connected_components_resolves_transitive_chains(spark):
     assert {labels[n] for n in (1, 2, 3, 4, 5)} == {1}
     assert {labels[n] for n in (10, 11)} == {10}
     assert {labels[n] for n in (20, 21, 22)} == {20}
+
+
+def test_embedding_dim_matches_similarity_constants(spark):
+    """Canary against driver data-format flips (the r3 events.ts lesson):
+    every similarity/quantizer constant assumes _DIM-wide vectors, and
+    the unrolled SQL oracles bake that width in. If the driver ever
+    regenerates embeddings at another dimension, fail HERE loudly
+    instead of as cryptic null-bucket mismatches in the driver run."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        dims = (
+            load(spark, sf, "embeddings")
+            .select(F.size("embedding").alias("d"))
+            .distinct()
+            .collect()
+        )
+        assert [r["d"] for r in dims] == [similarity._DIM], (sf, dims)

@@ -605,3 +605,81 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT source, tok
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_inter,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: pairwise token-set Jaccard
+    between corpus sources — the mixture-design diagnostic that tells
+    you whether two sources contribute distinct language or redundant
+    mass (pairs near 1.0 are near-duplicate slices; near 0.0, disjoint
+    domains).
+
+    Scale shape: the corpus collapses to the DISTINCT (source, token)
+    table first (one hash-agg, type space); the pair join is an
+    equi-join ON TOKEN — Σfreq(token)² across sources, never
+    |vocab|² — and source count is tiny, so the output and the
+    per-source size table are driver-scale. Same blocking discipline as
+    every near-dup operator in dedup.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -75,6 +75,14 @@ def _sessionize_user(key, pdf_iter, state: GroupState):
     )
 
 
+#: replay-input cache: the chunk layout is a PURE FUNCTION of the
+#: immutable source table + chunk count (deterministic order, pinned
+#: mtimes), so rebuilding it per run is wasted setup — reuse is as
+#: legitimate as reusing the source parquet itself. Each streaming op's
+#: replay (the thing being measured) still runs in full every call.
+_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     """Split the events table into ``n_chunks`` time-ordered parquet
     files in a temp dir, so FileStreamSource (maxFilesPerTrigger=1)
@@ -83,6 +91,10 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     cross-batch state path."""
     from ..operators.registry import load
 
+    key = (sf_dir, n_chunks)
+    cached = _CHUNK_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     # the schema-adaptive loader normalizes either on-disk ts encoding
     # to a session-TZ TIMESTAMP; chunks re-encode as timestamp[us], so
     # the stream probe below never needs the legacy nanos path
@@ -98,6 +110,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
         chunk.to_parquet(path, index=False, coerce_timestamps="us")
         # FileStreamSource orders by modification time; pin it explicitly
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    _CHUNK_CACHE[key] = out
     return out
 
 

@@ -118,6 +118,7 @@ PROVENANCE = {
     "sequence_pack_scaled": "LLM-pipeline: sequence packing — 100 TB path (two-phase cumsum over static id buckets)",
     "vocab_oov_rate": "LLM-pipeline: top-V vocabulary coverage / per-source OOV rate (broadcast vocab join)",
     "bpe_pair_counts": "LLM-pipeline: BPE merge-candidate pair counts (type-space explode, frequency-weighted)",
+    "source_vocab_overlap": "LLM-pipeline: cross-source vocabulary Jaccard (mixture-design diagnostic, token-blocked pair join)",
     "salted_skew_join": "extension: skew-safe big-big join (hot/cold split, deterministic salt, oracle = plain join)",
     "median_fill_scaled": "§2.4 column medians — 100 TB path (histogram distributed-exact, no per-value buffer)",
     "iqr_clip_scaled": "§2.4 IQR clipping — 100 TB path (histogram distributed-exact)",

@@ -161,3 +161,22 @@ def test_embedding_dim_matches_similarity_constants(spark):
             .collect()
         )
         assert [r["d"] for r in dims] == [similarity._DIM], (sf, dims)
+
+
+def test_documents_schema_assumptions(spark):
+    """Same canary discipline for the documents table: the text/dedup/
+    curation operator families assume these exact columns and that
+    doc_id is unique — fail loudly here if the driver reshapes the
+    table."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        d = load(spark, sf, "documents")
+        assert set(d.columns) >= {"doc_id", "text", "lang", "source", "n_chars"}, (
+            sf,
+            d.columns,
+        )
+        n, n_ids = d.count(), d.select("doc_id").distinct().count()
+        assert n == n_ids and n > 0, (sf, n, n_ids)

@@ -98,3 +98,24 @@ def test_load_driver_testdata(spark):
     df = load(spark, SF_SMOKE, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.count() > 0
+
+
+def test_events_schema_assumptions(spark):
+    """Canary completing the trio (embeddings dim, documents columns):
+    the 20+ events operators assume these columns with unique event_id
+    and a timestamp-typed ts after load() normalization."""
+    from pyspark.sql import types as T
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load(spark, sf, "events")
+        assert set(ev.columns) >= {
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        }, (sf, ev.columns)
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType), sf
+        n, n_ids = ev.count(), ev.select("event_id").distinct().count()
+        assert n == n_ids and n > 0, (sf, n, n_ids)

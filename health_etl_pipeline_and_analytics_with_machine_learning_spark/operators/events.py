@@ -51,8 +51,14 @@ def events_hour_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle="""
     WITH ordered AS (
+      -- gap rule pinned on BOTH sides: computed on SECOND-TRUNCATED
+      -- timestamps (the Spark ops cast ts to epoch seconds), ordering
+      -- on full-precision (ts, event_id). Sub-second drivers diverge
+      -- without this pin; tests/test_events_load.py has the canary.
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN date_trunc('second', ts)
+                       - LAG(date_trunc('second', ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start
@@ -596,8 +602,14 @@ def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sessionization",
     oracle="""
     WITH ordered AS (
+      -- gap rule pinned on BOTH sides: computed on SECOND-TRUNCATED
+      -- timestamps (the Spark ops cast ts to epoch seconds), ordering
+      -- on full-precision (ts, event_id). Sub-second drivers diverge
+      -- without this pin; tests/test_events_load.py has the canary.
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN date_trunc('second', ts)
+                       - LAG(date_trunc('second', ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start

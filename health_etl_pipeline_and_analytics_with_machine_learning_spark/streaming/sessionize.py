@@ -28,6 +28,7 @@ deterministic while exercising identical state-transition code.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -54,7 +55,21 @@ def _sessionize_user(key, pdf_iter, state: GroupState):
     else:
         last_ts, n_sessions, n_events = None, 0, 0
 
-    pdfs = list(pdf_iter)
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        # zero-row invocation: happens for EventTimeTimeout expirations
+        # (the production config this module documents) and is legal for
+        # any timeout conf — emit the user's current totals if any state
+        # exists, never index into an empty frame
+        if state.exists:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+        return
     rows = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"])
     # datetime64[us/ns] → epoch seconds, truncated like CAST(ts AS LONG);
@@ -88,7 +103,19 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     files in a temp dir, so FileStreamSource (maxFilesPerTrigger=1)
     replays them as successive micro-batches — every user active in
     more than one time slice crosses batch boundaries and exercises the
-    cross-batch state path."""
+    cross-batch state path.
+
+    Fully distributed: global (ts, event_id) rank via the funnel-free
+    two-phase pattern (operators.record_id), chunk = rank ÷ step, then
+    ONE partitioned parquet write — each chunk's rows hash to exactly
+    one shuffle partition, so the writer emits exactly one file per
+    chunk. No driver-side materialization of the table (the old
+    ``toPandas`` writer was the one collect-class call in the repo that
+    grew with the input); the only driver data is the row count and the
+    per-partition offset map. The layout stays a pure function of the
+    source table + chunk count: equal-count time slices, pinned mtimes.
+    """
+    from ..operators.record_id import with_record_id
     from ..operators.registry import load
 
     key = (sf_dir, n_chunks)
@@ -96,20 +123,36 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     # the schema-adaptive loader normalizes either on-disk ts encoding
-    # to a session-TZ TIMESTAMP; chunks re-encode as timestamp[us], so
-    # the stream probe below never needs the legacy nanos path
+    # to a session-TZ TIMESTAMP; chunks re-encode as Spark parquet
+    # TIMESTAMP(µs, UTC), so the stream probe below never needs the
+    # legacy nanos path
     ev = load(spark, sf_dir, "events")
+    n_rows = ev.count()
+    step = (n_rows + n_chunks - 1) // n_chunks
+    ranked = with_record_id(ev, ["ts", "event_id"], id_col="__rid", mode="scaled")
+    chunked = (
+        ranked.withColumn("__chunk", F.expr(f"CAST((__rid - 1) DIV {step} AS INT)"))
+        .drop("__rid")
+        .repartition(n_chunks, "__chunk")
+    )
+    # staging lives OUTSIDE the watch dir: the stream's schema probe and
+    # FileStreamSource must see nothing but the final chunk files
     out = tempfile.mkdtemp(prefix="events_chunks_")
-    pdf = ev.orderBy("ts", "event_id").toPandas()
-    step = (len(pdf) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        chunk = pdf.iloc[i * step : (i + 1) * step]
-        if chunk.empty:
+    staging = tempfile.mkdtemp(prefix="events_chunks_staging_")
+    chunked.write.mode("overwrite").partitionBy("__chunk").parquet(staging)
+    for d in os.listdir(staging):
+        if not d.startswith("__chunk="):
             continue
+        i = int(d.split("=", 1)[1])
+        parts = [
+            f for f in os.listdir(os.path.join(staging, d)) if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"chunk {i}: expected 1 file, got {parts}"
         path = os.path.join(out, f"chunk_{i:03d}.parquet")
-        chunk.to_parquet(path, index=False, coerce_timestamps="us")
+        os.rename(os.path.join(staging, d, parts[0]), path)
         # FileStreamSource orders by modification time; pin it explicitly
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(staging, ignore_errors=True)
     _CHUNK_CACHE[key] = out
     return out
 

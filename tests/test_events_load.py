@@ -119,3 +119,59 @@ def test_events_schema_assumptions(spark):
         assert isinstance(ev.schema["ts"].dataType, T.TimestampType), sf
         n, n_ids = ev.count(), ev.select("event_id").distinct().count()
         assert n == n_ids and n > 0, (sf, n, n_ids)
+
+
+def test_sessionization_gap_rule_pinned_at_subsecond_precision(spark, tmp_path):
+    """The 30-min gap rule is computed on SECOND-TRUNCATED timestamps on
+    BOTH engine and oracle sides (operators/events.py). A driver regen
+    with sub-second ts must not diverge: gap 1800.5 s straddles the
+    boundary differently under truncation vs full precision, so pin the
+    truncated rule end-to-end with a synthesized sub-second table."""
+    import duckdb
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        events as events_ops,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # user 1: true gap 1800.5s (full precision would say NEW session)
+    #         but truncated gap 1800 → SAME session — the divergence case
+    # user 2: true gap 1799.9s, truncated 1800 → SAME either way (control)
+    ts = [
+        base + dt.timedelta(microseconds=200_000),          # u1 e0  .2
+        base + dt.timedelta(seconds=1800, microseconds=700_000),  # u1 e1  1800.7
+        base + dt.timedelta(microseconds=900_000),          # u2 e2  .9
+        base + dt.timedelta(seconds=1800, microseconds=800_000),  # u2 e3  1800.8
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["view"] * 4, pa.string()),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), version="2.6")
+
+    got = {
+        r.user_id: r.n_sessions
+        for r in events_ops.sessionization(spark, str(tmp_path)).collect()
+    }
+    # truncated rule: u1 gap floor(1800.7)-floor(0.2)=1800 → same session;
+    # u2 gap floor(1800.8)-floor(0.9)=1800 → same session
+    assert got == {1: 1, 2: 1}, got
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        int(r[0]): int(r[1])
+        for r in con.execute(REGISTRY["sessionization"].oracle).fetchall()
+    }
+    assert oracle == got, (oracle, got)

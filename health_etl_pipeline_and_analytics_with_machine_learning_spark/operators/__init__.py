@@ -23,41 +23,27 @@ from .registry import REGISTRY as _R
 #: whose load path broke) this round and need a FRESH driver row; back
 #: section = previously-certified window residents kept inside the
 #: window so their green rows refresh instead of decaying to local-only.
-#: r4 front: the 20 events-table queries revived by the schema-adaptive
-#: registry.load() fix (events.ts flipped nanos-long → timestamp[us] on
-#: disk in r3), plus simhash_near_pairs (new hot-bucket cap).
+#: r5 front: the four certification-lagged ops (two r4 oracle upgrades
+#: whose newest driver rows still said no_oracle, two never checked),
+#: the new oracle-certified BMP decode, the rewritten simhash pair
+#: (narrow mapInPandas tally), the memoized-quantizer ANN pair, and the
+#: four sessionization-family ops touched by the second-truncation
+#: oracle pin + the distributed chunk writer.
 _RECHECK_FIRST = [
-    # — fresh-row tier (r4 changes) —
-    "eq_filter_group_agg",
-    "value_counts_topk",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
-    "stratified_hash_sample",
-    "salted_skew_agg",
-    "asof_join_attribution",
-    "cohort_retention",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "json_props_extract",
-    "mad_outlier_detect",
-    "pivot_event_counts",
-    "running_distinct_users",
-    "sessionization",
-    "user_event_paths",
-    "window_lag_value_delta",
-    "simhash_near_pairs",  # r4: hot-bucket cap on band buckets
-    "streaming_sessionization",  # r4: new applyInPandasWithState op
-    "streaming_hour_rollup",  # r4: new certified windowed-agg replay
-    "streaming_view_purchase_join",  # r4: new certified stream-stream join
-    "similarity_ivf_topk",  # r4: rows-only -> full oracle (det quantizer)
-    "sequence_pack_stats",  # r4: new concat-and-chunk packing
-    "sequence_pack_scaled",  # r4: its two-phase-cumsum 100 TB twin
-    "vocab_oov_rate",  # r4: new top-V vocabulary coverage
-    "salted_skew_join",  # r4: new hot/cold salted join
-    # — keep-certified tier (SURVEY §2 parity + r2/r3 window residents) —
+    # — fresh-row tier (r5 changes) —
+    "similarity_lsh_bucketed",  # full oracle since r4; driver row stale (r3 no_oracle)
+    "dedup_semantic_cluster",  # full oracle since r4; driver row stale (r3 no_oracle)
+    "bpe_pair_counts",  # never driver-checked (new in r4)
+    "source_vocab_overlap",  # never driver-checked (new in r4)
+    "multimodal_bmp_decode",  # new: byte-level BMP decode, full oracle
+    "text_simhash",  # r5: zero-shuffle Arrow tally rewrite
+    "simhash_near_pairs",  # consumes the rewritten fingerprint
+    "similarity_ivf_topk",  # r5: memoized deterministic quantizer fit
+    "sessionization",  # r5: gap rule second-truncation pinned in oracle
+    "streaming_sessionization",  # same pin + distributed chunk writer
+    "streaming_hour_rollup",  # distributed chunk writer
+    "streaming_view_purchase_join",  # distributed chunk writer
+    # — keep-certified tier (SURVEY §2 parity + prior window residents) —
     "project_dropna",
     "range_filter_agg",
     "filter_group_avg_topk",
@@ -79,15 +65,28 @@ _RECHECK_FIRST = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
-    # multimodal_meta, similarity_bruteforce_topk, doc_chunk_explode,
-    # embedding_int8_quantize: rotated out of the keep tier in r4 —
-    # their r3 driver rows are green and the local DuckDB differential
-    # (same check) still runs every test session; the four slots pay for
-    # the brand-new r4 certifications (salted_skew_join, the three
-    # streaming ops, sequence packing, vocab coverage) plus a fresh
-    # driver row for similarity_ivf_topk, the flagship rows-only→oracle
-    # flip of the deterministic-quantizer rework (its lsh/semantic
-    # siblings share the mechanism and keep local certification).
+    "eq_filter_group_agg",
+    "value_counts_topk",
+    "sequence_pack_stats",
+    "sequence_pack_scaled",
+    "vocab_oov_rate",
+    "salted_skew_join",
+    "salted_skew_agg",
+    "stratified_hash_sample",
+    "asof_join_attribution",
+    "cohort_retention",
+    "events_hour_agg",
+    "window_lag_value_delta",
+    "funnel_view_click_purchase",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "user_event_paths",
+    "hash_train_test_split",
+    # dropped from the window this round (r4-green, local differential
+    # still runs every test session): events_enrich_segment,
+    # events_gap_fill, forward_fill_last_purchase, json_props_extract,
+    # mad_outlier_detect, pivot_event_counts, running_distinct_users —
+    # their slots pay for the r5 fresh tier.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

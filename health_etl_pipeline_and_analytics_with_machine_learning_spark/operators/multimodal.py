@@ -117,6 +117,127 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_features, schema=DECODED_SCHEMA).orderBy("doc_id")
 
 
+#: BMP geometry derived per doc: dims cycle with doc_id, pixel bytes
+#: cycle the 32-char md5 hex digest of the text (pure ASCII, so byte
+#: values equal codepoints and DuckDB's ord() can replay the math)
+_BMP_W_MOD, _BMP_H_MOD = 31, 17
+_BMP_HDR = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_encode(doc_id: int, hex_digest: str) -> bytes:
+    """A real (viewer-openable) 24-bit BMP: little-endian headers, rows
+    padded to 4-byte boundaries, bottom-up pixel data. Pixel bytes are
+    the cycled ASCII bytes of the md5 hex digest."""
+    import struct
+
+    w = 1 + doc_id % _BMP_W_MOD
+    h = 1 + doc_id % _BMP_H_MOD
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    n_px = w * h * 3
+    src = hex_digest.encode("ascii")
+    px = (src * ((n_px + len(src) - 1) // len(src)))[:n_px]
+    body = bytearray()
+    for r in range(h):
+        body += px[r * row : (r + 1) * row] + b"\x00" * pad
+    size = _BMP_HDR + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HDR)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + bytes(body)
+
+
+def _bmp_parse(b: bytes) -> tuple[int, int, int, int, float]:
+    """Parse the header fields back out of the bytes and aggregate the
+    pixel data (skipping row padding) — the byte-level decode the
+    oracle certifies end-to-end."""
+    import struct
+
+    assert b[:2] == b"BM", "not a BMP payload"
+    size, _, _, off = struct.unpack("<IHHI", b[2:14])
+    _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", b[14:30])
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    total = 0
+    for r in range(h):
+        start = off + r * (row + pad)
+        total += sum(b[start : start + row])
+    mean = total / (w * h * 3)
+    # round_cmp's pinned tie-break (registry.round_cmp), in Python
+    import math
+
+    return w, h, bpp, size, math.floor(round(mean, 7) * 10000.0 + 0.5) / 10000.0
+
+
+_BMP_DECODED = "doc_id long, width int, height int, bpp int, n_bytes long, px_mean double"
+
+
+def _bmp_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+            w, h, bpp, size, mean = _bmp_parse(_bmp_encode(int(doc_id), hx))
+            rows.append((int(doc_id), w, h, bpp, size, mean))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "bpp", "n_bytes", "px_mean"]
+        )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(1 + doc_id % {_BMP_W_MOD} AS INT) AS width,
+             CAST(1 + doc_id % {_BMP_H_MOD} AS INT) AS height
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, hx, width, height,
+             ((width * 3 + 3) // 4) * 4 AS stride,
+             width * height * 3 AS n_px
+      FROM g
+    ),
+    sums AS (
+      SELECT doc_id, width, height, stride, n_px,
+             list_aggregate(list_transform(generate_series(1, 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum') AS sum32,
+             COALESCE(list_aggregate(list_transform(generate_series(1, n_px % 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum'), 0)
+               AS sum_rem
+      FROM geo
+    )
+    SELECT doc_id, width, height, 24 AS bpp,
+           CAST({_BMP_HDR} + height * stride AS BIGINT) AS n_bytes,
+           FLOOR(ROUND(((n_px // 32) * sum32 + sum_rem) * 1.0 / n_px, 7)
+                 * 10000.0 + 0.5) / 10000.0 AS px_mean
+    FROM sums
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level image decode, fully oracle-certified — the
+    graduation of the decode seam the stub ops document: each document
+    gets a genuine 24-bit BMP payload (little-endian headers, 4-byte row
+    padding, dims from doc_id, pixels cycling the text's md5 hex bytes),
+    and a pure-stdlib parser reads the header fields back and aggregates
+    the pixel bytes while skipping padding.
+
+    Certification is end-to-end and INDEPENDENT: DuckDB never parses
+    bytes — it recomputes width/height from the doc_id formula, the
+    file size from the BMP stride rule, and the pixel mean from the
+    md5-hex cycle arithmetic. Any spec violation in writer or parser
+    (wrong endianness, missing padding, off-by-one in the pixel window)
+    breaks the hash match. Scale shape: one Arrow-batched mapInPandas
+    over the corpus, embarrassingly parallel, no shuffle but the
+    presentation sort — identical plumbing to what a PIL/ffmpeg decoder
+    would use (see DECODE_IS_STUB for that seam)."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    return src.mapInPandas(_bmp_roundtrip, schema=_BMP_DECODED).orderBy("doc_id")
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_sig string"
 FRAMES_PER_DOC = 3
 

@@ -88,6 +88,7 @@ PROVENANCE = {
     "multimodal_meta": "LLM-pipeline: multimodal metadata",
     "multimodal_decode_stub": "LLM-pipeline: multimodal decode (stubbed)",
     "multimodal_frame_sample": "LLM-pipeline: multimodal frame sampling",
+    "multimodal_bmp_decode": "LLM-pipeline: REAL byte-level BMP decode (write\u2192parse roundtrip, independently recomputed oracle)",
     "salted_skew_agg": "extension: two-phase salted skew aggregation",
     "bloom_filter_semi_join": "extension: bitset bloom pre-filter + exact semi join",
     "grouping_sets_agg": "extension: GROUPING SETS single-pass Expand",

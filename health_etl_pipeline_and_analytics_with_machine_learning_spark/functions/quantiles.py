@@ -68,19 +68,21 @@ def exact_quantiles(
     if n == 0:
         return [float("nan")] * len(probs)
 
-    off_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in offsets.items()
-        ]
-    ) if offsets else F.lit(0)
+    # offsets reach the rows via a broadcast join on __pid — constant
+    # expression depth at any partition count (a chained CASE WHEN per
+    # partition would be O(#partitions) deep; same pattern as the
+    # sequence-packing prefix offsets in operators/prep.py)
+    off_df = df.sparkSession.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid int, __off long",
+    )
     w = Window.partitionBy("__pid").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    pos = ranged.select(
+    pos = ranged.join(F.broadcast(off_df), "__pid").select(
         "v",
-        (F.sum("cnt").over(w) + off_expr).alias("hi"),  # last global pos of v
-        (F.sum("cnt").over(w) + off_expr - F.col("cnt") + 1).alias("lo"),
+        (F.sum("cnt").over(w) + F.col("__off")).alias("hi"),  # last global pos of v
+        (F.sum("cnt").over(w) + F.col("__off") - F.col("cnt") + 1).alias("lo"),
     )
 
     # global 1-based positions whose values the interpolation needs

@@ -324,3 +324,57 @@ def test_salted_skew_join_splits_hot_and_cold(spark):
     assert "ShuffledHashJoin" in strategies, strategies
     assert "BroadcastHashJoin" in strategies, strategies
     assert "CartesianProduct" not in strategies
+
+
+def test_star_join_bucketed_path_has_no_join_exchange(spark, tmp_path):
+    # joins.star_join_revenue documents that at 100 TB the orders⋈customer
+    # equi-join is the ONE shuffle — or ZERO if both sides are bucketed on
+    # custkey (sources/bucketed.py). Pin that claim: on bucketed tables the
+    # star aggregation's only Exchanges are the groupBy partial→final and
+    # the presentation sort — the join itself is a co-located SortMergeJoin.
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.bucketed import (
+        drop_table,
+        write_bucketed,
+    )
+
+    orders = load(spark, SF_SMOKE, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    customer = load(spark, SF_SMOKE, "customer")
+    nation = load(spark, SF_SMOKE, "nation")
+    region = load(spark, SF_SMOKE, "region")
+    try:
+        write_bucketed(orders, "orders_bc", str(tmp_path / "obc"), "c_custkey")
+        write_bucketed(customer, "customer_bc", str(tmp_path / "cbc"), "c_custkey")
+        # threshold -1 forces the o⋈c strategy to come from the bucketing,
+        # not a small-table broadcast; n/r keep explicit broadcast hints
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = (
+                spark.table("orders_bc")
+                .join(spark.table("customer_bc"), "c_custkey")
+                .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+                .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .orderBy("region", "nation")
+            )
+            plan = formatted_plan(df)
+            assert "SortMergeJoin" in plan
+            # agg exchange + sort exchange only — ZERO for the joins
+            assert count_exchanges(df) == 2, plan
+            unbucketed = (
+                orders.join(customer, "c_custkey")
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert count_exchanges(unbucketed) >= 3  # 2 join + 1 agg
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        drop_table(spark, "orders_bc")
+        drop_table(spark, "customer_bc")

@@ -92,15 +92,20 @@ const SECTIONS = [
   ["correlation_with_mortality", "Correlation"],
 ];
 let data = null, active = "overview";
+// uploaded CSVs control the row values: escape EVERYTHING that is
+// concatenated into markup, or a crafted country/disease name becomes
+// stored XSS in the viewer's browser
+const esc = s => String(s).replace(/[&<>"']/g,
+  ch => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[ch]));
 function render() {
   const el = document.getElementById("content");
   if (!data) { el.textContent = "Loading…"; return; }
   const rows = data[active] || [];
   if (!rows.length) { el.textContent = "No rows."; return; }
   const cols = Object.keys(rows[0]);
-  let html = "<table><tr>" + cols.map(c => `<th>${c}</th>`).join("") + "</tr>";
+  let html = "<table><tr>" + cols.map(c => `<th>${esc(c)}</th>`).join("") + "</tr>";
   for (const r of rows)
-    html += "<tr>" + cols.map(c => `<td>${r[c] ?? ""}</td>`).join("") + "</tr>";
+    html += "<tr>" + cols.map(c => `<td>${esc(r[c] ?? "")}</td>`).join("") + "</tr>";
   el.innerHTML = html + "</table>";
 }
 function tabs() {
@@ -155,9 +160,18 @@ class DashboardApp:
         self._load(raw_csv)
 
     def _load(self, raw_csv: str) -> None:
+        # ids of checkpoint blocks belonging to the frame being replaced —
+        # freed AFTER the new frame materializes (repeated uploads must
+        # not accumulate superseded checkpoint storage)
+        jsc = self.spark.sparkContext._jsc
+        prior_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
         self.cleaned = clean_health_dataset(self.spark, raw_csv).localCheckpoint(
             eager=True
         )
+        live = jsc.getPersistentRDDs()
+        for k in live.keySet().toArray():
+            if int(k) in prior_ids:
+                live.get(k).unpersist(False)
         years_countries = (
             self.cleaned.agg(
                 F.sort_array(F.collect_set("Year")).alias("years"),
@@ -211,7 +225,11 @@ def make_server(app: DashboardApp, port: int = 0) -> ThreadingHTTPServer:
                 self._json(app.meta)
             elif url.path == "/api/dashboard":
                 q = parse_qs(url.query)
-                year = int(q["year"][0]) if q.get("year") else None
+                try:
+                    year = int(q["year"][0]) if q.get("year") else None
+                except ValueError:
+                    self._json({"error": "year must be an integer"}, code=400)
+                    return
                 country = q["country"][0] if q.get("country") else None
                 try:
                     self._json(app.dashboard(year, country))
@@ -236,6 +254,16 @@ def make_server(app: DashboardApp, port: int = 0) -> ThreadingHTTPServer:
                 self._json(app.upload(f.name))
             except Exception as exc:
                 self._json({"error": str(exc)}, code=400)
+            finally:
+                # the cleaned frame is checkpointed (lineage cut), so the
+                # raw CSV is not needed after _load — leaking one temp
+                # file per upload for the server lifetime otherwise
+                import os
+
+                try:
+                    os.unlink(f.name)
+                except OSError:
+                    pass
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 

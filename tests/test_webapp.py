@@ -110,3 +110,57 @@ def test_upload_swaps_dataset(served, tmp_path):
     assert got["overview"][0]["total_records"] <= 300
     # restore the full dataset for other tests in the module
     app.upload(REFERENCE_CSV)
+
+
+def test_bad_year_param_returns_json_400(served):
+    _, base = served
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/api/dashboard?year=abc", timeout=60)
+    assert ei.value.code == 400
+    assert json.loads(ei.value.read())["error"] == "year must be an integer"
+
+
+def test_table_markup_is_escaped(served):
+    # the page must escape values before innerHTML concatenation —
+    # uploaded CSVs control country/disease strings (stored-XSS guard)
+    _, base = served
+    with urllib.request.urlopen(base + "/", timeout=60) as r:
+        body = r.read().decode()
+    assert "esc(r[c]" in body and "esc(c)" in body and "&amp;" in body
+
+
+def test_upload_releases_superseded_checkpoint_and_tempfile(served, tmp_path):
+    app, base = served
+    import glob
+    import os
+    import tempfile as _tf
+
+    csv = (
+        "Country,Year,Disease Name,Disease Category,Prevalence Rate (%),"
+        "Incidence Rate (%),Mortality Rate (%),Age Group,Gender,Population Affected,"
+        "Healthcare Access (%),Doctors per 1000,Hospital Beds per 1000,Treatment Type,"
+        "Average Treatment Cost (USD),Availability of Vaccines/Treatment,"
+        "Recovery Rate (%),DALYs,Improvement in 5 Years (%),Per Capita Income (USD),"
+        "Education Index,Urbanization Rate (%)\n"
+        + "\n".join(
+            f"Canada,2021,Flu,Viral,1.{i},1.0,2.5,0-18,Male,1000,80,2.5,3.0,"
+            "Medication,150,Yes,85,12,5,40000,0.9,75"
+            for i in range(5)
+        )
+        + "\n"
+    )
+    jsc = app.spark.sparkContext._jsc
+    before_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    tmp_before = set(glob.glob(os.path.join(_tf.gettempdir(), "tmp*.csv")))
+    req = urllib.request.Request(
+        base + "/api/upload", data=csv.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+    after_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    # superseded checkpoint blocks are gone; exactly the new frame remains
+    assert not (before_ids & after_ids), (before_ids, after_ids)
+    # no new temp csv left behind
+    assert set(glob.glob(os.path.join(_tf.gettempdir(), "tmp*.csv"))) <= tmp_before

@@ -15,6 +15,7 @@ from . import relational  # noqa: F401  (tier 1: SURVEY §2 parity)
 from . import scaled  # noqa: F401  (tier 2: driver-certified scale paths)
 from . import prep, similarity, skew, multimodal  # noqa: F401  (tier 3)
 from . import text, dedup, curation, advanced, events, joins  # noqa: F401  (tier 4: green in r1)
+from . import warehouse  # noqa: F401  (tier 5: r5 maintenance family — hoisted into the window via _RECHECK_FIRST)
 
 from .registry import REGISTRY as _R
 
@@ -76,17 +77,21 @@ _RECHECK_FIRST = [
     "asof_join_attribution",
     "cohort_retention",
     "events_hour_agg",
-    "window_lag_value_delta",
-    "funnel_view_click_purchase",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
-    "user_event_paths",
-    "hash_train_test_split",
-    # dropped from the window this round (r4-green, local differential
-    # still runs every test session): events_enrich_segment,
-    # events_gap_fill, forward_fill_last_purchase, json_props_extract,
-    # mad_outlier_detect, pivot_event_counts, running_distinct_users —
-    # their slots pay for the r5 fresh tier.
+    # — new-op tier (r5 additions, first driver certification) —
+    "cdc_latest_compaction",
+    "merge_upsert_counts",
+    "scd2_dimension_update",
+    "snapshot_diff",
+    "incremental_agg_update",
+    "heavy_hitters_twopass",
+    # dropped from the window this round (r4-green and UNCHANGED in r5,
+    # local differential still runs every test session):
+    # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,
+    # json_props_extract, mad_outlier_detect, pivot_event_counts,
+    # running_distinct_users, window_lag_value_delta,
+    # funnel_view_click_purchase, set_intersect_except,
+    # set_ops_bag_semantics, user_event_paths, hash_train_test_split —
+    # their slots pay for the r5 fresh + new tiers.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -227,3 +227,99 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+#: heavy-hitter threshold: keys owning > 1/K of the stream
+_HH_K = 25
+#: the synthesized skewed key: 30% of events concentrate on 3 hot keys
+#: (ids ≡ 0,1,2 mod 10 map to key id%5 ∈ {0,1,2} — ~10% each, far above
+#: the 1/25 = 4% bar), the rest spread over 997 cold keys (~0.07% each,
+#: far below) — a deterministic zipf-ish feed the oracle can re-derive
+_HH_KEY_SQL = (
+    "CASE WHEN event_id % 10 < 3 THEN event_id % 5"
+    " ELSE 1000 + event_id % 997 END"
+)
+
+
+def _misra_gries_candidates(batches):
+    """Pass-1 sketch: one Misra–Gries summary (capacity _HH_K counters)
+    per partition, emitting its surviving keys as candidates. The fold
+    is inherently sequential O(1)-state per partition — the same stream
+    fold a JVM implementation runs; Python-level cost is pass-1 only,
+    and pass 2 (the certified output) is exact and engine-native."""
+    import pandas as pd
+
+    counters: dict[int, int] = {}
+    for pdf in batches:
+        for key in pdf["hk"]:
+            key = int(key)
+            if key in counters:
+                counters[key] += 1
+            elif len(counters) < _HH_K:
+                counters[key] = 1
+            else:
+                for kk in list(counters):
+                    counters[kk] -= 1
+                    if counters[kk] == 0:
+                        del counters[kk]
+    yield pd.DataFrame({"hk": sorted(counters)})
+
+
+@query(
+    "heavy_hitters_twopass",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT {_HH_KEY_SQL} AS hk FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM keyed)
+    SELECT k.hk, COUNT(*) AS n_events,
+           {round_cmp_sql("COUNT(*) * 1.0 / ANY_VALUE(t.n)", 6)} AS share
+    FROM keyed k, tot t
+    GROUP BY k.hk
+    HAVING COUNT(*) * {_HH_K} > ANY_VALUE(t.n)
+    ORDER BY k.hk
+    """,
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (keys owning > 1/{_HH_K} of the stream) in two
+    passes — the classic pattern for "top offenders" over a corpus too
+    big to GROUP BY in full when the key space is huge (URLs, client
+    IPs, token n-grams):
+
+    1. SKETCH: a Misra–Gries summary per partition (mapInPandas,
+       {_HH_K} counters of O(1) state). MG guarantees any key with local
+       frequency > local_n/({_HH_K}+1) survives its partition, and a
+       globally-heavy key must be locally heavy somewhere (pigeonhole),
+       so the union of per-partition candidates (≤ {_HH_K}·P keys, tiny)
+       is a SUPERSET of the true heavy hitters regardless of how rows
+       were partitioned.
+    2. VERIFY: exact counts of the candidate keys only — the IN filter
+       pushes to the scan, the groupBy touches ≤ {_HH_K}·P keys — then
+       the exact > n/{_HH_K} threshold drops every false candidate.
+
+    The output is therefore EXACT and partitioning-independent (which is
+    what lets a DuckDB HAVING clause certify it), while the full-key
+    GROUP BY the oracle runs is precisely what pass 1+2 avoid at 100 TB:
+    the engine never aggregates the cold-key long tail.
+    """
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(F.expr(_HH_KEY_SQL).alias("hk"))
+    candidates = [
+        int(r.hk)
+        for r in keyed.mapInPandas(_misra_gries_candidates, schema="hk long")
+        .distinct()
+        .collect()
+    ]
+    n = keyed.count()
+    return (
+        keyed.filter(F.col("hk").isin(candidates))
+        .groupBy("hk")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") * _HH_K > F.lit(n))
+        .select(
+            "hk",
+            "n_events",
+            round_cmp(F.col("n_events") / F.lit(float(n)), 6).alias("share"),
+        )
+        .orderBy("hk")
+    )

@@ -101,3 +101,33 @@ def write_compacted_parquet(
     df = df.coalesce(n_files)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> str:
+    """JSON-lines sink — the interchange format LLM-data tooling speaks
+    (one JSON object per line; Spark's native ``json`` writer IS jsonl).
+    Partitioned by default: each task writes its own part file, no
+    driver funnel. ``single_file`` is for export-sized results only,
+    same contract as :func:`write_csv`."""
+    if not single_file:
+        df.write.mode("overwrite").json(path)
+        return path
+    tmp = path + ".__spark_tmp__"
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.json"))
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass the schema whenever it is known: schema
+    inference is a FULL extra pass over the data (and types drift —
+    e.g. an all-null column infers as string), which at 100 TB doubles
+    the read. Inference is the explicitly-opt-in fallback."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

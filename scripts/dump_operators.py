@@ -88,6 +88,12 @@ PROVENANCE = {
     "multimodal_meta": "LLM-pipeline: multimodal metadata",
     "multimodal_decode_stub": "LLM-pipeline: multimodal decode (stubbed)",
     "multimodal_frame_sample": "LLM-pipeline: multimodal frame sampling",
+    "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
+    "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
+    "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",
+    "snapshot_diff": "extension: warehouse — snapshot diff by key (added/removed/changed)",
+    "incremental_agg_update": "extension: warehouse — incremental aggregate maintenance (base+delta == full recompute oracle)",
+    "heavy_hitters_twopass": "extension: two-pass EXACT heavy hitters (Misra-Gries sketch + exact verify)",
     "multimodal_bmp_decode": "LLM-pipeline: REAL byte-level BMP decode (write\u2192parse roundtrip, independently recomputed oracle)",
     "salted_skew_agg": "extension: two-phase salted skew aggregation",
     "bloom_filter_semi_join": "extension: bitset bloom pre-filter + exact semi join",

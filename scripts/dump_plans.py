@@ -25,6 +25,20 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.session impor
 SF = "/root/testdata/sf0.001"  # plan shape is scale-independent
 
 SHOWCASE = {
+    "cdc_latest_compaction": (
+        "Latest-row-wins compaction as ONE partial-aggregated shuffle: "
+        "max(struct(ordering, payload)) combines map-side to one candidate "
+        "per key per input partition — no Window sort over version history."
+    ),
+    "snapshot_diff": (
+        "Key-diff: exactly one FullOuter SortMergeJoin (the v2 mutation is "
+        "derived in the same scans) feeding a 4-row classifier aggregate."
+    ),
+    "incremental_agg_update": (
+        "Materialized-rollup maintenance: base and delta partial aggregates "
+        "merged by a second tiny aggregation; at production the base is a "
+        "stored table and only delta partitions are scanned."
+    ),
     "filter_group_avg_topk": (
         "The flagship shape. Pushed IsNotNull filter, 2-of-16-column scan, "
         "partial→final HashAggregate, TakeOrderedAndProject top-k (no global sort)."

@@ -378,3 +378,26 @@ def test_star_join_bucketed_path_has_no_join_exchange(spark, tmp_path):
     finally:
         drop_table(spark, "orders_bc")
         drop_table(spark, "customer_bc")
+
+
+def test_cdc_compaction_is_partial_agg_not_window(spark):
+    # latest-row-wins via max(struct): must partial-aggregate map-side
+    # (one candidate per key per input partition) and must NOT plan a
+    # Window sort over every historical version
+    df = q("cdc_latest_compaction", spark)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert any("max" in f for f in partial_agg_functions(df)), partial_agg_functions(df)
+
+
+def test_snapshot_diff_single_join_single_agg(spark):
+    # key-diff = ONE full outer join + one 4-row aggregate; the v2
+    # derivation must not add extra joins
+    import re
+
+    df = q("snapshot_diff", spark)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    plan = formatted_plan(df)
+    n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE))
+    assert n_joins == 1, (n_joins, strategies)

@@ -45,13 +45,14 @@ PARITY_IDS = [
     "zscore_normalize",
 ]
 
-#: scale-path certifications + ids changed in round 2
+#: scale-path certifications + ids changed in round 2.
+#: set_ops_bag_semantics rotated out of the window in r5 (r4-green,
+#: unchanged since) — its slot funds the r5 warehouse family.
 ROUND2_IDS = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
     "simhash_near_pairs",
-    "set_ops_bag_semantics",
     "salted_skew_agg",
 ]
 
@@ -76,12 +77,31 @@ ROUND4_IDS = [
     "similarity_ivf_topk",
 ]
 
+#: ids that MUST newly certify in the r5 window: the four
+#: certification-lagged ops, everything r5 touched, and the new
+#: warehouse/heavy-hitter family
+ROUND5_IDS = [
+    "similarity_lsh_bucketed",
+    "dedup_semantic_cluster",
+    "bpe_pair_counts",
+    "source_vocab_overlap",
+    "multimodal_bmp_decode",
+    "text_simhash",
+    "sessionization",
+    "cdc_latest_compaction",
+    "merge_upsert_counts",
+    "scd2_dimension_update",
+    "snapshot_diff",
+    "incremental_agg_update",
+    "heavy_hitters_twopass",
+]
+
 
 def test_parity_and_round2_ids_inside_driver_window():
     prefix = list(REGISTRY)[:WINDOW]
     missing = [
         n
-        for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE + ROUND4_IDS
+        for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE + ROUND4_IDS + ROUND5_IDS
         if n not in prefix
     ]
     assert not missing, f"ids outside the driver's {WINDOW}-entry window: {missing}"

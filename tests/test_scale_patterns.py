@@ -285,3 +285,51 @@ def test_stratified_sample_is_deterministic_and_on_rate(spark):
         assert abs(kept - expected) <= max(4 * sigma, 5), (
             f"{etype}: kept {kept}, expected ~{expected:.0f}±{sigma:.0f}"
         )
+
+
+def test_heavy_hitter_candidates_cover_truth_under_any_partitioning(spark):
+    # the two-pass output must be partitioning-independent: MG candidates
+    # are a superset of the true heavy hitters no matter how rows land,
+    # and the exact pass-2 threshold drops every false candidate
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.skew import (
+        _HH_K,
+        _HH_KEY_SQL,
+        heavy_hitters_twopass,
+    )
+
+    expected = {
+        (r.hk, r.n_events)
+        for r in (
+            load(spark, SF_SMOKE, "events")
+            .select(F.expr(_HH_KEY_SQL).alias("hk"))
+            .groupBy("hk")
+            .count()
+            .withColumnRenamed("count", "n_events")
+            .crossJoin(
+                load(spark, SF_SMOKE, "events").agg(F.count(F.lit(1)).alias("n"))
+            )
+            .filter(F.col("n_events") * _HH_K > F.col("n"))
+            .select("hk", "n_events")
+            .collect()
+        )
+    }
+    got = {(r.hk, r.n_events) for r in heavy_hitters_twopass(spark, SF_SMOKE).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_misra_gries_fold_guarantee():
+    # crafted stream: key 7 holds 40% — MG with capacity K must retain it
+    # through any decrement storm from the long tail
+    import pandas as pd
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.skew import (
+        _misra_gries_candidates,
+    )
+
+    tail = [1000 + i for i in range(600)]  # 600 singleton keys
+    stream = ([7] * 400) + tail
+    # worst case: all heavy occurrences first, then the tail decrements
+    out = list(_misra_gries_candidates([pd.DataFrame({"hk": stream})]))[0]
+    assert 7 in set(out["hk"])

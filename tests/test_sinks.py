@@ -46,3 +46,34 @@ def test_compacted_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == 1, f"expected 1 compacted file, got {len(files)}"
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_jsonl_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.sources.sinks import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    src = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # value-level: orderkey-summed checksum must survive the roundtrip
+    a = src.agg(F.sum("o_totalprice")).first()[0]
+    b = back.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(a - b) < 1e-6
+
+    one = str(tmp_path / "orders.jsonl")
+    write_jsonl(src.limit(5), one, single_file=True)
+    import json as _json
+    import os as _os
+
+    assert _os.path.isfile(one)
+    lines = [l for l in open(one).read().splitlines() if l]
+    assert len(lines) == 5 and all("o_orderkey" in _json.loads(l) for l in lines)

@@ -68,15 +68,11 @@ _RECHECK_FIRST = [
     "group_quantiles_scaled",
     "eq_filter_group_agg",
     "value_counts_topk",
-    "sequence_pack_stats",
     "sequence_pack_scaled",
     "vocab_oov_rate",
     "salted_skew_join",
     "salted_skew_agg",
     "stratified_hash_sample",
-    "asof_join_attribution",
-    "cohort_retention",
-    "events_hour_agg",
     # — new-op tier (r5 additions, first driver certification) —
     "cdc_latest_compaction",
     "merge_upsert_counts",
@@ -84,14 +80,19 @@ _RECHECK_FIRST = [
     "snapshot_diff",
     "incremental_agg_update",
     "heavy_hitters_twopass",
+    "ewma_smoothing",
+    "largest_remainder_alloc",
+    "entity_resolution_blocked",
+    "streaming_dedup_replay",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,
     # json_props_extract, mad_outlier_detect, pivot_event_counts,
     # running_distinct_users, window_lag_value_delta,
     # funnel_view_click_purchase, set_intersect_except,
-    # set_ops_bag_semantics, user_event_paths, hash_train_test_split —
-    # their slots pay for the r5 fresh + new tiers.
+    # set_ops_bag_semantics, user_event_paths, hash_train_test_split,
+    # asof_join_attribution, cohort_retention, events_hour_agg,
+    # sequence_pack_stats — their slots pay for the r5 fresh + new tiers.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

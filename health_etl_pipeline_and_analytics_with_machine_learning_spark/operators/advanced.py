@@ -583,3 +583,143 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     ).orderBy("p_type", "p_brand")
+
+
+#: EWMA smoothing factor
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_smoothing",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, n,
+             value * CASE WHEN rn = 1
+                          THEN POWER(1 - {_EWMA_ALPHA}, n - 1)
+                          ELSE {_EWMA_ALPHA} * POWER(1 - {_EWMA_ALPHA}, n - rn)
+                     END AS wv
+      FROM r
+    )
+    SELECT user_id, ANY_VALUE(n) AS n_events,
+           {round_cmp_sql("SUM(wv)")} AS ewma_value
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    — the standard time-series smoother (s_t = α·x_t + (1-α)·s_{t-1})
+    whose RECURSIVE definition looks stream-only, computed here in its
+    CLOSED FORM: each row's weight α·(1-α)^(n-t) (the first row keeps
+    (1-α)^(n-1)) depends only on the row's position, so the whole fold
+    becomes window-rank + pow + one grouped sum — set-oriented, no
+    sequential state, no UDF.
+
+    Scale shape: ONE shuffle on user_id serves the rank window and the
+    final aggregate; per-user work is linear and order-insensitive
+    (weights make the sum associative). This is the general trick for
+    linear recurrences at scale: solve the recurrence, ship the closed
+    form. Both engines' pow() agree within an ulp; round_cmp pins the
+    comparison as for any cross-engine float sum.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    a = _EWMA_ALPHA
+    wv = F.col("value") * F.when(
+        F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("rn")))
+    return (
+        r.select("user_id", "n", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("n")).alias("n_events"),
+            round_cmp(F.sum("wv")).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: units to allocate exactly (integer, must sum to exactly this)
+_ALLOC_BUDGET = 1_000_000
+
+
+@query(
+    "largest_remainder_alloc",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    ),
+    s AS (
+      SELECT event_type, cnt,
+             {_ALLOC_BUDGET}.0 * cnt / SUM(cnt) OVER () AS exact_share
+      FROM c
+    ),
+    f AS (
+      SELECT event_type, cnt,
+             CAST(FLOOR(exact_share) AS BIGINT) AS base_units,
+             exact_share - FLOOR(exact_share) AS frac,
+             SUM(CAST(FLOOR(exact_share) AS BIGINT)) OVER () AS floor_total
+      FROM s
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, event_type) AS rk
+      FROM f
+    )
+    SELECT event_type, cnt AS n_events,
+           base_units + CASE WHEN rk <= {_ALLOC_BUDGET} - floor_total
+                             THEN 1 ELSE 0 END AS alloc_units
+    FROM ranked ORDER BY event_type
+    """,
+)
+def largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    budget across groups proportionally so the allocations are whole
+    units AND sum to the budget EXACTLY — the rounding-drift killer in
+    financial proration, shard sizing, and quota assignment (naive
+    round() over- or under-shoots by up to |groups|/2 units).
+
+    Floor every share, then hand the leftover units to the largest
+    fractional remainders (group-name tiebreak → fully deterministic,
+    which is what lets the oracle replay it). Scale shape: one grouped
+    count (partial-agg'd), then windows over the |groups|-row result —
+    the windows are global but over group-cardinality data, not rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    s = c.select(
+        "event_type",
+        "cnt",
+        (F.lit(float(_ALLOC_BUDGET)) * F.col("cnt") / F.sum("cnt").over(w_all)).alias(
+            "exact_share"
+        ),
+    )
+    f = s.select(
+        "event_type",
+        "cnt",
+        F.floor("exact_share").cast("long").alias("base_units"),
+        (F.col("exact_share") - F.floor("exact_share")).alias("frac"),
+    ).withColumn("floor_total", F.sum("base_units").over(w_all))
+    ranked = f.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("frac"), F.asc("event_type")))
+    )
+    return ranked.select(
+        "event_type",
+        F.col("cnt").alias("n_events"),
+        (
+            F.col("base_units")
+            + F.when(F.col("rk") <= _ALLOC_BUDGET - F.col("floor_total"), 1).otherwise(0)
+        ).alias("alloc_units"),
+    ).orderBy("event_type")

@@ -702,3 +702,27 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import stream_view_purchase_join
 
     return stream_view_purchase_join(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup, certified end-to-end: the replay
+    feeds every event TWICE (two unioned file sources) and
+    ``dropDuplicates`` state must restore the original multiset — the
+    oracle aggregates the clean source directly. See
+    streaming/sessionize.py:stream_dedup_replay for the operator and
+    its watermark-bounded production form."""
+    from ..streaming.sessionize import stream_dedup_replay
+
+    return stream_dedup_replay(spark, sf_dir)

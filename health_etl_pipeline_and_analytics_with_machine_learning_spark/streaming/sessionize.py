@@ -368,3 +368,58 @@ def stream_view_purchase_join(
         )
         .orderBy("user_id")
     )
+
+
+def stream_dedup_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming exactly-once dedup replay — the fourth stateful
+    operator class (next to the custom state machine, the windowed agg,
+    and the stream-stream join): the chunked event replay is read by
+    TWO independent FileStreamSources and unioned, so every event
+    arrives twice (an at-least-once delivery simulation), then
+    ``dropDuplicates("event_id")`` must emit each exactly once
+    regardless of which micro-batch the duplicate lands in — Spark
+    keeps seen-key state across batches.
+
+    The certified object is the deduped stream aggregated per event
+    type; the batch/DuckDB twin is a plain GROUP BY over the source
+    (event_id is unique there by construction — the canary test pins
+    that). Production note: unbounded streams bound the seen-key state
+    with a watermark on an event-time column (duplicates only arrive
+    within the lateness horizon); the bounded replay keeps full state
+    so the answer is exact.
+    """
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    a = _read_chunked_stream(spark, watch_dir)
+    b = _read_chunked_stream(spark, watch_dir)
+    deduped = (
+        a.unionByName(b)
+        .select("event_id", "event_type", "value")
+        .dropDuplicates(["event_id"])
+    )
+    name = "dedup_replay_events"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.sql(f"SELECT * FROM {name}")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -88,6 +88,10 @@ PROVENANCE = {
     "multimodal_meta": "LLM-pipeline: multimodal metadata",
     "multimodal_decode_stub": "LLM-pipeline: multimodal decode (stubbed)",
     "multimodal_frame_sample": "LLM-pipeline: multimodal frame sampling",
+    "ewma_smoothing": "extension: EWMA time-series smoothing (recurrence solved to closed form — no sequential state)",
+    "largest_remainder_alloc": "extension: largest-remainder integer apportionment (exact-sum proration)",
+    "entity_resolution_blocked": "LLM-pipeline: blocked fuzzy entity resolution (edit-distance match inside normalized-key blocks)",
+    "streaming_dedup_replay": "§2.9 streaming exactly-once dedup (dropDuplicates state over an at-least-once replay), oracle-certified",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

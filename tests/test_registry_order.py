@@ -66,11 +66,12 @@ TIER3_SAMPLE = [
 ]
 
 #: ids that MUST newly certify in the r4 window
+#: sequence_pack_stats rotated out in r5 (r4-green, unchanged; its
+#: funnel-free twin sequence_pack_scaled stays in-window)
 ROUND4_IDS = [
     "streaming_sessionization",
     "streaming_hour_rollup",
     "streaming_view_purchase_join",
-    "sequence_pack_stats",
     "sequence_pack_scaled",
     "vocab_oov_rate",
     "salted_skew_join",
@@ -94,6 +95,10 @@ ROUND5_IDS = [
     "snapshot_diff",
     "incremental_agg_update",
     "heavy_hitters_twopass",
+    "ewma_smoothing",
+    "largest_remainder_alloc",
+    "entity_resolution_blocked",
+    "streaming_dedup_replay",
 ]
 
 

@@ -16,6 +16,7 @@ from . import scaled  # noqa: F401  (tier 2: driver-certified scale paths)
 from . import prep, similarity, skew, multimodal  # noqa: F401  (tier 3)
 from . import text, dedup, curation, advanced, events, joins  # noqa: F401  (tier 4: green in r1)
 from . import warehouse  # noqa: F401  (tier 5: r5 maintenance family — hoisted into the window via _RECHECK_FIRST)
+from . import tpch  # noqa: F401  (tier 5: classic TPC-H shapes — local oracle this round, window rotation next)
 
 from .registry import REGISTRY as _R
 

@@ -92,6 +92,12 @@ PROVENANCE = {
     "largest_remainder_alloc": "extension: largest-remainder integer apportionment (exact-sum proration)",
     "entity_resolution_blocked": "LLM-pipeline: blocked fuzzy entity resolution (edit-distance match inside normalized-key blocks)",
     "streaming_dedup_replay": "§2.9 streaming exactly-once dedup (dropDuplicates state over an at-least-once replay), oracle-certified",
+    "tpch_q1": "extension: TPC-H Q1 pricing summary (wide single-pass aggregate)",
+    "tpch_q3": "extension: TPC-H Q3 shipping priority (selective join + top-k)",
+    "tpch_q5": "extension: TPC-H Q5 local supplier volume (6-table star + cycle predicate)",
+    "tpch_q6": "extension: TPC-H Q6 forecast revenue (pure pushed-predicate scan-agg)",
+    "tpch_q10": "extension: TPC-H Q10 returned-item reporting (join + group + top-20)",
+    "tpch_q14": "extension: TPC-H Q14 promotion effect (one-pass conditional share)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

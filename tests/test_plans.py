@@ -401,3 +401,37 @@ def test_snapshot_diff_single_join_single_agg(spark):
     plan = formatted_plan(df)
     n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, flags=re.MULTILINE))
     assert n_joins == 1, (n_joins, strategies)
+
+
+def test_tpch_q6_pushes_every_predicate_to_scan(spark):
+    # the data-skipping benchmark query: date range, discount band, and
+    # quantity cap must all reach the parquet scan as pushed filters
+    df = q("tpch_q6", spark)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    # scalar aggregate: partial-agg'd, no shuffle beyond the final gather
+    assert any("sum" in f for f in partial_agg_functions(df))
+
+
+def test_tpch_q1_is_single_pass_partial_agg(spark):
+    df = q("tpch_q1", spark)
+    assert count_exchanges(df) <= 2  # agg + presentation sort
+    assert any("sum" in f for f in partial_agg_functions(df))
+
+
+def test_tpch_q3_topk_is_take_ordered(spark):
+    df = q("tpch_q3", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies  # customer side broadcasts
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    import re
+
+    df = q("tpch_q5", spark)
+    plan = formatted_plan(df)
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.MULTILINE))
+    assert n_bhj >= 4, plan  # customer, supplier, nation, region

@@ -1,16 +1,19 @@
-"""Classic TPC-H query shapes over the driver's star schema — the
-lingua-franca benchmark queries (Q1/Q3/Q5/Q6/Q10/Q14), adapted only
-where the driver's slimmed columns require it (no o_shippriority /
-l_shipmode / l_commitdate, so Q3/Q10 drop those output columns and
-Q4/Q12 are out of reach).
+"""Classic TPC-H query shapes over the driver's star schema — twelve
+of the lingua-franca benchmark queries (Q1/Q3/Q5/Q6/Q7/Q10/Q13/Q14/
+Q15/Q17/Q18/Q19), adapted only where the driver's slimmed columns
+require it (no o_shippriority / l_shipmode / l_commitdate / partsupp,
+which also rules out Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21).
 
 Why they're here: SURVEY §2 parity covers the reference's own queries;
-these six cover the canonical analytic shapes every warehouse engine is
+these cover the canonical analytic shapes every warehouse engine is
 judged on — wide aggregate sweep (Q1), selective join + top-k (Q3),
-six-table star join with a cycle-closing predicate (Q5), pure scan-agg
-(Q6), join + group + top-k on revenue (Q10), conditional-share
-aggregation (Q14). Plans are the scale-right ones: dims broadcast,
-facts never reshuffled for them, top-k as TakeOrderedAndProject.
+six-table star with a cycle-closing predicate (Q5), pure scan-agg
+(Q6), disjunctive bilateral join (Q7), join + group + top-k (Q10),
+left-join histogram (Q13), conditional share (Q14), view + scalar
+subquery (Q15), decorrelated correlated subquery (Q17), IN-aggregate
+semi join (Q18), OR-of-ANDs spanning both join sides (Q19). Plans are
+the scale-right ones: dims broadcast, facts never reshuffled for them,
+top-k as TakeOrderedAndProject.
 
 Date literals are chosen inside the generated data's 1995-2001 range.
 """
@@ -287,6 +290,296 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 / F.sum(rev)
             ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {round_cmp_sql("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade between two nations per
+    year — the disjunctive two-sided nation predicate over a five-join
+    tree. Scale shape: both nation sides, supplier, and customer
+    broadcast; lineitem⋈orders is the single big shuffle; the
+    disjunction evaluates post-join on broadcast columns (cheap), while
+    the date range pushes into the fact scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "sn_key"
+    )
+    cn = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "cn_key"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            round_cmp(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: the spec's
+    comment-LIKE exclusion becomes an order-priority exclusion — same
+    shape, a predicate INSIDE the left join's ON clause so zero-order
+    customers survive with count 0). Scale shape: the left outer join
+    shuffles on custkey once (or zero bucketed); both aggregations are
+    partial-then-final; the histogram is |distinct counts| rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {round_cmp_sql("SUM(l_extendedprice * (1 - l_discount))")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the view-plus-scalar-subquery shape —
+    quarterly revenue per supplier, keep the max earner(s). Scale
+    shape: one partial-agg'd shuffle builds the |suppliers|-row revenue
+    table; the max is a broadcast scalar joined back (no window over a
+    global sort, no second scan of lineitem — the revenue table is
+    checkpoint-reused for both the max and the filter)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            round_cmp(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    SELECT {round_cmp_sql("SUM(l.l_extendedprice) / 7.0", 2)} AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted: no p_container
+    column, brand filter only): lineitems far below their part's average
+    order quantity. The correlated subquery decorrelates into a
+    per-part average aggregate joined back — the textbook rewrite, and
+    the one Catalyst performs; here it's explicit so the plan is
+    deterministic. Scale shape: the per-part averages are |parts| rows
+    (broadcast); the fact table is scanned once per side of the
+    decorrelation, both scans pruned to 3 columns."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(
+            round_cmp(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q18_QTY = 300
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, {DP}) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), {DP}) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds {_Q18_QTY} (99th-percentile threshold for this generator).
+    The IN-subquery is a semi join against a HAVING aggregate — the big
+    keys list is tiny by construction, so it broadcasts into the
+    orders⋈lineitem tree instead of a second shuffle. Top-100 via
+    TakeOrderedAndProject with full tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big).withColumnRenamed("l_orderkey", "__bk"),
+                li.l_orderkey == F.col("__bk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", DP).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), DP).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {round_cmp_sql("SUM(l.l_extendedprice * (1 - l.l_discount))")} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: no container/shipmode
+    columns — the three disjunctive brand×size×quantity branches remain,
+    which is the point of the query): an OR-of-ANDs predicate spanning
+    BOTH join sides. Scale shape: part broadcasts; the disjunction
+    can't push into either scan whole, but each side's derivable bounds
+    (quantity ≤ 30, size ≤ 35) do — the remainder evaluates post-join
+    in one codegen'd stage, no union-of-three-joins blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            round_cmp(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -98,6 +98,12 @@ PROVENANCE = {
     "tpch_q6": "extension: TPC-H Q6 forecast revenue (pure pushed-predicate scan-agg)",
     "tpch_q10": "extension: TPC-H Q10 returned-item reporting (join + group + top-20)",
     "tpch_q14": "extension: TPC-H Q14 promotion effect (one-pass conditional share)",
+    "tpch_q7": "extension: TPC-H Q7 volume shipping (disjunctive bilateral nation join)",
+    "tpch_q13": "extension: TPC-H Q13 order-count distribution (predicate-in-ON left join histogram)",
+    "tpch_q15": "extension: TPC-H Q15 top supplier (view + broadcast scalar-subquery max)",
+    "tpch_q17": "extension: TPC-H Q17 small-quantity revenue (decorrelated per-part average)",
+    "tpch_q18": "extension: TPC-H Q18 large-volume customers (IN-aggregate broadcast semi join)",
+    "tpch_q19": "extension: TPC-H Q19 discounted revenue (OR-of-ANDs across both join sides)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

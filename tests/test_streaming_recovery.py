@@ -1,0 +1,95 @@
+"""Checkpoint fault-tolerance of the custom stateful streaming operator:
+the sessionizer is stopped mid-replay and restarted from its checkpoint,
+and the final answer must STILL equal the batch oracle — which can only
+happen if (a) source offsets resume where they left off and (b) the
+per-user (last_ts, n_sessions, n_events) state is restored from the
+state store. A restart that lost state would restart every user's
+counts from zero and undercount; a restart that replayed offsets would
+double-count."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.events import (
+    sessionization,
+)
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.sessionize import (
+    _OUT_SCHEMA,
+    _STATE_SCHEMA,
+    _chunked_events_dir,
+    _read_chunked_stream,
+    _sessionize_user,
+)
+
+from conftest import SF_SMOKE
+
+
+def _run_phase(spark, watch_dir: str, ckpt: str, out: str) -> None:
+    raw = _read_chunked_stream(spark, watch_dir)
+    updates = (
+        raw.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_sessionizer_recovers_state_from_checkpoint(spark, tmp_path):
+    src = _chunked_events_dir(spark, SF_SMOKE, 3)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    chunks = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(chunks) == 3
+    for f in chunks[:2]:  # phase 1 sees only the first two time slices
+        shutil.copy2(os.path.join(src, f), os.path.join(watch, f))
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "updates")
+    _run_phase(spark, watch, ckpt, out)
+    # simulated failure window: the query is down while data arrives
+    shutil.copy2(os.path.join(src, chunks[2]), os.path.join(watch, chunks[2]))
+    _run_phase(spark, watch, ckpt, out)  # restart from the SAME checkpoint
+
+    # final totals = max-n_events update per user across BOTH phases
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_sessions").alias("n_sessions"),
+            F.col("s.n_events").alias("n_events"),
+        )
+    )
+    expected = sessionization(spark, SF_SMOKE).select(
+        "user_id", "n_sessions", "n_events"
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(g) > 0

@@ -835,15 +835,23 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         F.expr(_ER_BLOCK_SQL.format(col="dirty_name", g="")),
     )
+    # the stream side of the broadcast join inherits the input's split
+    # count (ONE file in the testdata → one task doing every verify);
+    # spread the blocks so the Levenshtein pass parallelizes. At 100 TB
+    # the master table has natural splits and this is a no-op to remove.
     master = c.select(
         F.col("c_custkey").alias("master_key"),
         "c_name",
         F.expr(_ER_BLOCK_SQL.format(col="c_name", g="")).alias("blk"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "blk")
+    # thresholded levenshtein: the banded DP short-circuits above the
+    # match radius (returns -1), ~linear instead of quadratic per pair —
+    # the verify-step analogue of blocking. Same distances for kept rows,
+    # so the oracle's plain levenshtein(...) <= 2 sees identical values.
     cand = (
         probe.join(master, "blk")
-        .withColumn("lev", F.levenshtein(F.col("dirty_name"), F.col("c_name")))
-        .filter(F.col("lev") <= 2)
+        .withColumn("lev", F.levenshtein(F.col("dirty_name"), F.col("c_name"), 2))
+        .filter(F.col("lev") >= 0)  # -1 = beyond the radius
     )
     best = (
         cand.groupBy("probe_key")

@@ -1,8 +1,8 @@
-"""Classic TPC-H query shapes over the driver's star schema — twelve
-of the lingua-franca benchmark queries (Q1/Q3/Q5/Q6/Q7/Q10/Q13/Q14/
-Q15/Q17/Q18/Q19), adapted only where the driver's slimmed columns
-require it (no o_shippriority / l_shipmode / l_commitdate / partsupp,
-which also rules out Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21).
+"""Classic TPC-H query shapes over the driver's star schema — fourteen
+of the lingua-franca benchmark queries (Q1/Q3/Q5/Q6/Q7/Q8/Q10/Q13/
+Q14/Q15/Q17/Q18/Q19/Q22), adapted only where the driver's slimmed
+columns require it (no o_shippriority / l_shipmode / l_commitdate /
+partsupp, which rules out Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21).
 
 Why they're here: SURVEY §2 parity covers the reference's own queries;
 these cover the canonical analytic shapes every warehouse engine is
@@ -582,4 +582,134 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_year,
+           {round_cmp_sql(
+               "SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)"
+               " / SUM(volume)", 6)} AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (adapted: flat p_type equality,
+    NATION_3 as the subject nation): the deepest join tree in the suite
+    — eight tables, nation joined TWICE under different roles. Scale
+    shape: every dimension side broadcasts (nation twice under two
+    aliases); lineitem⋈orders is the one big shuffle; the share is a
+    conditional-sum ratio in the same aggregate, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cn = (
+        n.withColumnRenamed("n_nationkey", "cn_key")
+        .withColumnRenamed("n_name", "cust_nation")
+        .withColumnRenamed("n_regionkey", "cn_region")
+    )
+    sn = (
+        n.withColumnRenamed("n_nationkey", "sn_key")
+        .withColumnRenamed("n_name", "supp_nation")
+        .drop("n_regionkey")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            round_cmp(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q22_LAPSE = "1999-01-01"
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), {DP}) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '{_Q22_LAPSE}')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: market segment
+    replaces the phone country code, and "never ordered" becomes
+    "lapsed since {_Q22_LAPSE}" — every customer here has SOME order):
+    above-average-balance customers with no recent orders, per segment.
+    Scale shape: the positive-balance average is one scalar broadcast;
+    the recency check is a LEFT ANTI join against the date-pruned
+    orders scan (never DISTINCT-after-join); one small aggregate out."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= _Q22_LAPSE)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__ab"))
+    lapsed = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        lapsed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), DP).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -104,6 +104,8 @@ PROVENANCE = {
     "tpch_q17": "extension: TPC-H Q17 small-quantity revenue (decorrelated per-part average)",
     "tpch_q18": "extension: TPC-H Q18 large-volume customers (IN-aggregate broadcast semi join)",
     "tpch_q19": "extension: TPC-H Q19 discounted revenue (OR-of-ANDs across both join sides)",
+    "tpch_q8": "extension: TPC-H Q8 national market share (8-table tree, nation joined twice)",
+    "tpch_q22": "extension: TPC-H Q22 sales opportunity (scalar-avg broadcast + anti join on recency)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -39,6 +39,20 @@ SHOWCASE = {
         "merged by a second tiny aggregation; at production the base is a "
         "stored table and only delta partitions are scanned."
     ),
+    "tpch_q6": (
+        "The data-skipping benchmark: date range, discount band, and quantity "
+        "cap ALL pushed to the parquet scan; one partial-agg'd scalar returns."
+    ),
+    "tpch_q5": (
+        "Six-table star with the cycle-closing nation predicate: every "
+        "dimension broadcast, lineitem(+orders) the only real shuffles, the "
+        "nation equality riding the supplier join."
+    ),
+    "tpch_q8": (
+        "Deepest tree in the suite — eight tables, nation twice under two "
+        "roles, all dims broadcast; market share as a conditional-sum ratio "
+        "in a single aggregate pass."
+    ),
     "filter_group_avg_topk": (
         "The flagship shape. Pushed IsNotNull filter, 2-of-16-column scan, "
         "partial→final HashAggregate, TakeOrderedAndProject top-k (no global sort)."

@@ -72,7 +72,6 @@ _RECHECK_FIRST = [
     "sequence_pack_scaled",
     "vocab_oov_rate",
     "salted_skew_join",
-    "salted_skew_agg",
     "stratified_hash_sample",
     # — new-op tier (r5 additions, first driver certification) —
     "cdc_latest_compaction",
@@ -85,6 +84,7 @@ _RECHECK_FIRST = [
     "largest_remainder_alloc",
     "entity_resolution_blocked",
     "streaming_dedup_replay",
+    "streaming_cdc_compaction",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,
@@ -93,7 +93,8 @@ _RECHECK_FIRST = [
     # funnel_view_click_purchase, set_intersect_except,
     # set_ops_bag_semantics, user_event_paths, hash_train_test_split,
     # asof_join_attribution, cohort_retention, events_hour_agg,
-    # sequence_pack_stats — their slots pay for the r5 fresh + new tiers.
+    # sequence_pack_stats, salted_skew_agg — their slots pay for the r5
+    # fresh + new tiers.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

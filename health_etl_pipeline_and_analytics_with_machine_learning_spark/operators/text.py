@@ -697,3 +697,89 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "bigram_cross_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS bg
+      FROM tok WHERE len(a) >= 2
+    ),
+    pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
+    lm AS (SELECT c2.w1, c2.w2, c2.n2 * 1.0 / c1.n1 AS p
+           FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+    per_doc AS (
+      SELECT pr.doc_id, AVG(-ln(lm.p)) AS xent
+      FROM pairs pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
+      GROUP BY pr.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           {round_cmp_sql("AVG(pd.xent)")} AS avg_xent,
+           ROUND(MIN(pd.xent), 4) AS min_xent,
+           ROUND(MAX(pd.xent), 4) AS max_xent
+    FROM per_doc pd JOIN documents d ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own BIGRAM LM —
+    one rung up the n-gram ladder from ``unigram_cross_entropy``:
+    p(w₂|w₁) = c(w₁w₂)/c(w₁·), scored as the mean −ln p over each
+    document's bigrams (documents under two tokens have no bigrams and
+    drop out on both sides). Catches word-salad that unigram statistics
+    cannot: rare TRANSITIONS score high even when every token is common.
+
+    Scale shape: bigram construction is NARROW — the token array is
+    zipped with its own tail inside the row, no window, no self-join;
+    the conditional LM is two partial-agg'd counts joined on w₁; scoring
+    joins the bigram stream against the broadcast LM. At 100 TB the
+    bigram vocab outgrows broadcast range — the production swap is
+    feature-hashing the bigram to a fixed-width id (same plan, bounded
+    key space), exactly as the docstring of the unigram op promises.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+        ).alias("a"),
+    ).filter(F.size("a") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                " (x, y) -> named_struct('w1', x, 'w2', y))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    lm = c2.join(c1, "w1").select("w1", "w2", (F.col("n2") / F.col("n1")).alias("p"))
+    per_doc = (
+        pairs.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log("p")).alias("xent"))
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_cmp(F.avg("xent")).alias("avg_xent"),
+            F.round(F.min("xent"), 4).alias("min_xent"),
+            F.round(F.max("xent"), 4).alias("max_xent"),
+        )
+        .orderBy("source")
+    )

@@ -368,3 +368,33 @@ def incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "streaming_cdc_compaction",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``cdc_latest_compaction``, certified by the
+    same oracle: per-user latest-row state maintained incrementally
+    across micro-batches (applyInPandasWithState, O(1) per key) instead
+    of periodic batch rewrites. See
+    streaming/sessionize.py:stream_cdc_compaction."""
+    from ..streaming.sessionize import stream_cdc_compaction
+
+    return stream_cdc_compaction(spark, sf_dir)

@@ -423,3 +423,102 @@ def stream_dedup_replay(
         )
         .orderBy("event_type")
     )
+
+
+_CDC_OUT_SCHEMA = (
+    "user_id long, ts_us long, event_id long, event_type string, value double"
+)
+_CDC_STATE_SCHEMA = "ts_us long, event_id long, event_type string, value double"
+
+
+def _cdc_user(key, pdf_iter, state: GroupState):
+    """Latest-row-wins fold: keep each user's max-(ts, event_id) record
+    across micro-batches — O(1) state per key, the streaming form of the
+    batch max(struct) aggregation."""
+    (user_id,) = key
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        ts = (
+            pdf["ts"].astype("datetime64[us]").astype("int64").reset_index(drop=True)
+        )
+        rows = pdf.reset_index(drop=True).assign(__t=ts)
+        top = rows.sort_values(["__t", "event_id"]).iloc[-1]
+        cand = (
+            int(top["__t"]),
+            int(top["event_id"]),
+            str(top["event_type"]),
+            float(top["value"]),
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    if best is None:
+        return
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "ts_us": [best[0]],
+            "event_id": [best[1]],
+            "event_type": [best[2]],
+            "value": [best[3]],
+        }
+    )
+
+
+def stream_cdc_compaction(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming twin of ``operators.warehouse.cdc_latest_compaction``,
+    certified by the SAME oracle: the chunked replay folds each user's
+    change feed through O(1) latest-row state (applyInPandasWithState),
+    and the bounded stream's final compacted table must hash-match the
+    batch max(struct) answer. Production form: the state IS the
+    compacted table, maintained incrementally — no periodic rewrite of
+    cold keys, which is the advantage over batch compaction at 100 TB.
+    """
+    watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    raw = _read_chunked_stream(spark, watch_dir)
+    updates = (
+        raw.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_user,
+            outputStructType=_CDC_OUT_SCHEMA,
+            stateStructType=_CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "cdc_compaction_updates"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.sql(f"SELECT * FROM {name}")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+            F.date_format(
+                F.timestamp_micros(F.col("s.ts_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_ts"),
+        )
+    )
+    return final.orderBy("user_id")

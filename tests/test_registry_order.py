@@ -46,14 +46,14 @@ PARITY_IDS = [
 ]
 
 #: scale-path certifications + ids changed in round 2.
-#: set_ops_bag_semantics rotated out of the window in r5 (r4-green,
-#: unchanged since) — its slot funds the r5 warehouse family.
+#: set_ops_bag_semantics and salted_skew_agg rotated out of the window
+#: in r5 (r4-green, unchanged since) — their slots fund the r5
+#: warehouse/streaming families.
 ROUND2_IDS = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
     "simhash_near_pairs",
-    "salted_skew_agg",
 ]
 
 #: tier-3 ids that were past the r1 window. The rest of the r2/r3 tier-3
@@ -99,6 +99,7 @@ ROUND5_IDS = [
     "largest_remainder_alloc",
     "entity_resolution_blocked",
     "streaming_dedup_replay",
+    "streaming_cdc_compaction",
 ]
 
 

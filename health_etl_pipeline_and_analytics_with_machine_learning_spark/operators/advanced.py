@@ -723,3 +723,46 @@ def largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= _ALLOC_BUDGET - F.col("floor_total"), 1).otherwise(0)
         ).alias("alloc_units"),
     ).orderBy("event_type")
+
+
+@query(
+    "cume_dist_price_bands",
+    oracle="""
+    WITH cd AS (
+      SELECT o_orderpriority,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(CEIL(cd * 10) AS INT) AS decile,
+           COUNT(*) AS n_orders
+    FROM cd
+    GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+)
+def cume_dist_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST decile banding per order priority — the last classic
+    ranking window next to the ntile/percent_rank/row_number coverage:
+    cume_dist is ties-inclusive (every row of a tie group gets the
+    group's UPPER cumulative fraction), which is exactly what makes it
+    band-stable across engines where percent_rank needs tiebreaks.
+
+    Scale shape: one shuffle on the partition key; per-partition sort,
+    no global order; the banded rollup aggregates inside the same
+    shuffle's layout. Tie-safety makes the decile assignment
+    deterministic even on duplicated prices — no ORDER BY tiebreak
+    column needed, unlike every LIMIT query in this repo.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.ceil(F.cume_dist().over(w) * 10).cast("int").alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority", "decile")
+    )

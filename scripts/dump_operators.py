@@ -108,6 +108,7 @@ PROVENANCE = {
     "tpch_q22": "extension: TPC-H Q22 sales opportunity (scalar-avg broadcast + anti join on recency)",
     "streaming_cdc_compaction": "§2.9 streaming CDC latest-row compaction (applyInPandasWithState O(1)/key), oracle-certified vs the batch twin",
     "bigram_cross_entropy": "LLM-pipeline: bigram-LM cross-entropy quality signal (narrow in-row bigram build)",
+    "cume_dist_price_bands": "extension: CUME_DIST decile banding (ties-inclusive ranking window)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

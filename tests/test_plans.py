@@ -435,3 +435,23 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     plan = formatted_plan(df)
     n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.MULTILINE))
     assert n_bhj >= 4, plan  # customer, supplier, nation, region
+
+
+def test_bigram_lm_is_narrow_build_with_broadcast_scoring(spark):
+    # bigrams come from zipping the token array with its own tail IN-ROW
+    # (no window, no self-join); the conditional LM broadcasts back onto
+    # the pair stream for scoring
+    df = q("bigram_cross_entropy", spark)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_cume_dist_single_shuffle_on_partition_key(spark):
+    # one exchange for the window partition key; the banded rollup and
+    # presentation sort reuse/follow it — no global sort of all orders
+    df = q("cume_dist_price_bands", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 3, plan

@@ -17,6 +17,7 @@ from . import prep, similarity, skew, multimodal  # noqa: F401  (tier 3)
 from . import text, dedup, curation, advanced, events, joins  # noqa: F401  (tier 4: green in r1)
 from . import warehouse  # noqa: F401  (tier 5: r5 maintenance family — hoisted into the window via _RECHECK_FIRST)
 from . import tpch  # noqa: F401  (tier 5: classic TPC-H shapes — local oracle this round, window rotation next)
+from . import mining  # noqa: F401  (tier 5: r5 sketch/interval/skyline family)
 
 from .registry import REGISTRY as _R
 
@@ -45,21 +46,28 @@ _RECHECK_FIRST = [
     "streaming_sessionization",  # same pin + distributed chunk writer
     "streaming_hour_rollup",  # distributed chunk writer
     "streaming_view_purchase_join",  # distributed chunk writer
+    # — new-op tier (r5 mining/sketch/graph family, first driver
+    #   certification; these take the slots of 11 keep-tier residents
+    #   that are r4-driver-green, UNCHANGED, and still locally
+    #   differential-checked every test session: project_dropna,
+    #   range_filter_agg, group2_sort_mixed_limit, group_avg_having_sort,
+    #   filter_group2_avg2_count_sort, group_avg_sum2_topk, two_level_agg,
+    #   trend_group_avg_sort, overview_scalars, dedup_exact, corr_matrix) —
+    "kmv_distinct_sketch",
+    "weighted_sample_topk",
+    "range_interval_window",
+    "cusum_changepoint",
+    "column_profile",
+    "interval_concurrency_peak",
+    "skyline_pareto",
+    "assoc_rules_lift",
+    "brand_copurchase_triangles",
+    "pagerank_nation_trade",
+    "token_pmi_topk",
     # — keep-certified tier (SURVEY §2 parity + prior window residents) —
-    "project_dropna",
-    "range_filter_agg",
     "filter_group_avg_topk",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "filter_group2_avg2_count_sort",
-    "group_avg_sum2_topk",
-    "two_level_agg",
-    "trend_group_avg_sort",
-    "overview_scalars",
-    "dedup_exact",
     "median_fill",
     "iqr_clip",
-    "corr_matrix",
     "window_group_median_fill",
     "global_sort_rowid",
     "group_quantiles",

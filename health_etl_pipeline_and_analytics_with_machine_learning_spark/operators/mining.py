@@ -1,0 +1,1018 @@
+"""Mining / sketch / interval operators — round-5 additions beyond the
+reference surface: mergeable distinct sketches, deterministic weighted
+sampling, time-range windows, change-point detection, single-pass data
+profiling, sweep-line interval concurrency, and Pareto skylines.
+
+Why these: a 100 TB training-data pipeline needs cardinality sketches
+(pre-sizing shuffles and dedup passes), reproducible weighted sampling
+(corpus mixing), interval analytics (concurrency/capacity planning),
+and profiling (schema drift detection) — none of which the reference's
+single-table pandas app (``Health_Jim.py``) provides. Every op keeps
+the established determinism contract: md5-derived uniforms instead of
+RNG state, explicit tiebreaks, ``round_cmp`` on accumulated doubles,
+and a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
+
+DP = ROUND_DP
+
+# --------------------------------------------------------------------------
+# KMV distinct sketch
+# --------------------------------------------------------------------------
+
+#: sketch size: k minimum hash values retained per group
+_KMV_K = 64
+#: md5 prefix width is 12 hex chars = 48 bits; hashes map to [0, 2^48)
+_KMV_SPACE = float(1 << 48)
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ),
+    kth AS (
+      SELECT event_type, MAX(h) AS kth_h
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    nh AS (SELECT event_type, COUNT(*) AS n_h FROM dh GROUP BY event_type),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT nh.event_type,
+           {_KMV_K} AS k,
+           {round_cmp_sql(f"CASE WHEN nh.n_h > {_KMV_K} THEN ({_KMV_K} - 1) / (kth.kth_h / {_KMV_SPACE}) ELSE CAST(nh.n_h AS DOUBLE) END")} AS est_distinct,
+           ex.exact_distinct,
+           {round_cmp_sql(f"(CASE WHEN nh.n_h > {_KMV_K} THEN ({_KMV_K} - 1) / (kth.kth_h / {_KMV_SPACE}) ELSE CAST(nh.n_h AS DOUBLE) END - ex.exact_distinct) / ex.exact_distinct")} AS rel_err
+    FROM nh
+    JOIN ex ON ex.event_type = nh.event_type
+    LEFT JOIN kth ON kth.event_type = nh.event_type
+    ORDER BY nh.event_type
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group, checked against
+    the exact count — the mergeable-sketch primitive a 100 TB engine uses
+    to size dedup passes and shuffle plans before running them.
+
+    Estimator: with ``u_k`` the k-th smallest of the distinct hash values
+    mapped to [0,1), ``D̂ = (k-1)/u_k`` (Bar-Yossef et al. 2002); exact
+    when ≤ k distinct hashes exist. The hash is an md5 prefix (48 bits),
+    so the sketch is a pure function of the data — the oracle replays it
+    bit-for-bit, which no RNG-seeded sketch could offer.
+
+    Scale shape: the distinct() is one hash shuffle on (group, h); the
+    k-smallest scan is a per-group ``WindowGroupLimit`` (rn <= k keeps
+    only k rows per group per map task before the window shuffle). On a
+    cluster the k values per group are the ENTIRE inter-stage state —
+    this is why KMV/HLL sketches exist: merging two sketches = merging
+    two k-sets, never re-reading data.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_h"))
+    )
+    nh = dh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_h"))
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_h") > _KMV_K,
+        (F.lit(_KMV_K - 1)) / (F.col("kth_h") / F.lit(_KMV_SPACE)),
+    ).otherwise(F.col("n_h").cast("double"))
+    return (
+        nh.join(ex, "event_type")
+        .join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            F.lit(_KMV_K).alias("k"),
+            round_cmp(est).alias("est_distinct"),
+            "exact_distinct",
+            round_cmp(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling
+# --------------------------------------------------------------------------
+
+_WS_TOP = 20
+#: md5 prefix width for the uniform draw: 8 hex chars = 32 bits
+_WS_SPACE = 1 << 32
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           {round_cmp_sql(f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / n_chars")} AS priority
+    FROM documents
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / n_chars,
+             doc_id
+    LIMIT {_WS_TOP}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample: the {_WS_TOP} documents with
+    the smallest ``hash_uniform / weight`` priority, weight = n_chars —
+    longer documents proportionally more likely to be drawn.
+
+    This is the reproducible stand-in for weighted reservoir sampling
+    (Efraimidis–Spirakis A-ES uses ``u^(1/w)`` keys; we use the
+    transcendental-free ``u/w`` ordering so both engines compute
+    bit-identical IEEE doubles — one division of exact integers — while
+    keeping the monotone-in-weight property that defines priority
+    sampling). No RNG state: re-running on any subset, any cluster
+    size, any engine selects the same rows.
+
+    Scale shape: priority is a row-local expression; global top-k plans
+    as ``TakeOrderedAndProject`` — each task keeps {_WS_TOP} rows, the
+    driver merges; no sort, no shuffle of the full corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    prio = u / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id", "source", "n_chars", prio.alias("_p"), round_cmp(prio).alias("priority")
+        )
+        .orderBy("_p", "doc_id")
+        .limit(_WS_TOP)
+        .drop("_p")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-range sliding window
+# --------------------------------------------------------------------------
+
+#: trailing window width in seconds (1 hour, inclusive at both ends)
+_RW_SECONDS = 3600
+#: bound the checked output: users below this id (~1/5 of traffic)
+_RW_USER_CAP = 30
+
+
+@query(
+    "range_interval_window",
+    oracle=f"""
+    SELECT user_id, event_id, epoch_s, roll_cnt,
+           {round_cmp_sql("roll_sum")} AS roll_sum
+    FROM (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+             COUNT(*) OVER w AS roll_cnt,
+             SUM(value) OVER w AS roll_sum
+      FROM events
+      WHERE user_id < {_RW_USER_CAP}
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN {_RW_SECONDS} PRECEDING AND CURRENT ROW
+      )
+    )
+    ORDER BY user_id, epoch_s, event_id
+    """,
+)
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sliding aggregate per user over event TIME, not
+    row count — ``RANGE BETWEEN {_RW_SECONDS} PRECEDING AND CURRENT ROW``
+    on epoch seconds. Completes the window family next to the row-based
+    moving average: rows/range frames answer different questions when
+    events arrive irregularly (a rate limiter cares about the last hour,
+    not the last N events).
+
+    Tie semantics are the ANSI ones — rows sharing a timestamp are frame
+    peers, so every peer sees the same aggregate, which is what makes the
+    result order-insensitive and oracle-comparable without a row tiebreak.
+
+    Scale shape: one shuffle on user_id, per-partition sort on the frame
+    key; the range frame is evaluated with two moving pointers per
+    partition (no per-row rescan). Window sums may re-associate between
+    engines, hence ``round_cmp`` on the sum but not the count.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < _RW_USER_CAP)
+    ep = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-_RW_SECONDS, 0)
+    )
+    return (
+        ev.select("user_id", "event_id", "value", ep.alias("epoch_s"))
+        .select(
+            "user_id",
+            "event_id",
+            "epoch_s",
+            F.count(F.lit(1)).over(w).alias("roll_cnt"),
+            round_cmp(F.sum("value").over(w)).alias("roll_sum"),
+        )
+        .orderBy("user_id", "epoch_s", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    dev AS (
+      SELECT day, n_events,
+             SUM(n_events - (SELECT AVG(n_events) FROM daily)) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM daily
+    )
+    SELECT day, n_events,
+           {round_cmp_sql("cusum")} AS cusum,
+           {round_cmp_sql("ABS(cusum)")} = {round_cmp_sql("MAX(ABS(cusum)) OVER ()")} AS is_peak
+    FROM dev
+    ORDER BY day
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily error-event series: the
+    running sum of deviations from the global mean; the day where |CUSUM|
+    peaks is the most likely level-shift point (Page 1954). The classic
+    monitoring primitive for "did the error rate structurally change and
+    when" — a closed-form two-window pass, no iteration.
+
+    Scale shape: the heavy work is the daily pre-aggregation (partial →
+    final HashAggregate over the raw events). Every window after that
+    runs over #days rows — driver-sized post-agg cardinality, so the
+    unpartitioned windows are not a funnel at any input scale.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_all = Window.partitionBy()
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.withColumn("mean", F.avg("n_events").over(w_all)).withColumn(
+        "cusum", F.sum(F.col("n_events") - F.col("mean")).over(w_run)
+    )
+    return dev.select(
+        "day",
+        "n_events",
+        round_cmp(F.col("cusum")).alias("cusum"),
+        (
+            round_cmp(F.abs("cusum"))
+            == round_cmp(F.max(F.abs("cusum")).over(w_all))
+        ).alias("is_peak"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Single-pass column profiling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "column_profile",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             {round_cmp_sql("CAST(MIN(o_orderkey) AS DOUBLE)")} AS min_num,
+             {round_cmp_sql("CAST(MAX(o_orderkey) AS DOUBLE)")} AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_custkey),
+             {round_cmp_sql("CAST(MIN(o_custkey) AS DOUBLE)")},
+             {round_cmp_sql("CAST(MAX(o_custkey) AS DOUBLE)")},
+             NULL, NULL
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus),
+             NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_totalprice),
+             {round_cmp_sql("MIN(o_totalprice)")},
+             {round_cmp_sql("MAX(o_totalprice)")},
+             NULL, NULL
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderdate),
+             {round_cmp_sql("CAST(FLOOR(epoch(MIN(o_orderdate))) AS DOUBLE)")},
+             {round_cmp_sql("CAST(FLOOR(epoch(MAX(o_orderdate))) AS DOUBLE)")},
+             NULL, NULL
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderpriority),
+             NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+    )
+    ORDER BY col_name
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (null count, distinct count, min/max)
+    in ONE scan — the schema-drift / data-quality primitive an ingest
+    pipeline runs on every new partition before accepting it. The
+    reference eyeballs ``df.describe()`` on pandas (``nb@1``); this is
+    the distributed, single-pass equivalent.
+
+    Scale shape: one pass, one multi-distinct aggregate (Catalyst plans
+    the distinct aggregates via Expand — #distinct-cols × row
+    amplification map-side, still a single shuffle), then a 6-row
+    ``stack`` unpivot of the 1-row aggregate. The oracle re-scans per
+    column (UNION ALL) — correctness-equivalent, and the contrast IS the
+    point of the single-pass form at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def nn(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+
+    a = o.agg(
+        nn("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        round_cmp(F.min("o_orderkey").cast("double")).alias("mn_ok"),
+        round_cmp(F.max("o_orderkey").cast("double")).alias("mx_ok"),
+        nn("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        round_cmp(F.min("o_custkey").cast("double")).alias("mn_ck"),
+        round_cmp(F.max("o_custkey").cast("double")).alias("mx_ck"),
+        nn("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        nn("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        round_cmp(F.min("o_totalprice")).alias("mn_tp"),
+        round_cmp(F.max("o_totalprice")).alias("mx_tp"),
+        nn("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        # o_orderdate arrives as TIMESTAMP_NTZ; route through TIMESTAMP
+        # (session TZ is UTC, epoch preserved) to reach epoch seconds
+        round_cmp(
+            F.min("o_orderdate").cast("timestamp").cast("long").cast("double")
+        ).alias("mn_od"),
+        round_cmp(
+            F.max("o_orderdate").cast("timestamp").cast("long").cast("double")
+        ).alias("mx_od"),
+        nn("o_orderpriority").alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    stacked = a.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'o_orderstatus', nn_st, nd_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_st, mx_st, "
+            "'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'o_orderdate', nn_od, nd_od, mn_od, mx_od, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op"
+            ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+        )
+    )
+    _ = (null_d, null_s)
+    return stacked.orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency
+# --------------------------------------------------------------------------
+
+#: each event opens a 5-minute activity interval
+_IC_DUR_US = 300 * 1_000_000
+
+
+@query(
+    "interval_concurrency_peak",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + {_IC_DUR_US}, -1 FROM events
+    ),
+    run AS (
+      SELECT event_type, t,
+             SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running
+      FROM pts
+    ),
+    pk AS (
+      SELECT event_type, MAX(running) AS peak_concurrency FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, p.peak_concurrency,
+           MIN(r.t) AS peak_t_us
+    FROM run r JOIN pk p
+      ON p.event_type = r.event_type AND r.running = p.peak_concurrency
+    GROUP BY r.event_type, p.peak_concurrency
+    ORDER BY r.event_type
+    """,
+)
+def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via sweep-line: each event opens a
+    5-minute interval; +1/−1 boundary points, a running sum per type,
+    and the max is the largest number of simultaneously-open intervals
+    (with the earliest time it is reached). The capacity-planning query
+    ("how many concurrent sessions must we provision for?") that
+    pandas-style tools answer with an O(n²) overlap scan — here it is
+    O(n log n) with all work distributed.
+
+    Determinism: boundary ties process closings before openings
+    (``ORDER BY t, delta`` — delta −1 < +1), the half-open-interval
+    convention. Rows tied on (t, delta) permute only within a
+    monotone run of the prefix sum, so the per-type max and its
+    earliest time are order-invariant even though per-row running
+    values are not — which is why the op emits the grouped peak, not
+    per-row state.
+
+    Scale shape: union+projection is map-side; one shuffle on
+    event_type for the running-sum window; the peak join is on the
+    grouped (driver-sized) side. Skewed types are the known hazard —
+    the salted-window pattern (op/skew.py) applies unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type", (t + F.lit(_IC_DUR_US)).alias("t"), F.lit(-1).alias("delta")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionAll(ends).select(
+        "event_type", "t", F.sum("delta").over(w).alias("running")
+    )
+    pk = run.groupBy("event_type").agg(F.max("running").alias("peak_concurrency"))
+    return (
+        run.join(pk, "event_type")
+        .filter(F.col("running") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("peak_t_us"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto",
+    oracle=f"""
+    SELECT x.p_partkey, ROUND(x.p_retailprice, {DP}) AS price, x.p_size AS size
+    FROM part x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+        AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    ORDER BY price, size, x.p_partkey
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts — minimize price, maximize size: the
+    rows no other row beats on both axes. The multi-objective "best
+    tradeoffs" query (Börzsönyi et al., ICDE 2001) that SQL expresses
+    only as a quadratic NOT EXISTS — which is exactly what the oracle
+    runs, making it an INDEPENDENT formulation of the same semantics
+    rather than a transliteration of this plan.
+
+    Scale shape (prune-then-verify, the standard distributed skyline):
+    (1) bucket rows by ⌊price⌋ and compute each bucket's max size — a
+    tiny aggregate; (2) the strictly-cheaper-bucket running max forms a
+    staircase; any row at-or-under the staircase is dominated by an
+    actual cheaper row and is discarded in a row-local broadcast-join
+    filter (no shuffle of the fact table); (3) the surviving candidate
+    set — bounded by the staircase's step count, thousands at most
+    regardless of input size — is verified exactly with a broadcast
+    nested-loop anti-join against itself. Dominance is transitive, so
+    pruned rows can never be needed as witnesses: every dominator chain
+    ends at a survivor. Ties (equal price AND size) dominate neither
+    way and are all retained, matching the oracle's strict clause.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    b = p.withColumn("bucket", F.floor("p_retailprice"))
+    bmax = b.groupBy("bucket").agg(F.max("p_size").alias("bsize"))
+    # running max over strictly-lower buckets; bucket count is
+    # price-range-bounded (driver-sized), so the global window is safe
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    stair = bmax.select("bucket", F.max("bsize").over(wb).alias("lower_max"))
+    cand = (
+        b.join(F.broadcast(stair), "bucket")
+        .filter(F.col("lower_max").isNull() | (F.col("p_size") > F.col("lower_max")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    dom = F.broadcast(
+        cand.select(
+            F.col("p_partkey").alias("d_key"),
+            F.col("p_retailprice").alias("d_price"),
+            F.col("p_size").alias("d_size"),
+        )
+    )
+    sky = cand.join(
+        dom,
+        (F.col("d_price") <= F.col("p_retailprice"))
+        & (F.col("d_size") >= F.col("p_size"))
+        & (
+            (F.col("d_price") < F.col("p_retailprice"))
+            | (F.col("d_size") > F.col("p_size"))
+        ),
+        "left_anti",
+    )
+    return sky.select(
+        "p_partkey",
+        F.round("p_retailprice", DP).alias("price"),
+        F.col("p_size").alias("size"),
+    ).orderBy("price", "size", "p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules
+# --------------------------------------------------------------------------
+
+#: a pair is "frequent" when it appears in at least this fraction of baskets
+_AR_MINSUP = 0.005
+_AR_TOP = 20
+
+
+@query(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT o) AS n FROM baskets),
+    items AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+    pairs AS (
+      SELECT b1.item AS x, b2.item AS y, COUNT(*) AS pc
+      FROM baskets b1 JOIN baskets b2 ON b1.o = b2.o AND b1.item < b2.item
+      GROUP BY b1.item, b2.item
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, pc FROM pairs
+      UNION ALL
+      SELECT y, x, pc FROM pairs
+    )
+    SELECT antecedent, consequent, r.pc AS pair_cnt,
+           {round_cmp_sql("r.pc / CAST(t.n AS DOUBLE)")} AS support,
+           {round_cmp_sql("r.pc / CAST(ia.cnt AS DOUBLE)")} AS confidence,
+           {round_cmp_sql("(r.pc * t.n) / CAST(ia.cnt * ic.cnt AS DOUBLE)")} AS lift
+    FROM rules r
+    JOIN items ia ON ia.item = r.antecedent
+    JOIN items ic ON ic.item = r.consequent
+    CROSS JOIN tot t
+    WHERE r.pc >= {_AR_MINSUP} * t.n
+    ORDER BY (r.pc * t.n) / CAST(ia.cnt * ic.cnt AS DOUBLE) DESC,
+             antecedent, consequent
+    LIMIT {_AR_TOP}
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-2 association rules over order baskets (items = brands):
+    support, confidence, and lift for every frequent brand pair, top-20
+    by lift — the classic market-basket shape (Agrawal & Srikant, VLDB
+    1994) restricted to pairs, which is the stage that dominates cost at
+    scale anyway.
+
+    Determinism: lift = (pc·n)/(cntₐ·cnt_c) is ONE IEEE division of
+    exact integer products, so both engines order by bit-identical
+    doubles; (antecedent, consequent) breaks residual ties.
+
+    Scale shape: the basket build joins the fact table against a
+    BROADCAST part dim and dedups with one hash shuffle on (order,
+    item); the pair count is a self-equi-join on the basket key —
+    quadratic only in per-basket size, never in corpus size. The
+    support threshold is a FRACTION of baskets (apriori pruning), so
+    the frequent set stays stable as volume grows 1000×; item counts
+    broadcast to the rule join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    tot = baskets.agg(F.countDistinct("o").alias("n"))
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    b2 = baskets.select(F.col("o"), F.col("item").alias("item2"))
+    pairs = (
+        baskets.join(b2, "o")
+        .filter(F.col("item") < F.col("item2"))
+        .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "pc"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "pc"
+        )
+    )
+    ia = F.broadcast(items.select(F.col("item").alias("antecedent"), F.col("cnt").alias("cnt_a")))
+    ic = F.broadcast(items.select(F.col("item").alias("consequent"), F.col("cnt").alias("cnt_c")))
+    lift = (F.col("pc") * F.col("n")) / (F.col("cnt_a") * F.col("cnt_c")).cast(
+        "double"
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("pc") >= F.lit(_AR_MINSUP) * F.col("n"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pc").alias("pair_cnt"),
+            round_cmp(F.col("pc") / F.col("n").cast("double")).alias("support"),
+            round_cmp(F.col("pc") / F.col("cnt_a").cast("double")).alias(
+                "confidence"
+            ),
+            round_cmp(lift).alias("lift"),
+            lift.alias("_lift_raw"),
+        )
+        .orderBy(F.desc("_lift_raw"), "antecedent", "consequent")
+        .limit(_AR_TOP)
+        .drop("_lift_raw")
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-purchase graph triangle census
+# --------------------------------------------------------------------------
+
+#: the graph keeps the N strongest co-purchase edges
+_TRI_EDGES = 150
+
+
+@query(
+    "brand_copurchase_triangles",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pc AS (
+      SELECT b1.item AS x, b2.item AS y, COUNT(*) AS c
+      FROM baskets b1 JOIN baskets b2 ON b1.o = b2.o AND b1.item < b2.item
+      GROUP BY b1.item, b2.item
+    ),
+    edges AS (
+      SELECT x, y FROM (
+        SELECT x, y, ROW_NUMBER() OVER (ORDER BY c DESC, x, y) AS rn FROM pc
+      ) WHERE rn <= {_TRI_EDGES}
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges ab JOIN edges bc ON ab.y = bc.x
+           JOIN edges ac ON ac.x = ab.x AND ac.y = bc.y
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT x AS node FROM edges UNION ALL SELECT y FROM edges
+      ) GROUP BY node
+    ),
+    wedge AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT {_TRI_EDGES} AS n_edges,
+           t.n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           {round_cmp_sql("3.0 * t.n_triangles / w.n_wedges")} AS clustering_coef
+    FROM tri t CROSS JOIN wedge w
+    """,
+)
+def brand_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the brand
+    co-purchase graph (nodes = brands, edges = the {_TRI_EDGES}
+    strongest co-occurrence pairs). Triangle counting is THE canonical
+    join-based graph kernel; the clustering coefficient 3·Δ/wedges says
+    how cliquish co-purchasing is.
+
+    The edge set is top-N by weight with full (count, x, y) tiebreak,
+    which keeps the graph density INVARIANT to corpus scale — an
+    absolute-count cutoff would go from empty to complete as volume
+    grows.
+
+    Scale shape: the heavy stage is the basket pair count (same plan as
+    assoc_rules_lift); the graph itself is dimension-sized, so the
+    triangle 3-way self-join broadcasts. On billion-edge graphs the
+    same query runs with edges oriented by degree (each edge stored
+    low-degree → high-degree) — the standard bound that keeps the join
+    fan-out at O(E^1.5) — which this node-ordered orientation already
+    approximates.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    b2 = baskets.select(F.col("o"), F.col("item").alias("item2"))
+    pc = (
+        baskets.join(b2, "o")
+        .filter(F.col("item") < F.col("item2"))
+        .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "x", "y")
+    edges = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TRI_EDGES)
+        .select("x", "y")
+    )
+    ab = edges.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    bc = edges.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    ac = edges.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = (
+        ab.join(F.broadcast(bc), "b")
+        .join(F.broadcast(ac), ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges_raw")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .select(
+            F.lit(_TRI_EDGES).alias("n_edges"),
+            "n_triangles",
+            F.col("n_wedges_raw").cast("long").alias("n_wedges"),
+            round_cmp(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges_raw")
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-iteration PageRank
+# --------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_N = 25  # nations
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT nn.n_nationkey AS node,
+             0.15 / {_PR_N} + {_PR_DAMP} * COALESCE(SUM({prev}.pr * tr.p), 0) AS pr
+      FROM nation nn
+      LEFT JOIN tr ON tr.dst = nn.n_nationkey
+      LEFT JOIN {prev} ON {prev}.node = tr.src
+      GROUP BY nn.n_nationkey
+    )"""
+
+
+@query(
+    "pagerank_nation_trade",
+    oracle=f"""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    tr AS (SELECT e.src, e.dst, e.w / CAST(ow.ow AS DOUBLE) AS p
+           FROM e JOIN ow ON ow.src = e.src),
+    pr0 AS (SELECT n_nationkey AS node, 1.0 / {_PR_N} AS pr FROM nation),
+    {_pr_iter_sql("pr0", "pr1")},
+    {_pr_iter_sql("pr1", "pr2")},
+    {_pr_iter_sql("pr2", "pr3")}
+    SELECT p3.node AS nationkey, n.n_name AS nation,
+           {round_cmp_sql("p3.pr")} AS pagerank
+    FROM pr3 p3 JOIN nation n ON n.n_nationkey = p3.node
+    ORDER BY p3.node
+    """,
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_PR_ITERS}-iteration PageRank (damping {_PR_DAMP}) over the
+    nation-level trade graph: edge i→j weighted by how many lineitems
+    customers of nation i bought from suppliers of nation j. The
+    fixed-iteration form of the canonical iterative-dataflow algorithm
+    (Page et al. 1999) — exactly the shape Spark excels at (re-joining a
+    small rank vector against a cached edge list) and the oracle can
+    still replay as {_PR_ITERS} unrolled CTEs.
+
+    Dangling mass (a node with no out-edges) is dropped, not
+    redistributed — pinned identically on both sides; with this data
+    every nation has customers, so no mass is lost in practice.
+
+    Scale shape: the edge build is the real work — fact⋈fact on
+    orderkey (one shuffle) with both dims broadcast, then a
+    nation-pair aggregate that collapses 60k rows to ≤{_PR_N}². Each
+    iteration after that joins a {_PR_N}-row rank vector — broadcast —
+    against the aggregated transition matrix; on a billion-node graph
+    the SAME loop runs with the rank vector partitioned instead of
+    broadcast, and the plan per iteration is unchanged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    tr = e.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow").cast("double")).alias("p")
+    )
+    # the transition matrix is dimension-sized from here on; localCheckpoint
+    # cuts the 4-table lineage so the 3 iterations don't re-run the joins
+    tr = tr.localCheckpoint(eager=True)
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(_PR_N))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            tr.join(F.broadcast(pr), tr.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15) / F.lit(_PR_N)
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        pr.join(F.broadcast(n), pr.node == n.n_nationkey)
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            round_cmp(F.col("pr")).alias("pagerank"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pointwise mutual information over adjacent token pairs
+# --------------------------------------------------------------------------
+
+#: a bigram must carry at least this fraction of all bigram mass
+_PMI_MIN_FRAC = 0.0005
+_PMI_TOP = 20
+
+
+@query(
+    "token_pmi_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(a) AS w FROM tok
+    ),
+    c1 AS (SELECT w, COUNT(*) AS u FROM uni GROUP BY w),
+    t1 AS (SELECT COUNT(*) AS tu FROM uni),
+    big AS (
+      SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS bg
+      FROM tok WHERE len(a) >= 2
+    ),
+    c2 AS (SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
+    t2 AS (SELECT COUNT(*) AS tb FROM big)
+    SELECT w1, w2, n2,
+           {round_cmp_sql("ln((n2 / CAST(tb AS DOUBLE)) / ((ca.u / CAST(tu AS DOUBLE)) * (cb.u / CAST(tu AS DOUBLE))))")} AS pmi
+    FROM c2
+    JOIN c1 ca ON ca.w = c2.w1
+    JOIN c1 cb ON cb.w = c2.w2
+    CROSS JOIN t1 CROSS JOIN t2
+    WHERE n2 >= {_PMI_MIN_FRAC} * tb
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP} adjacent token pairs by pointwise mutual
+    information: PMI = ln(p(w₁w₂)/(p(w₁)p(w₂))) — the collocation
+    detector (Church & Hanks 1990) an LLM-corpus pipeline uses to find
+    multi-word units worth protecting from tokenizer splits. Shares the
+    bigram_cross_entropy tokenizer so both ops see the identical stream.
+
+    Rank is by the ROUNDED pmi (identical floor-formula doubles on both
+    engines) with (w1, w2) tiebreak, making the top-k robust to the
+    last-ulp ln() divergence between libm implementations; the min-count
+    threshold is a fraction of total bigram mass, so selectivity is
+    scale-invariant.
+
+    Scale shape: token/bigram construction is narrow in-row array work;
+    three partial-agg'd counts; the scoring join broadcasts the unigram
+    table. At open-web vocabulary the unigram side outgrows broadcast —
+    the swap is a shuffle join on w1/w2, same plan otherwise.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").alias("a"),
+    )
+    uni = toks.select(F.explode("a").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+    t1 = uni.agg(F.count(F.lit(1)).alias("tu"))
+    pairs = (
+        toks.filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                    " (x, y) -> named_struct('w1', x, 'w2', y))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    t2 = pairs.agg(F.count(F.lit(1)).alias("tb"))
+    ca = F.broadcast(c1.select(F.col("w").alias("w1"), F.col("u").alias("ua")))
+    cb = F.broadcast(c1.select(F.col("w").alias("w2"), F.col("u").alias("ub")))
+    pmi = F.log(
+        (F.col("n2") / F.col("tb").cast("double"))
+        / (
+            (F.col("ua") / F.col("tu").cast("double"))
+            * (F.col("ub") / F.col("tu").cast("double"))
+        )
+    )
+    return (
+        c2.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .filter(F.col("n2") >= F.lit(_PMI_MIN_FRAC) * F.col("tb"))
+        .select("w1", "w2", "n2", round_cmp(pmi).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

@@ -109,6 +109,17 @@ PROVENANCE = {
     "streaming_cdc_compaction": "§2.9 streaming CDC latest-row compaction (applyInPandasWithState O(1)/key), oracle-certified vs the batch twin",
     "bigram_cross_entropy": "LLM-pipeline: bigram-LM cross-entropy quality signal (narrow in-row bigram build)",
     "cume_dist_price_bands": "extension: CUME_DIST decile banding (ties-inclusive ranking window)",
+    "kmv_distinct_sketch": "extension: KMV distinct sketch vs exact (mergeable cardinality estimation, md5-deterministic)",
+    "weighted_sample_topk": "LLM-pipeline: deterministic weighted priority sampling (hash-uniform / weight, TakeOrdered)",
+    "range_interval_window": "extension: time-range sliding window (RANGE INTERVAL frame on epoch seconds)",
+    "cusum_changepoint": "extension: CUSUM change-point detection on the daily error series",
+    "column_profile": "extension: single-pass column profiling (nulls/distinct/min/max, stack unpivot)",
+    "interval_concurrency_peak": "extension: sweep-line interval concurrency peak (+1/-1 boundary prefix sums)",
+    "skyline_pareto": "extension: 2-D Pareto skyline (staircase prune + broadcast verify; NOT EXISTS oracle)",
+    "assoc_rules_lift": "extension: market-basket pair rules — support/confidence/lift, fraction-based apriori prune",
+    "brand_copurchase_triangles": "extension: triangle census + clustering coefficient of the top-N co-purchase graph",
+    "pagerank_nation_trade": "extension: fixed-iteration PageRank on the nation trade graph (unrolled-CTE oracle)",
+    "token_pmi_topk": "LLM-pipeline: adjacent-token PMI collocations (shared bigram tokenizer, rounded-rank top-k)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

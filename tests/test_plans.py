@@ -455,3 +455,87 @@ def test_cume_dist_single_shuffle_on_partition_key(spark):
     plan = formatted_plan(df)
     assert "Window" in plan
     assert count_exchanges(df) <= 3, plan
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    # priority is row-local; global top-k must be TakeOrderedAndProject
+    # (per-task heap + driver merge), never a global sort of the corpus
+    df = q("weighted_sample_topk", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 0, plan
+
+
+def test_kmv_sketch_keeps_window_group_limit(spark):
+    # rn <= k must plan WindowGroupLimit so each map task ships at most
+    # k hashes per group — the property that makes the sketch mergeable
+    df = q("kmv_distinct_sketch", spark)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_skyline_prune_broadcasts_staircase_then_verifies(spark):
+    # stage 1 joins the fact rows against the broadcast bucket staircase
+    # (hash join); stage 2's dominance check is a broadcast nested loop
+    # over the pruned candidates only — no shuffle of the full table for
+    # either, and never a CartesianProduct
+    df = q("skyline_pareto", spark)
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    assert "BroadcastNestedLoopJoin" in js
+    assert "CartesianProduct" not in js
+
+
+def test_assoc_rules_broadcasts_dims(spark):
+    # part dim and the item-count sides broadcast; the only shuffle-heavy
+    # stage is the basket self-join on the basket key
+    df = q("assoc_rules_lift", spark)
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    assert "CartesianProduct" not in js
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    # each iteration joins the 25-row rank vector against the transition
+    # matrix — must be broadcast, never a shuffle join per iteration
+    df = q("pagerank_nation_trade", spark)
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    assert "CartesianProduct" not in js
+
+
+def test_token_pmi_topk_is_take_ordered_with_broadcast_lm(spark):
+    df = q("token_pmi_topk", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_range_interval_window_single_partition_shuffle(spark):
+    # one exchange for the user_id window partition; presentation sort
+    # may add a range partitioning — nothing else
+    df = q("range_interval_window", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_interval_concurrency_stays_hash_join_no_cartesian(spark):
+    df = q("interval_concurrency_peak", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_cusum_daily_agg_is_partial(spark):
+    # the raw-events aggregation must be map-side partial; the windows
+    # after it run over driver-sized post-agg cardinality
+    df = q("cusum_changepoint", spark)
+    assert partial_agg_functions(df), formatted_plan(df)
+
+
+def test_column_profile_is_single_scan(spark):
+    # one parquet scan feeds every per-column statistic (Expand handles
+    # the multi-distinct); the oracle's UNION ALL re-scan is the contrast
+    df = q("column_profile", spark)
+    assert len(read_schemas(df)) == 1
+    assert "Expand" in formatted_plan(df)

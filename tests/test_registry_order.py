@@ -22,23 +22,19 @@ WINDOW = 50
 
 #: SURVEY §2 parity ids (relational.py) — unchecked by the driver in r1
 #: because alphabetical module order registered them at positions 59-91.
+#: 11 parity residents rotated out mid-r5 (project_dropna,
+#: range_filter_agg, group2_sort_mixed_limit, group_avg_having_sort,
+#: filter_group2_avg2_count_sort, group_avg_sum2_topk, two_level_agg,
+#: trend_group_avg_sort, overview_scalars, dedup_exact, corr_matrix):
+#: all r4-driver-green, unchanged since, still locally
+#: differential-checked every session; their slots fund the new
+#: mining/sketch/graph family's first driver certification.
 PARITY_IDS = [
-    "project_dropna",
-    "range_filter_agg",
     "eq_filter_group_agg",
     "filter_group_avg_topk",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "filter_group2_avg2_count_sort",
-    "group_avg_sum2_topk",
-    "two_level_agg",
-    "trend_group_avg_sort",
-    "overview_scalars",
     "value_counts_topk",
-    "dedup_exact",
     "median_fill",
     "iqr_clip",
-    "corr_matrix",
     "window_group_median_fill",
     "global_sort_rowid",
     "group_quantiles",
@@ -102,12 +98,33 @@ ROUND5_IDS = [
     "streaming_cdc_compaction",
 ]
 
+#: mid-r5 additions (operators/mining.py): sketch / sampling / interval /
+#: profiling / basket / graph family — never driver-checked before
+ROUND5B_IDS = [
+    "kmv_distinct_sketch",
+    "weighted_sample_topk",
+    "range_interval_window",
+    "cusum_changepoint",
+    "column_profile",
+    "interval_concurrency_peak",
+    "skyline_pareto",
+    "assoc_rules_lift",
+    "brand_copurchase_triangles",
+    "pagerank_nation_trade",
+    "token_pmi_topk",
+]
+
 
 def test_parity_and_round2_ids_inside_driver_window():
     prefix = list(REGISTRY)[:WINDOW]
     missing = [
         n
-        for n in PARITY_IDS + ROUND2_IDS + TIER3_SAMPLE + ROUND4_IDS + ROUND5_IDS
+        for n in PARITY_IDS
+        + ROUND2_IDS
+        + TIER3_SAMPLE
+        + ROUND4_IDS
+        + ROUND5_IDS
+        + ROUND5B_IDS
         if n not in prefix
     ]
     assert not missing, f"ids outside the driver's {WINDOW}-entry window: {missing}"

@@ -64,14 +64,17 @@ _RECHECK_FIRST = [
     "brand_copurchase_triangles",
     "pagerank_nation_trade",
     "token_pmi_topk",
-    # — keep-certified tier (SURVEY §2 parity + prior window residents) —
+    "seasonal_baseline_anomaly",
+    "inverted_index_topk",
+    "mode_per_group",
+    # — keep-certified tier (SURVEY §2 parity + prior window residents;
+    #   window_group_median_fill / global_sort_rowid / zscore_normalize
+    #   rotated out for the three ops above: r4-green, unchanged,
+    #   locally differential-checked every session) —
     "filter_group_avg_topk",
     "median_fill",
     "iqr_clip",
-    "window_group_median_fill",
-    "global_sort_rowid",
     "group_quantiles",
-    "zscore_normalize",
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",

@@ -370,6 +370,14 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of the single-pass form at 100 TB.
     """
     o = load(spark, sf_dir, "orders")
+    # the testdata ships one parquet split per table, so the Expand (6×
+    # row amplification for the multi-distinct) and its partial
+    # aggregate would run on ONE task; spread rows first. At 100 TB the
+    # source has thousands of natural splits and this repartition is a
+    # no-op to remove, not a plan change.
+    o = o.repartition(
+        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
+    )
 
     def nn(c):
         return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
@@ -589,6 +597,40 @@ _AR_MINSUP = 0.005
 _AR_TOP = 20
 
 
+def _order_brand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted brand set: fact ⋈ broadcast part dim, then ONE
+    hash shuffle on the basket key. Shared by the basket-mining ops."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+    )
+
+
+def _brand_pair_counts(sets: DataFrame) -> DataFrame:
+    """Unordered co-occurrence pair counts, generated IN-ROW from each
+    basket's sorted item set (C(k,2) per basket via indexed transform +
+    slice) — quadratic only in basket size, and one aggregate shuffle
+    on the pair key. The self-join formulation the oracle uses would
+    shuffle the basket table twice more; measured 3.6 s → ~1 s at
+    sf0.1."""
+    return (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x, y))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+
+
 @query(
     "assoc_rules_lift",
     oracle=f"""
@@ -634,29 +676,25 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles; (antecedent, consequent) breaks residual ties.
 
     Scale shape: the basket build joins the fact table against a
-    BROADCAST part dim and dedups with one hash shuffle on (order,
-    item); the pair count is a self-equi-join on the basket key —
-    quadratic only in per-basket size, never in corpus size. The
-    support threshold is a FRACTION of baskets (apriori pruning), so
-    the frequent set stays stable as volume grows 1000×; item counts
-    broadcast to the rule join.
+    BROADCAST part dim and groups into per-order sorted item sets with
+    ONE hash shuffle on the basket key; pairs are then generated IN-ROW
+    (C(k,2) per basket — quadratic in basket size, never corpus size)
+    and count-aggregated. The oracle states the same counts as a basket
+    self-join — an independent formulation. The support threshold is a
+    FRACTION of baskets (apriori pruning), so the frequent set stays
+    stable as volume grows 1000×; item counts broadcast to the rule
+    join.
     """
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
-        .distinct()
+    sets = _order_brand_sets(spark, sf_dir)
+    # three consumers below (total, item counts, pair counts) — persist
+    # the basket table once instead of re-running the build per branch
+    # (at cluster scale: .persist(StorageLevel.DISK_ONLY) instead)
+    sets = sets.localCheckpoint(eager=True)
+    tot = sets.agg(F.count(F.lit(1)).alias("n"))
+    items = sets.select(F.explode("items").alias("item")).groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    tot = baskets.agg(F.countDistinct("o").alias("n"))
-    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    b2 = baskets.select(F.col("o"), F.col("item").alias("item2"))
-    pairs = (
-        baskets.join(b2, "o")
-        .filter(F.col("item") < F.col("item2"))
-        .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))
-        .agg(F.count(F.lit(1)).alias("pc"))
-    )
+    pairs = _brand_pair_counts(sets)
     rules = pairs.select(
         F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "pc"
     ).unionAll(
@@ -746,27 +784,16 @@ def brand_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute-count cutoff would go from empty to complete as volume
     grows.
 
-    Scale shape: the heavy stage is the basket pair count (same plan as
-    assoc_rules_lift); the graph itself is dimension-sized, so the
-    triangle 3-way self-join broadcasts. On billion-edge graphs the
+    Scale shape: the heavy stage is the basket pair count (shared
+    in-row C(k,2) build with assoc_rules_lift); the graph itself is
+    dimension-sized, so the triangle 3-way self-join broadcasts. On billion-edge graphs the
     same query runs with edges oriented by degree (each edge stored
     low-degree → high-degree) — the standard bound that keeps the join
     fan-out at O(E^1.5) — which this node-ordered orientation already
     approximates.
     """
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
-        .distinct()
-    )
-    b2 = baskets.select(F.col("o"), F.col("item").alias("item2"))
-    pc = (
-        baskets.join(b2, "o")
-        .filter(F.col("item") < F.col("item2"))
-        .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    pc = _brand_pair_counts(_order_brand_sets(spark, sf_dir)).withColumnRenamed(
+        "pc", "c"
     )
     w = Window.orderBy(F.desc("c"), "x", "y")
     edges = (
@@ -774,6 +801,10 @@ def brand_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TRI_EDGES)
         .select("x", "y")
     )
+    # the edge list is referenced four times below (three join aliases +
+    # the degree table); it is dimension-sized, so cut the lineage here
+    # rather than re-running the basket pair count per reference
+    edges = edges.localCheckpoint(eager=True)
     ab = edges.select(F.col("x").alias("a"), F.col("y").alias("b"))
     bc = edges.select(F.col("x").alias("b"), F.col("y").alias("c"))
     ac = edges.select(F.col("x").alias("a"), F.col("y").alias("c"))
@@ -1015,4 +1046,245 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n2", round_cmp(pmi).alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal baseline + anomaly flags
+# --------------------------------------------------------------------------
+
+#: |z| above this (after cross-engine rounding) flags an anomalous hour
+_SEAS_Z = 1.5
+
+
+@query(
+    "seasonal_baseline_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(strftime(CAST(ts AS DATE), '%w') AS INTEGER) + 1 AS dow,
+             EXTRACT(hour FROM ts) AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT day, hour, n_events,
+             AVG(n_events) OVER w AS baseline,
+             STDDEV_SAMP(n_events) OVER w AS sd,
+             COUNT(*) OVER w AS n_weeks
+      FROM hourly
+      WINDOW w AS (PARTITION BY dow, hour)
+    )
+    SELECT day, hour, n_events,
+           {round_cmp_sql("baseline")} AS baseline,
+           {round_cmp_sql("n_events - baseline")} AS residual,
+           {round_cmp_sql("(n_events - baseline) / sd")} AS z
+    FROM scored
+    WHERE n_weeks >= 3 AND sd > 0
+      AND {round_cmp_sql("ABS(n_events - baseline) / sd")} > {_SEAS_Z}
+    ORDER BY day, hour
+    """,
+)
+def seasonal_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: hourly event counts scored
+    against their own (day-of-week × hour-of-day) history — the
+    monitoring query behind "traffic this hour is abnormal FOR a Tuesday
+    3pm". Cells with under 3 observed weeks or zero variance are
+    unscoreable and excluded on both sides.
+
+    The z threshold compares ROUNDED values (identical floor-formula
+    doubles on both engines), so the flag set can't flip on the last-ulp
+    variance divergence between Spark's and DuckDB's accumulation
+    orders. Day-of-week is pinned to Spark's 1=Sunday convention
+    (DuckDB's %w is 0=Sunday, shifted by one in the oracle).
+
+    Scale shape: the raw scan collapses to day×hour cells in ONE
+    partial-agg'd shuffle, and the baseline is an unbounded window
+    over those cells partitioned by (dow, hour) — scoring each cell
+    against its peers without a second scan or a self-join (a
+    baseline-table join would recompute the cell aggregate, doubling
+    the scan). Raw events are read exactly once.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("dow", "hour")
+    scored = hourly.select(
+        "day",
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("baseline"),
+        F.stddev_samp("n_events").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_weeks"),
+    )
+    resid = F.col("n_events") - F.col("baseline")
+    return (
+        scored.filter((F.col("n_weeks") >= 3) & (F.col("sd") > 0))
+        .filter(round_cmp(F.abs(resid) / F.col("sd")) > _SEAS_Z)
+        .select(
+            "day",
+            "hour",
+            "n_events",
+            round_cmp(F.col("baseline")).alias("baseline"),
+            round_cmp(resid).alias("residual"),
+            round_cmp(resid / F.col("sd")).alias("z"),
+        )
+        .orderBy("day", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index build
+# --------------------------------------------------------------------------
+
+_IDX_TOP_TOKENS = 20
+_IDX_POSTINGS = 10
+
+
+@query(
+    "inverted_index_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                         x -> x <> '')) AS token,
+                      doc_id
+      FROM documents
+    ),
+    df AS (SELECT token, COUNT(*) AS doc_freq FROM pairs GROUP BY token),
+    top AS (
+      SELECT token, doc_freq FROM (
+        SELECT token, doc_freq,
+               ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS rn
+        FROM df
+      ) WHERE rn <= {_IDX_TOP_TOKENS}
+    ),
+    post AS (
+      SELECT p.token, p.doc_id FROM (
+        SELECT token, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        FROM pairs
+      ) p WHERE p.rn <= {_IDX_POSTINGS}
+    )
+    SELECT t.token, t.doc_freq,
+           (SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+            FROM post WHERE post.token = t.token) AS postings_head
+    FROM top t
+    ORDER BY t.doc_freq DESC, t.token
+    """,
+)
+def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (token → sorted posting list),
+    materialized for the {_IDX_TOP_TOKENS} highest-document-frequency
+    tokens with the first {_IDX_POSTINGS} postings each — the build
+    side of every search / retrieval system, and the access path a
+    RAG-style corpus pipeline precomputes next to its embeddings.
+
+    Posting lists are emitted as comma-joined strings (ascending
+    doc_id), which keeps the cross-engine value comparison on scalar
+    columns rather than engine-specific array encodings.
+
+    Scale shape: distinct (token, doc) pairs is one hash shuffle;
+    per-token posting truncation plans ``WindowGroupLimit`` (each map
+    task ships ≤{_IDX_POSTINGS} postings per token before the window
+    shuffle), so hot tokens ("the") cannot flood a reducer; the
+    top-tokens ranking runs over the already-aggregated df table. A
+    full index build is the same plan minus the two truncations, with
+    postings written sorted-by-token via repartitionByRange — the
+    bucketed-layout pattern of sources/sorted_layout.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+        ).alias("token"),
+        "doc_id",
+    ).distinct()
+    df_tok = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w_top = Window.orderBy(F.desc("doc_freq"), "token")
+    top = (
+        df_tok.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _IDX_TOP_TOKENS)
+        .drop("rn")
+    )
+    w_post = Window.partitionBy("token").orderBy("doc_id")
+    post = (
+        pairs.withColumn("rn", F.row_number().over(w_post))
+        .filter(F.col("rn") <= _IDX_POSTINGS)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(doc_id)),"
+                    " x -> cast(x as string))"
+                ),
+            ).alias("postings_head")
+        )
+    )
+    return (
+        top.join(post, "token")
+        .select("token", "doc_freq", "postings_head")
+        .orderBy(F.desc("doc_freq"), "token")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mode (most frequent value) per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mode_per_group",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt,
+           {round_cmp_sql("cnt / CAST(total AS DOUBLE)")} AS share
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS total,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with share-of-group — the statistical MODE()
+    aggregate SQL standardizes but engines rarely make deterministic:
+    ties break by value ascending, pinned identically on both sides,
+    so the answer is stable across engines and runs (a bare MODE()
+    isn't, which is why the op is built from count + rank instead).
+
+    Scale shape: one partial-agg'd count shuffle on (group, value);
+    the rank and group-total windows then run over the AGGREGATED
+    cells (|groups|×|values| rows, not raw rows), partitioned on the
+    same key the aggregate just shuffled on — AQE coalesces them into
+    the same exchange.
+    """
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_tot = Window.partitionBy("o_orderstatus")
+    w_rnk = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rnk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+            round_cmp(F.col("cnt") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("o_orderstatus")
     )

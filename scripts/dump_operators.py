@@ -120,6 +120,9 @@ PROVENANCE = {
     "brand_copurchase_triangles": "extension: triangle census + clustering coefficient of the top-N co-purchase graph",
     "pagerank_nation_trade": "extension: fixed-iteration PageRank on the nation trade graph (unrolled-CTE oracle)",
     "token_pmi_topk": "LLM-pipeline: adjacent-token PMI collocations (shared bigram tokenizer, rounded-rank top-k)",
+    "seasonal_baseline_anomaly": "extension: day-of-week x hour seasonal baseline + rounded-z anomaly flags",
+    "inverted_index_topk": "extension: inverted-index build (token -> sorted postings, WindowGroupLimit truncation)",
+    "mode_per_group": "extension: deterministic per-group MODE with share-of-group (count + rank, value-asc ties)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -539,3 +539,30 @@ def test_column_profile_is_single_scan(spark):
     df = q("column_profile", spark)
     assert len(read_schemas(df)) == 1
     assert "Expand" in formatted_plan(df)
+
+
+def test_seasonal_anomaly_scores_on_aggregated_cells(spark):
+    # the hourly cells are partial-agg'd in one pass; the baseline is a
+    # window over those cells (not a self-join, which would recompute
+    # the cell aggregate) — raw events are scanned exactly once
+    df = q("seasonal_baseline_anomaly", spark)
+    plan = formatted_plan(df)
+    assert partial_agg_functions(df)
+    assert "Window" in plan
+    assert not join_strategies(df), plan
+    assert len(read_schemas(df)) == 1
+
+
+def test_inverted_index_truncates_postings_map_side(spark):
+    # the per-token posting cut (rn <= N) must plan WindowGroupLimit so
+    # hot tokens can't flood a reducer
+    df = q("inverted_index_topk", spark)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_mode_per_group_windows_over_aggregated_cells(spark):
+    # count shuffle on (group, value); rank/total windows run on the
+    # aggregated cells, not raw rows
+    df = q("mode_per_group", spark)
+    assert partial_agg_functions(df)
+    assert "Window" in formatted_plan(df)

@@ -29,16 +29,15 @@ WINDOW = 50
 #: all r4-driver-green, unchanged since, still locally
 #: differential-checked every session; their slots fund the new
 #: mining/sketch/graph family's first driver certification.
+#: (window_group_median_fill / global_sort_rowid / zscore_normalize
+#: likewise rotated out for the batch-3 mining ops)
 PARITY_IDS = [
     "eq_filter_group_agg",
     "filter_group_avg_topk",
     "value_counts_topk",
     "median_fill",
     "iqr_clip",
-    "window_group_median_fill",
-    "global_sort_rowid",
     "group_quantiles",
-    "zscore_normalize",
 ]
 
 #: scale-path certifications + ids changed in round 2.
@@ -112,6 +111,9 @@ ROUND5B_IDS = [
     "brand_copurchase_triangles",
     "pagerank_nation_trade",
     "token_pmi_topk",
+    "seasonal_baseline_anomaly",
+    "inverted_index_topk",
+    "mode_per_group",
 ]
 
 

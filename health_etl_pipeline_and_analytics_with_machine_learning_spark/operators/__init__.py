@@ -67,23 +67,26 @@ _RECHECK_FIRST = [
     "seasonal_baseline_anomaly",
     "inverted_index_topk",
     "mode_per_group",
+    "gaps_islands_streaks",
+    "skew_diagnosis_gini",
+    "kmv_join_cardinality",
+    "time_weighted_avg",
+    "path_regex_match",
+    "fd_discovery",
     # — keep-certified tier (SURVEY §2 parity + prior window residents;
-    #   window_group_median_fill / global_sort_rowid / zscore_normalize
-    #   rotated out for the three ops above: r4-green, unchanged,
-    #   locally differential-checked every session) —
+    #   rotated out for the mining ops above, all r4-green, unchanged,
+    #   locally differential-checked every session:
+    #   window_group_median_fill, global_sort_rowid, zscore_normalize,
+    #   median_fill, iqr_clip, group_quantiles (their _scaled twins
+    #   stay in-window), stratified_hash_sample, eq_filter_group_agg,
+    #   value_counts_topk) —
     "filter_group_avg_topk",
-    "median_fill",
-    "iqr_clip",
-    "group_quantiles",
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
-    "eq_filter_group_agg",
-    "value_counts_topk",
     "sequence_pack_scaled",
     "vocab_oov_rate",
     "salted_skew_join",
-    "stratified_hash_sample",
     # — new-op tier (r5 additions, first driver certification) —
     "cdc_latest_compaction",
     "merge_upsert_counts",

@@ -1288,3 +1288,472 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day streak
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INTEGER) AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor, COUNT(*) AS streak,
+             MIN(day) AS streak_start
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           MAX(streak) AS longest_streak,
+           MIN(CASE WHEN streak = ms THEN streak_start END) AS first_peak_start,
+           SUM(streak) AS n_active_days
+    FROM (SELECT *, MAX(streak) OVER (PARTITION BY user_id) AS ms FROM islands)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands idiom: subtracting each day's per-user rank from
+    the day itself collapses every run of consecutive dates onto one
+    anchor value, turning "find maximal runs" into a plain GROUP BY. The
+    time-gap cousin of sessionization (which islands on elapsed time,
+    not calendar adjacency); retention/engagement pipelines need both.
+
+    Ties for the longest streak resolve to the EARLIEST streak start on
+    both sides (MIN over the peak islands) — date arithmetic only, no
+    floats anywhere.
+
+    Scale shape: one distinct shuffle on (user, day) — already tiny
+    relative to raw events — then rank + island aggregation all
+    partition on user_id; nothing global, no joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak"), F.min("day").alias("streak_start")
+    )
+    wm = Window.partitionBy("user_id")
+    return (
+        islands.withColumn("ms", F.max("streak").over(wm))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak").alias("longest_streak"),
+            F.min(
+                F.when(F.col("streak") == F.col("ms"), F.col("streak_start"))
+            ).alias("first_peak_start"),
+            F.sum("streak").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-key skew diagnosis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_diagnosis_gini",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt, l_partkey) AS rk
+      FROM counts
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(cnt) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             SUM(rk * cnt) AS weighted
+      FROM ranked
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           {round_cmp_sql("max_cnt * n_keys / CAST(n_rows AS DOUBLE)")} AS max_over_mean,
+           {round_cmp_sql("(2.0 * weighted) / (n_keys * CAST(n_rows AS DOUBLE)) - (n_keys + 1.0) / n_keys")} AS gini
+    FROM stats
+    """,
+)
+def skew_diagnosis_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for a prospective join/agg key
+    (l_partkey): per-key row counts summarized as max/mean ratio and the
+    Gini coefficient of the count distribution — the numbers that decide
+    whether the salted-join path (op/skew.py) is worth its overhead
+    BEFORE running the expensive shuffle. Gini uses the exact rank
+    formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over counts sorted
+    ascending (ties broken by key, pinned on both sides), so everything
+    up to the two final divisions is integer-exact.
+
+    Scale shape: the per-key count is the partial-agg'd shuffle the
+    diagnosis is ABOUT — one pass; ranking runs over the aggregated key
+    table (|keys| rows), and the output is a single row. On a truly
+    hot-keyed input the count table itself is what you'd sketch
+    (count-min) — the exact version here doubles as its oracle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cnt", "l_partkey")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("rk") * F.col("cnt")).alias("weighted"),
+    )
+    return stats.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        round_cmp(
+            F.col("max_cnt") * F.col("n_keys") / F.col("n_rows").cast("double")
+        ).alias("max_over_mean"),
+        round_cmp(
+            (F.lit(2.0) * F.col("weighted"))
+            / (F.col("n_keys") * F.col("n_rows").cast("double"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch join-cardinality estimate
+# --------------------------------------------------------------------------
+
+_KJC_K = 64
+
+
+@query(
+    "kmv_join_cardinality",
+    oracle=f"""
+    WITH va AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    vb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    un AS (SELECT h FROM va UNION SELECT h FROM vb),
+    ksmall AS (
+      SELECT h, rn FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM un
+      ) WHERE rn <= {_KJC_K}
+    ),
+    kth AS (SELECT MAX(h) AS kth_h, COUNT(*) AS k_eff FROM ksmall),
+    common AS (
+      SELECT COUNT(*) AS c FROM ksmall
+      WHERE h IN (SELECT h FROM va) AND h IN (SELECT h FROM vb)
+    ),
+    ex AS (
+      SELECT COUNT(*) AS exact_both FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT kth.k_eff AS k,
+           {round_cmp_sql(f"CASE WHEN kth.k_eff >= {_KJC_K} THEN (common.c / CAST(kth.k_eff AS DOUBLE)) * (({_KJC_K} - 1) / (kth.kth_h / {_KMV_SPACE})) ELSE CAST(common.c AS DOUBLE) END")} AS est_intersection,
+           ex.exact_both AS exact_intersection
+    FROM kth CROSS JOIN common CROSS JOIN ex
+    """,
+)
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two KMV sketches WITHOUT running
+    the join: |A∩B| ≈ Jaccard(k-set) × |A∪B|-estimate, where the k-set
+    is the k smallest hashes of the UNION and Jaccard is the fraction of
+    them present in both sides (Beyer et al., SIGMOD 2007). This is how
+    an optimizer prices a candidate join from per-table sketches —
+    merging two KMV sketches is just "k smallest of the union", no data
+    re-read. Falls back to the exact common count when the union has
+    fewer than k distinct hashes. The exact INTERSECT runs alongside as
+    the ground truth the estimate is judged against.
+
+    Scale shape: each side is one distinct-hash aggregation (map-side
+    partial); the sketch merge touches 2k values; the exact check is the
+    expensive part — which is the point of the sketch.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    va = ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
+    vb = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
+    un = va.union(vb).distinct()
+    wk = Window.orderBy("h")
+    ksmall = un.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KJC_K
+    )
+    kth = ksmall.agg(
+        F.max("h").alias("kth_h"), F.count(F.lit(1)).alias("k_eff")
+    )
+    common = (
+        ksmall.join(va.withColumnRenamed("h", "ha"), ksmall.h == F.col("ha"), "semi")
+        .join(vb.withColumnRenamed("h", "hb"), ksmall.h == F.col("hb"), "semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ex = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    est = F.when(
+        F.col("k_eff") >= _KJC_K,
+        (F.col("c") / F.col("k_eff").cast("double"))
+        * ((F.lit(_KJC_K - 1)) / (F.col("kth_h") / F.lit(_KMV_SPACE))),
+    ).otherwise(F.col("c").cast("double"))
+    return (
+        kth.crossJoin(common)
+        .crossJoin(ex)
+        .select(
+            F.col("k_eff").alias("k"),
+            round_cmp(est).alias("est_intersection"),
+            F.col("exact_both").alias("exact_intersection"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average
+# --------------------------------------------------------------------------
+
+#: intervals longer than this are capped (sensor-offline guard), seconds
+_TWAP_CAP_S = 3600
+
+
+@query(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH stepped AS (
+      SELECT event_type, value,
+             LEAST(
+               (LEAD(epoch_us(ts)) OVER (
+                  PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+                ) - epoch_us(ts)) / 1000000.0,
+               {_TWAP_CAP_S}.0
+             ) AS dt
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(dt) AS n_intervals,
+           {round_cmp_sql("SUM(dt)")} AS total_secs,
+           {round_cmp_sql("SUM(value * dt) / SUM(dt)")} AS twap
+    FROM stepped
+    WHERE dt IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type — each reading
+    weighted by how long it remained current (step-function/TWAP
+    semantics, the IoT & market-data staple a row-mean silently gets
+    wrong whenever sampling is irregular). Intervals cap at
+    {_TWAP_CAP_S} s (offline guard); the final reading has no duration
+    and drops from both sides.
+
+    Weights are exact epoch-microsecond differences divided by 1e6 —
+    one IEEE division each, bit-identical across engines; (ts,
+    event_id) fully orders ties so LEAD is deterministic.
+
+    Scale shape: one shuffle on event_type for the LEAD window, then a
+    partial-agg'd rollup on the same key — at production partition
+    counts this is the sessionization plan with an aggregate instead of
+    a session id, and the same salting escape hatch if one type
+    dominates.
+    """
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy(t, F.col("event_id"))
+    dt = F.least(
+        (F.lead(t).over(w) - t) / F.lit(1_000_000.0), F.lit(float(_TWAP_CAP_S))
+    )
+    return (
+        ev.select("event_type", "value", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("dt").alias("n_intervals"),
+            round_cmp(F.sum("dt")).alias("total_secs"),
+            round_cmp(F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).alias(
+                "twap"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern matching over per-user event strings
+# --------------------------------------------------------------------------
+
+#: the funnel pattern: a view, then (anything but a purchase)*, then a
+#: purchase — encoded over single-char event initials
+_SEQ_PATTERN = "v[^p]*p"
+
+
+@query(
+    "path_regex_match",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, substr(event_type, 1, 1) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(c, '' ORDER BY rn) AS path
+      FROM ranked GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(path, '{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(len(regexp_extract_all(path, '{_SEQ_PATTERN}')))
+                AS BIGINT) AS n_matches_total
+    FROM paths
+    """,
+)
+def path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching: each user's
+    event history becomes a compact symbol string (first letter per
+    event, time-ordered) and the funnel pattern ``{_SEQ_PATTERN}``
+    ("view, then a purchase with no purchase in between") is evaluated
+    as a regex — counting both matched users and total non-overlapping
+    matches. This is the row-pattern-recognition capability (SQL:2016
+    MATCH_RECOGNIZE) that engines without it emulate exactly this way;
+    the funnel op answers "did the user ever convert", this one counts
+    EVERY conversion episode and generalizes to arbitrary patterns by
+    swapping one literal.
+
+    Both engines use RE2-class non-overlapping leftmost matching for
+    extract-all, and the symbol alphabet (one char per type) makes the
+    pattern unambiguous.
+
+    Scale shape: one shuffle on user_id builds the ordered symbol
+    string per user (strings are |events-per-user| chars — bounded,
+    unlike collecting raw rows); the regex evaluates row-locally; the
+    final count is a single partial-agg'd scalar.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr("transform(array_sort(collect_list(struct(rn, c))), s -> s.c)"),
+            ).alias("path")
+        )
+    )
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("path").rlike(_SEQ_PATTERN), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(F.size(F.expr(f"regexp_extract_all(path, '{_SEQ_PATTERN}', 0)"))).alias(
+            "n_matches_total"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery
+# --------------------------------------------------------------------------
+
+#: candidate determinant → dependent column pairs probed on orders
+_FD_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+]
+
+
+def _fd_pairs():
+    return [
+        (a, b) for a in _FD_COLS for b in _FD_COLS if a < b
+    ]
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for a, b in _fd_pairs():
+        selects.append(
+            f"""
+      SELECT '{a}' AS det, '{b}' AS dep,
+             COUNT(DISTINCT {a}) AS nd_det,
+             COUNT(DISTINCT {b}) AS nd_dep,
+             COUNT(DISTINCT ({a}, {b})) AS nd_pair,
+             COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS fd_forward,
+             COUNT(DISTINCT {b}) = COUNT(DISTINCT ({a}, {b})) AS fd_backward
+      FROM orders"""
+        )
+    return (
+        "SELECT * FROM (" + "\n      UNION ALL".join(selects) + ") ORDER BY det, dep"
+    )
+
+
+@query("fd_discovery", oracle=_fd_oracle())
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over column pairs: A→B holds in
+    the data iff |distinct(A)| = |distinct(A,B)| (every A value maps to
+    exactly one B). The schema-inference primitive behind normalization
+    advice, join-key candidates, and "is this column derivable"
+    warnings in a profiling pipeline — the pairwise core of TANE-style
+    FD mining, run both directions per unordered pair.
+
+    Scale shape: ONE scan; all {len(_fd_pairs())} pairwise distinct
+    counts evaluate in a single multi-distinct aggregate (Catalyst
+    Expand), repartitioned first so the amplified stream is spread
+    across tasks (single-split testdata; a no-op at natural split
+    counts). The oracle re-states each pair as its own scan — the
+    single-pass form IS the claim. Booleans derive from exact integer
+    equality, so cross-engine comparison is exact.
+    """
+    o = load(spark, sf_dir, "orders")
+    o = o.repartition(
+        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
+    )
+    aggs = []
+    for a, b in _fd_pairs():
+        aggs.append(F.countDistinct(a).alias(f"nd_{a}_{b}_a"))
+        aggs.append(F.countDistinct(b).alias(f"nd_{a}_{b}_b"))
+        aggs.append(F.countDistinct(a, b).alias(f"nd_{a}_{b}_ab"))
+    one = o.agg(*aggs)
+    rows = []
+    for a, b in _fd_pairs():
+        rows.append(
+            f"named_struct('det', '{a}', 'dep', '{b}',"
+            f" 'nd_det', nd_{a}_{b}_a, 'nd_dep', nd_{a}_{b}_b,"
+            f" 'nd_pair', nd_{a}_{b}_ab,"
+            f" 'fd_forward', nd_{a}_{b}_a = nd_{a}_{b}_ab,"
+            f" 'fd_backward', nd_{a}_{b}_b = nd_{a}_{b}_ab)"
+        )
+    return (
+        one.select(F.explode(F.array(*[F.expr(r) for r in rows])).alias("s"))
+        .select("s.*")
+        .orderBy("det", "dep")
+    )

@@ -123,6 +123,12 @@ PROVENANCE = {
     "seasonal_baseline_anomaly": "extension: day-of-week x hour seasonal baseline + rounded-z anomaly flags",
     "inverted_index_topk": "extension: inverted-index build (token -> sorted postings, WindowGroupLimit truncation)",
     "mode_per_group": "extension: deterministic per-group MODE with share-of-group (count + rank, value-asc ties)",
+    "gaps_islands_streaks": "extension: gaps-and-islands longest consecutive-day streak (rank-subtraction anchor)",
+    "skew_diagnosis_gini": "extension: shuffle-key skew diagnosis — max/mean + exact-rank Gini over per-key counts",
+    "kmv_join_cardinality": "extension: join-cardinality estimate from merged KMV sketches vs exact INTERSECT",
+    "time_weighted_avg": "extension: step-function TWAP per type (LEAD-interval weights, capped, exact-microsecond)",
+    "path_regex_match": "extension: MATCH_RECOGNIZE-style regex over per-user event symbol strings",
+    "fd_discovery": "extension: pairwise functional-dependency mining in one multi-distinct pass (TANE core)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -152,6 +152,29 @@ SHOWCASE = {
         "the driver, no global sort), and the membership join broadcasts the "
         "vocab — the exploded token stream is never shuffled for the join."
     ),
+    "kmv_distinct_sketch": (
+        "Mergeable cardinality sketch: distinct-hash shuffle on (group, h), "
+        "then WindowGroupLimit keeps only k hashes per group PER MAP TASK "
+        "before the window shuffle — the k-set IS the inter-stage state, "
+        "which is the whole point of KMV/HLL-class sketches."
+    ),
+    "weighted_sample_topk": (
+        "Deterministic weighted sampling: priority is a row-local md5 "
+        "expression and the global top-k is TakeOrderedAndProject — ZERO "
+        "exchanges; each task keeps k rows and the driver merges."
+    ),
+    "skyline_pareto": (
+        "Prune-then-verify skyline: the bucket staircase broadcasts back as "
+        "a row-local filter (no fact shuffle), and only the staircase-width "
+        "candidate set enters the quadratic dominance check as a "
+        "BroadcastNestedLoopJoin anti-join against itself."
+    ),
+    "assoc_rules_lift": (
+        "Market-basket pairs without a self-join: per-order sorted item sets "
+        "from ONE basket-key shuffle, C(k,2) pair expansion IN-ROW via "
+        "indexed transform+slice, one aggregate shuffle on the pair key; "
+        "part dim and item counts broadcast."
+    ),
 }
 
 

@@ -566,3 +566,43 @@ def test_mode_per_group_windows_over_aggregated_cells(spark):
     df = q("mode_per_group", spark)
     assert partial_agg_functions(df)
     assert "Window" in formatted_plan(df)
+
+
+def test_gaps_islands_partitions_on_user_only(spark):
+    # distinct, rank, island aggregation, and peak window all partition
+    # on user_id — no global window, no join
+    df = q("gaps_islands_streaks", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert not join_strategies(df), plan
+
+
+def test_skew_diagnosis_counts_are_partial_agged(spark):
+    # the per-key count (the shuffle being diagnosed) must partial-agg
+    # map-side; everything after runs on the aggregated key table
+    df = q("skew_diagnosis_gini", spark)
+    assert "count" in partial_agg_functions(df)
+
+
+def test_time_weighted_avg_single_type_shuffle(spark):
+    # LEAD window and the rollup share the event_type key — one
+    # partition shuffle feeds both
+    df = q("time_weighted_avg", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_path_regex_builds_strings_in_one_user_shuffle(spark):
+    # symbol strings assemble via sorted in-row arrays after ONE user_id
+    # shuffle; the regex is row-local; no joins anywhere
+    df = q("path_regex_match", spark)
+    assert not join_strategies(df), formatted_plan(df)
+
+
+def test_fd_discovery_is_single_scan_expand(spark):
+    # all pairwise distinct counts come from one scan through Expand —
+    # the single-pass claim the oracle's per-pair rescans contrast with
+    df = q("fd_discovery", spark)
+    assert len(read_schemas(df)) == 1
+    assert "Expand" in formatted_plan(df)

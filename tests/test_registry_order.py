@@ -29,15 +29,13 @@ WINDOW = 50
 #: all r4-driver-green, unchanged since, still locally
 #: differential-checked every session; their slots fund the new
 #: mining/sketch/graph family's first driver certification.
-#: (window_group_median_fill / global_sort_rowid / zscore_normalize
-#: likewise rotated out for the batch-3 mining ops)
+#: (window_group_median_fill / global_sort_rowid / zscore_normalize /
+#: median_fill / iqr_clip / group_quantiles likewise rotated out for the
+#: batch-3/4 mining ops — the exact tier's _scaled twins stay in-window)
+#: (eq_filter_group_agg / value_counts_topk rotated out for batch-5:
+#: both r4-driver-green after their r3 fix, unchanged since)
 PARITY_IDS = [
-    "eq_filter_group_agg",
     "filter_group_avg_topk",
-    "value_counts_topk",
-    "median_fill",
-    "iqr_clip",
-    "group_quantiles",
 ]
 
 #: scale-path certifications + ids changed in round 2.
@@ -56,9 +54,8 @@ ROUND2_IDS = [
 #: topk, embedding_int8_quantize) were rotated out in r4: driver-green
 #: in r3, still locally differential-tested; their window slots fund the
 #: brand-new r4 certifications below.
-TIER3_SAMPLE = [
-    "stratified_hash_sample",
-]
+#: (stratified_hash_sample rotated out mid-r5: r4-green, unchanged)
+TIER3_SAMPLE: list[str] = []
 
 #: ids that MUST newly certify in the r4 window
 #: sequence_pack_stats rotated out in r5 (r4-green, unchanged; its
@@ -114,6 +111,12 @@ ROUND5B_IDS = [
     "seasonal_baseline_anomaly",
     "inverted_index_topk",
     "mode_per_group",
+    "gaps_islands_streaks",
+    "skew_diagnosis_gini",
+    "kmv_join_cardinality",
+    "time_weighted_avg",
+    "path_regex_match",
+    "fd_discovery",
 ]
 
 

@@ -255,10 +255,11 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bloom is pure Catalyst expressions (Spark's own
     ``bloom_filter_agg`` is optimizer-internal, not user-callable):
     build — each build-side key sets k={len(_BLOOM_SEEDS)} bit positions
-    ``pmod(xxhash64(key, seed), {_BLOOM_BITS})``; ``collect_set`` the
-    positions and fold them into {_BLOOM_WORDS} longs with
-    ``transform(sequence(...), aggregate(..., bitwise OR))``. Probe —
-    one ``element_at`` + bit test per hash: O(1) per row, no array scan.
+    ``pmod(xxhash64(key, seed), {_BLOOM_BITS})``; positions fold into
+    {_BLOOM_WORDS} longs via a DISTRIBUTED per-word ``bit_or`` aggregate
+    (map-side partials), assembled into the dense word array with O(1)
+    map lookups. Probe — one ``element_at`` + bit test per hash: O(1)
+    per row, no array scan.
 
     Why it matters at 100 TB: when the build side is too big to
     broadcast AS ROWS, the join becomes a sort-merge that shuffles the
@@ -279,11 +280,22 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for seed in _BLOOM_SEEDS
     ]
     positions = keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
-    bloom = positions.agg(F.collect_set("pos").alias("ps")).select(
+    # fold bit positions into words via a DISTRIBUTED bit_or aggregate
+    # (map-side partials, |words| rows shuffled), then assemble the
+    # dense word array with O(1) map lookups — the earlier per-word
+    # array-filter fold cost O(words × |positions|) in one expression
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("w")
+    ).agg(
+        # SQL form: python F.shiftleft only takes a literal shift amount
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("m")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm")
+    ).select(
         F.expr(
-            f"""transform(sequence(0, {_BLOOM_WORDS - 1}),
-                 w -> aggregate(filter(ps, p -> CAST(p / 64 AS INT) = w),
-                                0L, (acc, p) -> acc | shiftleft(1L, CAST(p % 64 AS INT))))"""
+            f"transform(sequence(0, {_BLOOM_WORDS - 1}),"
+            f" w -> coalesce(element_at(wm, w), 0L))"
         ).alias("bf")
     )
 
@@ -294,6 +306,12 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & shiftleft(1L, CAST(pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_BITS}) % 64 AS INT))) != 0"""
         )
 
+    # the testdata ships one parquet split, so the narrow probe chain
+    # (2× xxhash64 + bit test per row) would run on ONE task; spread the
+    # 3 referenced columns first. At 100 TB the fact table has thousands
+    # of natural splits and this repartition is a no-op to remove — the
+    # probe still runs upstream of any join exchange.
+    li = li.repartition(min(8, spark.sparkContext.defaultParallelism), "l_orderkey")
     pruned = (
         li.crossJoin(F.broadcast(bloom))
         .filter(probe(_BLOOM_SEEDS[0]) & probe(_BLOOM_SEEDS[1]))

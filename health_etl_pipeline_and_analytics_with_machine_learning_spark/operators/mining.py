@@ -1757,3 +1757,195 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("det", "dep")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford's-law first-digit conformance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "benford_law_check",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT obs.d AS digit, obs.n AS observed,
+           {round_cmp_sql("tot.t * log10(1.0 + 1.0 / obs.d)")} AS expected,
+           {round_cmp_sql("obs.n / CAST(tot.t AS DOUBLE)")} AS obs_frac,
+           {round_cmp_sql("(obs.n - tot.t * log10(1.0 + 1.0 / obs.d)) * (obs.n - tot.t * log10(1.0 + 1.0 / obs.d)) / (tot.t * log10(1.0 + 1.0 / obs.d))")} AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY obs.d
+    """,
+)
+def benford_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    counts vs the log₁₀(1+1/d) expectation with per-digit χ² terms —
+    the fraud/fabrication screen auditors run on financial columns
+    (Nigrini 1996). Deviation on a digit is a data-quality signal a
+    profiling pipeline surfaces next to null rates.
+
+    First digit extraction is integer string math (no float log on the
+    VALUE — only on the closed-form expectation), so binning is exact
+    on both engines; χ² terms round through the shared floor formula.
+
+    Scale shape: digit extraction is row-local; one 9-row aggregate
+    with map-side partials; the total joins back as a broadcast scalar.
+    (This synthetic price column is roughly uniform in [900,1000), so
+    it FAILS Benford loudly — which is what the χ² terms should show.)
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # FLOOR pinned explicitly: a bare double→BIGINT cast truncates in
+    # Spark but rounds half-to-even in DuckDB, flipping boundary digits
+    d = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = F.col("t") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").alias("observed"),
+            round_cmp(exp).alias("expected"),
+            round_cmp(F.col("n") / F.col("t").cast("double")).alias("obs_frac"),
+            round_cmp((F.col("n") - exp) * (F.col("n") - exp) / exp).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat, COUNT(*) AS n_pairs FROM pairs),
+    nn AS (SELECT COUNT(*) AS n_days FROM daily)
+    SELECT s.s_stat, nn.n_days,
+           {round_cmp_sql("s.s_stat / CAST(s.n_pairs AS DOUBLE)")} AS kendall_tau
+    FROM s CROSS JOIN nn
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend statistic on the daily purchase
+    series: S = Σᵢ<ⱼ sign(xⱼ−xᵢ) and Kendall's τ = S / C(n,2) — the
+    nonparametric "is this KPI actually trending" test (Mann 1945)
+    that, unlike a fitted slope, is exact integer arithmetic until the
+    single final division.
+
+    Scale shape: the raw scan collapses to one row per DAY first, so
+    the O(n²) pairwise comparison runs over post-aggregation
+    cardinality (30 days → 435 pairs — driver-sized at ANY input
+    volume; a decade of days is still only ~6.7M pairs). This is the
+    general pattern for quadratic statistics at 100 TB: aggregate to
+    the statistic's natural granularity, then pay quadratic only
+    there.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(F.col("day").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("day").alias("db"), F.col("n").alias("nb"))
+    sgn = (
+        F.when(F.col("nb") > F.col("na"), 1)
+        .when(F.col("nb") < F.col("na"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(sgn.alias("sgn"))
+        .agg(
+            F.sum("sgn").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return s.crossJoin(F.broadcast(nn)).select(
+        "s_stat",
+        "n_days",
+        round_cmp(F.col("s_stat") / F.col("n_pairs").cast("double")).alias(
+            "kendall_tau"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling correlation between two daily series
+# --------------------------------------------------------------------------
+
+#: rolling frame width in days (current day + 6 preceding)
+_RC_DAYS = 7
+
+
+@query(
+    "rolling_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_view, n_buy,
+           {round_cmp_sql("CORR(n_view, n_buy) OVER (ORDER BY day ROWS BETWEEN {w} PRECEDING AND CURRENT ROW)".format(w=_RC_DAYS - 1))} AS roll_corr
+    FROM daily
+    QUALIFY ROW_NUMBER() OVER (ORDER BY day) >= {_RC_DAYS}
+    ORDER BY day
+    """,
+)
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_RC_DAYS}-day rolling Pearson correlation between the daily view
+    and purchase series — "are traffic and conversions still moving
+    together this week?" The windowed form of the corr_matrix op:
+    CORR as a WINDOW aggregate over a sliding frame, the shape
+    monitoring dashboards need (a single whole-period correlation hides
+    regime changes). Partial frames (the first {_RC_DAYS}-1 days) are
+    excluded on both sides rather than reported at lower confidence.
+
+    Scale shape: the conditional daily rollup is one partial-agg'd
+    shuffle of the raw scan; the window runs over #days rows
+    (driver-sized post-agg cardinality — not a funnel at any input
+    scale), and CORR carries constant-size moment state per frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_buy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RC_DAYS - 1), 0)
+    wr = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "n_view",
+            "n_buy",
+            round_cmp(F.corr("n_view", "n_buy").over(w)).alias("roll_corr"),
+            F.row_number().over(wr).alias("_rn"),
+        )
+        .filter(F.col("_rn") >= _RC_DAYS)
+        .drop("_rn")
+        .orderBy("day")
+    )

@@ -129,6 +129,9 @@ PROVENANCE = {
     "time_weighted_avg": "extension: step-function TWAP per type (LEAD-interval weights, capped, exact-microsecond)",
     "path_regex_match": "extension: MATCH_RECOGNIZE-style regex over per-user event symbol strings",
     "fd_discovery": "extension: pairwise functional-dependency mining in one multi-distinct pass (TANE core)",
+    "benford_law_check": "extension: Benford first-digit conformance with per-digit chi-square terms (FLOOR-pinned binning)",
+    "mann_kendall_trend": "extension: Mann-Kendall S + Kendall tau on the daily series (quadratic only post-agg)",
+    "rolling_correlation": "extension: 7-day rolling Pearson CORR window between two daily series",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -606,3 +606,27 @@ def test_fd_discovery_is_single_scan_expand(spark):
     df = q("fd_discovery", spark)
     assert len(read_schemas(df)) == 1
     assert "Expand" in formatted_plan(df)
+
+
+def test_benford_digit_agg_is_partial_with_broadcast_total(spark):
+    # digit extraction is row-local; the 9-row aggregate partial-aggs
+    # map-side and the scalar total broadcasts back
+    df = q("benford_law_check", spark)
+    assert partial_agg_functions(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_mann_kendall_quadratic_runs_post_agg_only(spark):
+    # the O(n^2) pair join consumes the DAILY aggregate (days x days),
+    # never raw events — the pre-aggregation must be partial
+    df = q("mann_kendall_trend", spark)
+    assert partial_agg_functions(df)
+
+
+def test_rolling_correlation_windows_over_daily_cells(spark):
+    # conditional rollup first, CORR window second — the frame runs
+    # over #days rows, and the raw scan happens exactly once
+    df = q("rolling_correlation", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert len(read_schemas(df)) == 1

@@ -59,14 +59,13 @@ TIER3_SAMPLE: list[str] = []
 
 #: ids that MUST newly certify in the r4 window
 #: sequence_pack_stats rotated out in r5 (r4-green, unchanged; its
-#: funnel-free twin sequence_pack_scaled stays in-window)
+#: funnel-free twin sequence_pack_scaled stayed in-window until the
+#: batch-6 rotation, which also retired sequence_pack_scaled,
+#: vocab_oov_rate, and salted_skew_join — all r4-green, unchanged)
 ROUND4_IDS = [
     "streaming_sessionization",
     "streaming_hour_rollup",
     "streaming_view_purchase_join",
-    "sequence_pack_scaled",
-    "vocab_oov_rate",
-    "salted_skew_join",
     "similarity_ivf_topk",
 ]
 
@@ -117,6 +116,9 @@ ROUND5B_IDS = [
     "time_weighted_avg",
     "path_regex_match",
     "fd_discovery",
+    "benford_law_check",
+    "mann_kendall_trend",
+    "rolling_correlation",
 ]
 
 

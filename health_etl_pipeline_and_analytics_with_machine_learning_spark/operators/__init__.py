@@ -76,6 +76,7 @@ _RECHECK_FIRST = [
     "benford_law_check",
     "mann_kendall_trend",
     "rolling_correlation",
+    "multimodal_wav_decode",
     # — keep-certified tier (SURVEY §2 parity + prior window residents;
     #   rotated out for the mining ops above, all r4-green, unchanged,
     #   locally differential-checked every session:
@@ -85,7 +86,6 @@ _RECHECK_FIRST = [
     #   value_counts_topk, sequence_pack_scaled, vocab_oov_rate,
     #   salted_skew_join) —
     "filter_group_avg_topk",
-    "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
     # — new-op tier (r5 additions, first driver certification) —

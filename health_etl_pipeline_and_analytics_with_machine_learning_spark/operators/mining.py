@@ -1203,12 +1203,9 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     ).distinct()
     df_tok = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
-    w_top = Window.orderBy(F.desc("doc_freq"), "token")
-    top = (
-        df_tok.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _IDX_TOP_TOKENS)
-        .drop("rn")
-    )
+    # top tokens by df as TakeOrderedAndProject — at open-web vocabulary
+    # a global ranking window would single-task the whole df table
+    top = df_tok.orderBy(F.desc("doc_freq"), "token").limit(_IDX_TOP_TOKENS)
     w_post = Window.partitionBy("token").orderBy("doc_id")
     post = (
         pairs.withColumn("rn", F.row_number().over(w_post))
@@ -1496,10 +1493,10 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
     vb = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
     un = va.union(vb).distinct()
-    wk = Window.orderBy("h")
-    ksmall = un.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= _KJC_K
-    )
+    # k smallest of the union as TakeOrderedAndProject (per-task heap +
+    # driver merge) — a global row_number window would funnel EVERY
+    # distinct hash through one task at scale
+    ksmall = un.orderBy("h").limit(_KJC_K)
     kth = ksmall.agg(
         F.max("h").alias("kth_h"), F.count(F.lit(1)).alias("k_eff")
     )
@@ -1794,8 +1791,10 @@ def benford_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: digit extraction is row-local; one 9-row aggregate
     with map-side partials; the total joins back as a broadcast scalar.
-    (This synthetic price column is roughly uniform in [900,1000), so
-    it FAILS Benford loudly — which is what the χ² terms should show.)
+    (The synthetic order totals are near-uniform over a wide range —
+    digits 1-4 land ~10× over their Benford share — so the column FAILS
+    conformance loudly, which is exactly the signal the χ² terms exist
+    to produce on fabricated-looking data.)
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     # FLOOR pinned explicitly: a bare double→BIGINT cast truncates in

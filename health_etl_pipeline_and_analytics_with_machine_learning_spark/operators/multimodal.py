@@ -287,3 +287,145 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM) roundtrip — the audio twin of the BMP decode
+# --------------------------------------------------------------------------
+
+#: per-doc audio geometry: sample count and rate cycle with doc_id
+_WAV_N_MOD = 400
+_WAV_RATES = 5  # sample_rate = 8000 + 1000 * (doc_id % _WAV_RATES)
+_WAV_HDR = 44  # canonical RIFF + fmt(16) + data headers, mono PCM16
+
+
+def _wav_encode(doc_id: int, hex_digest: str) -> bytes:
+    """A real (player-openable) mono 16-bit PCM WAV: RIFF/WAVE headers,
+    fmt chunk, data chunk. Samples are signed 16-bit little-endian
+    values built from consecutive pairs of the md5 hex digest's ASCII
+    bytes, cycled — so the oracle can replay the waveform arithmetic
+    without touching bytes."""
+    import struct
+
+    n = 100 + doc_id % _WAV_N_MOD
+    rate = 8000 + 1000 * (doc_id % _WAV_RATES)
+    src = hex_digest.encode("ascii")  # 32 bytes, pure ASCII
+    body = bytearray()
+    for i in range(n):
+        lo = src[(2 * i) % 32]
+        hi = src[(2 * i + 1) % 32]
+        body += struct.pack("<h", lo + 256 * hi - 32768)
+    data_len = len(body)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + data_len,
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,  # byte rate = rate * block align
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        data_len,
+    )
+    return hdr + bytes(body)
+
+
+def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
+    """Parse the RIFF headers back and aggregate the PCM samples — the
+    byte-level decode the oracle certifies end-to-end."""
+    import math
+    import struct
+
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV payload"
+    fmt_id, fmt_len, codec, ch, rate = struct.unpack("<4sIHHI", b[12:28])
+    assert fmt_id == b"fmt " and codec == 1 and ch == 1, "unexpected fmt"
+    bits = struct.unpack("<H", b[34:36])[0]
+    data_id, data_len = struct.unpack("<4sI", b[36:44])
+    assert data_id == b"data" and bits == 16
+    n = data_len // 2
+    total = 0
+    for i in range(n):
+        (s,) = struct.unpack_from("<h", b, _WAV_HDR + 2 * i)
+        total += s
+    mean = total / n
+    return rate, n, _WAV_HDR + data_len, math.floor(
+        round(mean, 7) * 10000.0 + 0.5
+    ) / 10000.0
+
+
+_WAV_DECODED = (
+    "doc_id long, sample_rate int, n_samples int, n_bytes long, sample_mean double"
+)
+
+
+def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+            rate, n, size, mean = _wav_parse(_wav_encode(int(doc_id), hx))
+            rows.append((int(doc_id), rate, n, size, mean))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "n_samples", "n_bytes", "sample_mean"],
+        )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             100 + doc_id % {_WAV_N_MOD} AS n,
+             CAST(8000 + 1000 * (doc_id % {_WAV_RATES}) AS INT) AS rate
+      FROM documents
+    ),
+    cyc AS (
+      -- one full cycle = 16 samples (32 hex bytes); sample i pairs hex
+      -- chars (2i mod 32, 2i+1 mod 32), signed-16 offset -32768
+      SELECT doc_id, hx, n, rate,
+             list_aggregate(list_transform(generate_series(0, 15),
+               i -> ord(substr(hx, 2 * i + 1, 1))
+                    + 256 * ord(substr(hx, 2 * i + 2, 1)) - 32768),
+               'sum') AS sum16,
+             COALESCE(list_aggregate(list_transform(generate_series(0, (n % 16) - 1),
+               i -> ord(substr(hx, 2 * i + 1, 1))
+                    + 256 * ord(substr(hx, 2 * i + 2, 1)) - 32768),
+               'sum'), 0) AS sum_rem
+      FROM g
+    )
+    SELECT doc_id, rate AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST({_WAV_HDR} + 2 * n AS BIGINT) AS n_bytes,
+           FLOOR(ROUND(((n // 16) * sum16 + sum_rem) * 1.0 / n, 7)
+                 * 10000.0 + 0.5) / 10000.0 AS sample_mean
+    FROM cyc
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level AUDIO decode, fully oracle-certified — the WAV
+    twin of multimodal_bmp_decode: each document gets a genuine mono
+    16-bit PCM RIFF/WAVE payload (sample count and rate from doc_id,
+    signed samples built from cycled md5 hex byte pairs), and a
+    pure-stdlib parser validates the RIFF/fmt/data chunk structure,
+    reads the format fields back, and aggregates the waveform.
+
+    Certification is end-to-end and INDEPENDENT: DuckDB never touches
+    bytes — it recomputes the sample rate and count from the doc_id
+    formulas, the file size from the PCM16 framing rule, and the
+    sample mean from the 16-sample hex-pair cycle arithmetic. Any spec
+    violation in writer or parser (endianness, sign offset, chunk
+    lengths) breaks the hash match. Together with the BMP op this
+    covers both image- and audio-container plumbing; only codecs that
+    genuinely need external libraries remain behind DECODE_IS_STUB.
+
+    Scale shape: one Arrow-batched mapInPandas over the corpus,
+    embarrassingly parallel, no shuffle but the presentation sort."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    return src.mapInPandas(_wav_roundtrip, schema=_WAV_DECODED).orderBy("doc_id")

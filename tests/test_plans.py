@@ -630,3 +630,24 @@ def test_rolling_correlation_windows_over_daily_cells(spark):
     plan = formatted_plan(df)
     assert "Window" in plan
     assert len(read_schemas(df)) == 1
+
+
+def test_kmv_join_ksmall_is_take_ordered(spark):
+    # the merged sketch's k-set must come from TakeOrderedAndProject —
+    # a global ranking window would funnel every distinct hash
+    df = q("kmv_join_cardinality", spark)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_inverted_index_top_tokens_take_ordered(spark):
+    df = q("inverted_index_topk", spark)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_wav_decode_is_shuffle_free_map(spark):
+    # Arrow-batched mapInPandas over the corpus; the only exchange is
+    # the presentation sort
+    df = q("multimodal_wav_decode", spark)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert count_exchanges(df) <= 1, plan

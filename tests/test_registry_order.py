@@ -42,8 +42,10 @@ PARITY_IDS = [
 #: set_ops_bag_semantics and salted_skew_agg rotated out of the window
 #: in r5 (r4-green, unchanged since) — their slots fund the r5
 #: warehouse/streaming families.
+#: (median_fill_scaled rotated out for multimodal_wav_decode — r4-green,
+#: unchanged; iqr_clip_scaled + group_quantiles_scaled still represent
+#: the distributed-quantile family in-window)
 ROUND2_IDS = [
-    "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
     "simhash_near_pairs",
@@ -119,6 +121,7 @@ ROUND5B_IDS = [
     "benford_law_check",
     "mann_kendall_trend",
     "rolling_correlation",
+    "multimodal_wav_decode",
 ]
 
 

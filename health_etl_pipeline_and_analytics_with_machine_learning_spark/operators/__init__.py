@@ -77,17 +77,17 @@ _RECHECK_FIRST = [
     "mann_kendall_trend",
     "rolling_correlation",
     "multimodal_wav_decode",
+    "zorder_interleave",
+    "attribution_position_based",
     # — keep-certified tier (SURVEY §2 parity + prior window residents;
     #   rotated out for the mining ops above, all r4-green, unchanged,
     #   locally differential-checked every session:
     #   window_group_median_fill, global_sort_rowid, zscore_normalize,
-    #   median_fill, iqr_clip, group_quantiles (their _scaled twins
-    #   stay in-window), stratified_hash_sample, eq_filter_group_agg,
-    #   value_counts_topk, sequence_pack_scaled, vocab_oov_rate,
-    #   salted_skew_join) —
+    #   median_fill, iqr_clip, group_quantiles, stratified_hash_sample,
+    #   eq_filter_group_agg, value_counts_topk, sequence_pack_scaled,
+    #   vocab_oov_rate, salted_skew_join, median_fill_scaled,
+    #   iqr_clip_scaled, group_quantiles_scaled) —
     "filter_group_avg_topk",
-    "iqr_clip_scaled",
-    "group_quantiles_scaled",
     # — new-op tier (r5 additions, first driver certification) —
     "cdc_latest_compaction",
     "merge_upsert_counts",

@@ -1948,3 +1948,201 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) interleaving for multi-dimensional layout
+# --------------------------------------------------------------------------
+
+#: bits per dimension (8 → 16-bit z-values, 64 z-ranges of 1024)
+_Z_BITS = 8
+#: y quantization step for o_totalprice (500k range → 0..249)
+_Z_PRICE_STEP = 2000
+
+
+def _z_expr_sql(x: str, y: str) -> str:
+    """Morton interleave as pure integer arithmetic — the SAME text for
+    Spark SQL and DuckDB (both support >> << & on integers)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZX = f"(o_custkey % {1 << _Z_BITS})"
+_ZY = f"LEAST(CAST(FLOOR(o_totalprice / {_Z_PRICE_STEP}) AS BIGINT), {(1 << _Z_BITS) - 1})"
+
+
+@query(
+    "zorder_interleave",
+    oracle=f"""
+    WITH z AS (
+      SELECT {_ZX} AS x, {_ZY} AS y,
+             {_z_expr_sql(_ZX, _ZY)} AS zval
+      FROM orders
+    )
+    SELECT CAST(zval >> 10 AS BIGINT) AS zrange,
+           COUNT(*) AS n_rows,
+           MIN(x) AS x_lo, MAX(x) AS x_hi,
+           MIN(y) AS y_lo, MAX(y) AS y_hi
+    FROM z
+    GROUP BY zval >> 10
+    ORDER BY zrange
+    """,
+)
+def zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve interleaving of two layout dimensions
+    (customer bucket × price bucket) with per-z-range min/max envelopes
+    — the math behind multi-dimensional data clustering (Delta/Iceberg
+    OPTIMIZE ZORDER BY): rows sorted by z land in files whose min/max
+    footers are TIGHT in BOTH dimensions simultaneously, so a filter on
+    either column prunes files. The emitted envelope table is exactly
+    what a scan planner would consult; each z-range covers a bounded
+    square-ish region of (customer, price) space, unlike a single-column
+    sort where the secondary dimension's envelope spans everything.
+
+    The interleave is {_Z_BITS}+{_Z_BITS}-bit integer bit arithmetic,
+    generated from one shared expression string for both engines —
+    deterministic, no floats until nothing.
+
+    Scale shape: z computation is row-local (codegen'd shifts/masks);
+    one partial-agg'd shuffle on the z-range. The production write path
+    is ``df.repartitionByRange(col("z")).sortWithinPartitions("z")`` +
+    the parquet writer — the same pattern as sources/sorted_layout.py
+    with z as the sort key.
+    """
+    o = load(spark, sf_dir, "orders")
+    z = o.select(
+        F.expr(_ZX).alias("x"),
+        F.expr(_ZY).alias("y"),
+        F.expr(_z_expr_sql(_ZX, _ZY)).alias("zval"),
+    )
+    return (
+        z.groupBy((F.col("zval") / (1 << 10)).cast("long").alias("zrange"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        .orderBy("zrange")
+    )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) marketing attribution
+# --------------------------------------------------------------------------
+
+#: attribution lookback window before each conversion
+_ATTR_DAYS = 7
+#: U-shaped credit split: first 40%, last 40%, middles share 20%
+_ATTR_EDGE = 0.4
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+      SELECT c.conv_id, t.touch_type, t.tts, t.touch_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.conv_id ORDER BY t.tts, t.touch_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+      FROM conv c
+      JOIN touch t ON t.user_id = c.user_id
+        AND t.tts < c.cts
+        AND t.tts >= c.cts - {_ATTR_DAYS}::BIGINT * 86400000000
+    ),
+    credited AS (
+      SELECT touch_type,
+             CASE WHEN n = 1 THEN 'only'
+                  WHEN rn = 1 THEN 'first'
+                  WHEN rn = n THEN 'last'
+                  ELSE 'middle' END AS position_class,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 OR rn = n THEN {_ATTR_EDGE}
+                  ELSE (1.0 - 2 * {_ATTR_EDGE}) / (n - 2) END AS credit
+      FROM paired
+    )
+    SELECT touch_type, position_class,
+           COUNT(*) AS n_touches,
+           {round_cmp_sql("SUM(credit)")} AS total_credit
+    FROM credited
+    GROUP BY touch_type, position_class
+    ORDER BY touch_type, position_class
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution: every view or
+    click in the {_ATTR_DAYS} days before a purchase shares that
+    conversion's credit — first and last touch {_ATTR_EDGE} each, the
+    middles split the remainder (single touch takes 1.0, a pair splits
+    evenly). The marketing-warehouse workload that generalizes the
+    as-of join: not just the LAST touch (op/advanced.py) but the whole
+    ordered touch sequence per conversion.
+
+    Credits are exact rationals over small integers (one IEEE division
+    for the middle share), ranks fully tie-broken by (ts, event_id) —
+    deterministic on both engines; only the final credit sums round.
+
+    Scale shape: the conversion×touch pairing is an equi-join on
+    user_id with the time band as a residual predicate (never a
+    cross product); the per-conversion rank windows partition on
+    conv_id — finer than user_id, so skew is BOUNDED by one user's
+    touch history per conversion, and the final rollup is a tiny
+    partial-agg'd aggregate over position classes.
+    """
+    ev = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), t_us.alias("cts")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        t_us.alias("tts"),
+    )
+    paired = conv.join(touch, "user_id").filter(
+        (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.lit(_ATTR_DAYS * 86_400_000_000))
+    )
+    w_rn = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+    w_n = Window.partitionBy("conv_id")
+    credited = paired.select(
+        "touch_type",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).select(
+        "touch_type",
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+        .alias("position_class"),
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(_ATTR_EDGE))
+        .otherwise((F.lit(1.0) - 2 * _ATTR_EDGE) / (F.col("n") - 2))
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("touch_type", "position_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            round_cmp(F.sum("credit")).alias("total_credit"),
+        )
+        .orderBy("touch_type", "position_class")
+    )

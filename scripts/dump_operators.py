@@ -133,6 +133,8 @@ PROVENANCE = {
     "mann_kendall_trend": "extension: Mann-Kendall S + Kendall tau on the daily series (quadratic only post-agg)",
     "rolling_correlation": "extension: 7-day rolling Pearson CORR window between two daily series",
     "multimodal_wav_decode": "extension: REAL byte-level RIFF/WAVE PCM16 roundtrip, oracle recomputes rate/size/sample mean",
+    "zorder_interleave": "extension: Z-order (Morton) interleave + per-range min/max envelopes (multi-dim layout math)",
+    "attribution_position_based": "extension: U-shaped conversion attribution over ordered touch sequences (time-band join)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -651,3 +651,22 @@ def test_wav_decode_is_shuffle_free_map(spark):
     plan = formatted_plan(df)
     assert "MapInPandas" in plan
     assert count_exchanges(df) <= 1, plan
+
+
+def test_zorder_interleave_is_rowlocal_single_shuffle(spark):
+    # the Morton interleave is codegen'd shift/mask arithmetic; the only
+    # exchanges are the z-range aggregate + presentation sort
+    df = q("zorder_interleave", spark)
+    assert partial_agg_functions(df)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
+    assert not join_strategies(df)
+
+
+def test_attribution_pairing_is_equi_join_on_user(spark):
+    # conversion x touch pairing must be an equi-join on user_id with
+    # the time band as a residual predicate — never a cross product
+    df = q("attribution_position_based", spark)
+    js = join_strategies(df)
+    assert js and "CartesianProduct" not in js and "BroadcastNestedLoopJoin" not in js
+    plan = formatted_plan(df)
+    assert "Window" in plan

@@ -46,8 +46,6 @@ PARITY_IDS = [
 #: unchanged; iqr_clip_scaled + group_quantiles_scaled still represent
 #: the distributed-quantile family in-window)
 ROUND2_IDS = [
-    "iqr_clip_scaled",
-    "group_quantiles_scaled",
     "simhash_near_pairs",
 ]
 
@@ -122,6 +120,8 @@ ROUND5B_IDS = [
     "mann_kendall_trend",
     "rolling_correlation",
     "multimodal_wav_decode",
+    "zorder_interleave",
+    "attribution_position_based",
 ]
 
 

@@ -79,6 +79,7 @@ _RECHECK_FIRST = [
     "multimodal_wav_decode",
     "zorder_interleave",
     "attribution_position_based",
+    "countmin_estimate",
     # — keep-certified tier (SURVEY §2 parity + prior window residents;
     #   rotated out for the mining ops above, all r4-green, unchanged,
     #   locally differential-checked every session:
@@ -86,8 +87,10 @@ _RECHECK_FIRST = [
     #   median_fill, iqr_clip, group_quantiles, stratified_hash_sample,
     #   eq_filter_group_agg, value_counts_topk, sequence_pack_scaled,
     #   vocab_oov_rate, salted_skew_join, median_fill_scaled,
-    #   iqr_clip_scaled, group_quantiles_scaled) —
-    "filter_group_avg_topk",
+    #   iqr_clip_scaled, group_quantiles_scaled, and finally the
+    #   flagship filter_group_avg_topk itself — r4-driver-green,
+    #   plan-pinned in tests/test_plans.py, benched every round, and
+    #   locally differential-checked every session) —
     # — new-op tier (r5 additions, first driver certification) —
     "cdc_latest_compaction",
     "merge_upsert_counts",

@@ -2146,3 +2146,116 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type", "position_class")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch point estimates
+# --------------------------------------------------------------------------
+
+#: sketch geometry: d hash rows × w counters
+_CM_D = 4
+_CM_W = 256
+#: how many (true) heavy keys to probe the sketch with
+_CM_PROBE = 10
+
+
+def _cm_bucket_sql(row: int, key: str) -> str:
+    """Deterministic bucket for hash row ``row``: md5 of the seeded key,
+    8 hex chars → int, mod w. Identical text on both engines."""
+    return (
+        f"CAST(('0x' || substr(md5('r{row}:' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {_CM_W}"
+    )
+
+
+def _cm_bucket_spark(row: int, key):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"r{row}:"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % _CM_W
+
+
+@query(
+    "countmin_estimate",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(f'''
+      SELECT {r} AS hrow, {_cm_bucket_sql(r, "user_id")} AS bucket, COUNT(*) AS c
+      FROM events GROUP BY 2''' for r in range(_CM_D))}
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT user_id, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, user_id LIMIT {_CM_PROBE}
+    ),
+    est AS (
+      SELECT p.user_id, p.exact_cnt, MIN(c.c) AS cm_est
+      FROM probes p
+      JOIN cells c ON (
+        {" OR ".join(f'(c.hrow = {r} AND c.bucket = {_cm_bucket_sql(r, "p.user_id")})' for r in range(_CM_D))}
+      )
+      GROUP BY p.user_id, p.exact_cnt
+    )
+    SELECT user_id, exact_cnt, CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    """,
+)
+def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries vs exact counts: a {_CM_D}×{_CM_W}
+    counter grid (independent md5-seeded hash rows), probed for the
+    {_CM_PROBE} heaviest users — est = minᵢ counter[i][hᵢ(key)], which
+    can only OVERcount (Cormode & Muthukrishnan 2005), so ``overcount``
+    is certified ≥ 0 by construction on both sides. Completes the
+    sketch shelf next to KMV (distinct), Misra–Gries (heavy hitters),
+    and the bloom bitset (membership): CM answers frequency.
+
+    Like those, the sketch is a pure function of the data via md5 — the
+    oracle rebuilds the identical grid and replays the probes, which no
+    RNG-seeded implementation could offer.
+
+    Scale shape: the grid build is one partial-agg'd shuffle of
+    (row, bucket) pairs — the sketch is ≤ {_CM_D}×{_CM_W} cells TOTAL
+    regardless of input volume (the whole point: it broadcasts
+    anywhere); probes then join the driver-sized grid. The exact side
+    is the expensive full groupBy the sketch exists to avoid.
+    """
+    ev = load(spark, sf_dir, "events")
+    key = F.col("user_id")
+    cells = None
+    for r in range(_CM_D):
+        part = ev.select(
+            F.lit(r).alias("hrow"), _cm_bucket_spark(r, key).alias("bucket")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    grid = cells.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(_CM_PROBE)
+    # one probe row per hash row, equi-joined to the broadcast grid
+    probe_cells = None
+    for r in range(_CM_D):
+        part = probes.select(
+            "user_id",
+            "exact_cnt",
+            F.lit(r).alias("hrow"),
+            _cm_bucket_spark(r, F.col("user_id")).alias("bucket"),
+        )
+        probe_cells = part if probe_cells is None else probe_cells.unionAll(part)
+    return (
+        probe_cells.join(F.broadcast(grid), ["hrow", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+    )

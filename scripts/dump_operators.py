@@ -135,6 +135,7 @@ PROVENANCE = {
     "multimodal_wav_decode": "extension: REAL byte-level RIFF/WAVE PCM16 roundtrip, oracle recomputes rate/size/sample mean",
     "zorder_interleave": "extension: Z-order (Morton) interleave + per-range min/max envelopes (multi-dim layout math)",
     "attribution_position_based": "extension: U-shaped conversion attribution over ordered touch sequences (time-band join)",
+    "countmin_estimate": "extension: Count-Min sketch point estimates vs exact (md5-seeded grid, overcount >= 0 certified)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -166,3 +166,11 @@ def test_wav_roundtrip_pure_python_invariants():
         assert n == 100 + doc_id % 400
         assert size == len(b) == 44 + 2 * n
         assert -32768 <= mean <= 32767
+
+
+def test_countmin_never_undercounts(spark):
+    rows = run("countmin_estimate", spark)
+    assert len(rows) == 10
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cm_est"] >= r["exact_cnt"], r

@@ -670,3 +670,11 @@ def test_attribution_pairing_is_equi_join_on_user(spark):
     assert js and "CartesianProduct" not in js and "BroadcastNestedLoopJoin" not in js
     plan = formatted_plan(df)
     assert "Window" in plan
+
+
+def test_countmin_grid_is_partial_agg_and_broadcast_probe(spark):
+    # the counter grid is a bounded-size partial-agg'd aggregate; probes
+    # equi-join it broadcast — never a shuffle of the probe stream
+    df = q("countmin_estimate", spark)
+    assert partial_agg_functions(df)
+    assert "BroadcastHashJoin" in join_strategies(df)

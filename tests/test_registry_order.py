@@ -34,9 +34,9 @@ WINDOW = 50
 #: batch-3/4 mining ops — the exact tier's _scaled twins stay in-window)
 #: (eq_filter_group_agg / value_counts_topk rotated out for batch-5:
 #: both r4-driver-green after their r3 fix, unchanged since)
-PARITY_IDS = [
-    "filter_group_avg_topk",
-]
+#: (filter_group_avg_topk rotated out for countmin_estimate at the end
+#: of r5 — r4-driver-green, plan-pinned, benched every round)
+PARITY_IDS: list[str] = []
 
 #: scale-path certifications + ids changed in round 2.
 #: set_ops_bag_semantics and salted_skew_agg rotated out of the window
@@ -122,6 +122,7 @@ ROUND5B_IDS = [
     "multimodal_wav_decode",
     "zorder_interleave",
     "attribution_position_based",
+    "countmin_estimate",
 ]
 
 

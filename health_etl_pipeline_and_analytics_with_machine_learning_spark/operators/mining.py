@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
+from .text import ALPHA_TOKENIZE_EXPR, ALPHA_TOKENIZE_SQL
 
 DP = ROUND_DP
 
@@ -125,8 +126,6 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _WS_TOP = 20
-#: md5 prefix width for the uniform draw: 8 hex chars = 32 bits
-_WS_SPACE = 1 << 32
 
 
 @query(
@@ -414,8 +413,6 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderpriority").alias("mn_op"),
         F.max("o_orderpriority").alias("mx_op"),
     )
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
     stacked = a.select(
         F.expr(
             "stack(6, "
@@ -428,7 +425,6 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
         )
     )
-    _ = (null_d, null_s)
     return stacked.orderBy("col_name")
 
 
@@ -503,6 +499,9 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = starts.unionAll(ends).select(
         "event_type", "t", F.sum("delta").over(w).alias("running")
     )
+    # two consumers below (peak aggregate + the argmin join) — persist
+    # the swept stream once instead of re-running the union+window
+    run = run.localCheckpoint(eager=True)
     pk = run.groupBy("event_type").agg(F.max("running").alias("peak_concurrency"))
     return (
         run.join(pk, "event_type")
@@ -848,7 +847,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
       SELECT nn.n_nationkey AS node,
-             0.15 / {_PR_N} + {_PR_DAMP} * COALESCE(SUM({prev}.pr * tr.p), 0) AS pr
+             {1 - _PR_DAMP:.2f} / {_PR_N} + {_PR_DAMP} * COALESCE(SUM({prev}.pr * tr.p), 0) AS pr
       FROM nation nn
       LEFT JOIN tr ON tr.dst = nn.n_nationkey
       LEFT JOIN {prev} ON {prev}.node = tr.src
@@ -933,7 +932,7 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
-                F.lit(0.15) / F.lit(_PR_N)
+                F.lit(round(1 - _PR_DAMP, 10)) / F.lit(_PR_N)
                 + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("pr"),
         )
@@ -962,8 +961,7 @@ _PMI_TOP = 20
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                         x -> x <> '') AS a
+             {ALPHA_TOKENIZE_SQL} AS a
       FROM documents
     ),
     uni AS (
@@ -1009,7 +1007,7 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").alias("a"),
+        F.expr(ALPHA_TOKENIZE_EXPR).alias("a"),
     )
     uni = toks.select(F.explode("a").alias("w"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
@@ -1148,8 +1146,7 @@ _IDX_POSTINGS = 10
     "inverted_index_topk",
     oracle=f"""
     WITH pairs AS (
-      SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                         x -> x <> '')) AS token,
+      SELECT DISTINCT unnest({ALPHA_TOKENIZE_SQL}) AS token,
                       doc_id
       FROM documents
     ),
@@ -1198,7 +1195,7 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = d.select(
         F.explode(
-            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+            F.expr(ALPHA_TOKENIZE_EXPR)
         ).alias("token"),
         "doc_id",
     ).distinct()
@@ -1492,11 +1489,15 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
     vb = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
+    # each side feeds the union AND a membership semi-join — persist the
+    # distinct-hash tables (sketch-sized) instead of re-scanning events
+    va = va.localCheckpoint(eager=True)
+    vb = vb.localCheckpoint(eager=True)
     un = va.union(vb).distinct()
     # k smallest of the union as TakeOrderedAndProject (per-task heap +
     # driver merge) — a global row_number window would funnel EVERY
     # distinct hash through one task at scale
-    ksmall = un.orderBy("h").limit(_KJC_K)
+    ksmall = un.orderBy("h").limit(_KJC_K).localCheckpoint(eager=True)
     kth = ksmall.agg(
         F.max("h").alias("kth_h"), F.count(F.lit(1)).alias("k_eff")
     )
@@ -1540,15 +1541,20 @@ _TWAP_CAP_S = 3600
 @query(
     "time_weighted_avg",
     oracle=f"""
-    WITH stepped AS (
+    WITH raw AS (
       SELECT event_type, value,
-             LEAST(
-               (LEAD(epoch_us(ts)) OVER (
-                  PARTITION BY event_type ORDER BY epoch_us(ts), event_id
-                ) - epoch_us(ts)) / 1000000.0,
-               {_TWAP_CAP_S}.0
-             ) AS dt
+             (LEAD(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+              ) - epoch_us(ts)) / 1000000.0 AS raw_dt
       FROM events
+    ),
+    stepped AS (
+      -- LEAST() SKIPS nulls in both engines, so cap only real gaps:
+      -- the partition-final reading must keep dt NULL and drop below
+      SELECT event_type, value,
+             CASE WHEN raw_dt IS NULL THEN NULL
+                  ELSE LEAST(raw_dt, {_TWAP_CAP_S}.0) END AS dt
+      FROM raw
     )
     SELECT event_type,
            COUNT(dt) AS n_intervals,
@@ -1581,9 +1587,11 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     t = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("event_type").orderBy(t, F.col("event_id"))
-    dt = F.least(
-        (F.lead(t).over(w) - t) / F.lit(1_000_000.0), F.lit(float(_TWAP_CAP_S))
-    )
+    raw_dt = (F.lead(t).over(w) - t) / F.lit(1_000_000.0)
+    # F.least SKIPS nulls: capping the raw gap directly would hand the
+    # partition-final reading a phantom full-cap duration instead of
+    # dropping it — guard the null through explicitly
+    dt = F.when(raw_dt.isNotNull(), F.least(raw_dt, F.lit(float(_TWAP_CAP_S))))
     return (
         ev.select("event_type", "value", dt.alias("dt"))
         .filter(F.col("dt").isNotNull())
@@ -1902,10 +1910,20 @@ _RC_DAYS = 7
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
       FROM events GROUP BY 1
     )
+    , moments AS (
+      SELECT day, n_view, n_buy,
+             COVAR_SAMP(n_view, n_buy) OVER w AS cxy,
+             STDDEV_SAMP(n_view) OVER w AS sx,
+             STDDEV_SAMP(n_buy) OVER w AS sy,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {_RC_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
     SELECT day, n_view, n_buy,
-           {round_cmp_sql("CORR(n_view, n_buy) OVER (ORDER BY day ROWS BETWEEN {w} PRECEDING AND CURRENT ROW)".format(w=_RC_DAYS - 1))} AS roll_corr
-    FROM daily
-    QUALIFY ROW_NUMBER() OVER (ORDER BY day) >= {_RC_DAYS}
+           CASE WHEN sx > 0 AND sy > 0
+                THEN {round_cmp_sql("cxy / (sx * sy)")} END AS roll_corr
+    FROM moments
+    WHERE rn >= {_RC_DAYS}
     ORDER BY day
     """,
 )
@@ -1918,10 +1936,17 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime changes). Partial frames (the first {_RC_DAYS}-1 days) are
     excluded on both sides rather than reported at lower confidence.
 
+    The correlation is assembled from explicit moment windows
+    (covar_samp / (stddev·stddev)) with a zero-variance guard instead
+    of the engines' CORR: under Spark's default ANSI mode a
+    zero-variance frame makes CORR throw DIVIDE_BY_ZERO while DuckDB
+    returns NULL — a quiet week of constant counts must yield a NULL
+    cell, not crash the query.
+
     Scale shape: the conditional daily rollup is one partial-agg'd
-    shuffle of the raw scan; the window runs over #days rows
+    shuffle of the raw scan; the windows run over #days rows
     (driver-sized post-agg cardinality — not a funnel at any input
-    scale), and CORR carries constant-size moment state per frame.
+    scale) and carry constant-size moment state per frame.
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -1936,16 +1961,26 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(-(_RC_DAYS - 1), 0)
     wr = Window.orderBy("day")
+    moments = daily.select(
+        "day",
+        "n_view",
+        "n_buy",
+        F.covar_samp("n_view", "n_buy").over(w).alias("cxy"),
+        F.stddev_samp("n_view").over(w).alias("sx"),
+        F.stddev_samp("n_buy").over(w).alias("sy"),
+        F.row_number().over(wr).alias("_rn"),
+    )
     return (
-        daily.select(
+        moments.filter(F.col("_rn") >= _RC_DAYS)
+        .select(
             "day",
             "n_view",
             "n_buy",
-            round_cmp(F.corr("n_view", "n_buy").over(w)).alias("roll_corr"),
-            F.row_number().over(wr).alias("_rn"),
+            F.when(
+                (F.col("sx") > 0) & (F.col("sy") > 0),
+                round_cmp(F.col("cxy") / (F.col("sx") * F.col("sy"))),
+            ).alias("roll_corr"),
         )
-        .filter(F.col("_rn") >= _RC_DAYS)
-        .drop("_rn")
         .orderBy("day")
     )
 
@@ -2228,12 +2263,21 @@ def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     key = F.col("user_id")
-    cells = None
-    for r in range(_CM_D):
-        part = ev.select(
-            F.lit(r).alias("hrow"), _cm_bucket_spark(r, key).alias("bucket")
-        )
-        cells = part if cells is None else cells.unionAll(part)
+    # all d hash rows generated IN-ROW from ONE scan (a unionAll of d
+    # projections would scan the fact table d times)
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hrow"),
+                        _cm_bucket_spark(r, key).alias("bucket"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.hrow", "cell.bucket")
     grid = cells.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("c"))
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(_CM_PROBE)

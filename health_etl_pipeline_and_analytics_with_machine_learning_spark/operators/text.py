@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 from .registry import load, query, round_cmp, round_cmp_sql
 
+#: the SHARED lowercase-alpha tokenizer: Spark expression and its DuckDB
+#: twin. bigram_cross_entropy, token_pmi_topk, and inverted_index_topk
+#: all consume THIS pair so their token streams are provably identical —
+#: edit here, never inline.
+ALPHA_TOKENIZE_EXPR = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+ALPHA_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+)
+
 # shared normalization: collapse whitespace, trim, lowercase
 def _norm(col):
     return F.lower(F.regexp_replace(F.regexp_replace(col, r"\s+", " "), r"^ | $", ""))
@@ -704,8 +713,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                         x -> x <> '') AS a
+             {ALPHA_TOKENIZE_SQL} AS a
       FROM documents
     ),
     big AS (
@@ -751,9 +759,7 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.expr(
-            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
-        ).alias("a"),
+        F.expr(ALPHA_TOKENIZE_EXPR).alias("a"),
     ).filter(F.size("a") >= 2)
     pairs = toks.select(
         "doc_id",

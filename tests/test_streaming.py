@@ -129,3 +129,16 @@ def test_stream_static_enrichment_matches_batch(spark):
     # inner join lost nothing: user_ids are a subset of the dimension keys
     total_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert sum(n for n, _ in s_rows.values()) == total_events
+
+
+def test_streaming_countmin_matches_batch_twin(spark):
+    # the stream-maintained grid probed identically to the batch sketch
+    # must give byte-identical answers — counters are mergeable state
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        REGISTRY,
+    )
+    from conftest import SF_SMOKE
+
+    batch = REGISTRY["countmin_estimate"].fn(spark, SF_SMOKE).collect()
+    stream = REGISTRY["streaming_countmin_replay"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))

@@ -106,8 +106,12 @@ _RECHECK_FIRST = [
     # — position 51: first entry PAST the 50-slot window. Every window
     #   slot is taken by an id needing a fresh r5 row; this op is
     #   locally oracle-certified (incl. the real micro-batch replay)
-    #   and is the r6 window's first rotation candidate —
+    #   and is the r6 window's first rotation candidate; the three
+    #   statistics/layout ops after it queue behind it —
     "streaming_countmin_replay",
+    "theil_sen_slope",
+    "bootstrap_mean_ci",
+    "encoding_run_stats",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,

@@ -2363,3 +2363,227 @@ def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     grid = spark.table(name).localCheckpoint(eager=True)
     return _cm_probe(spark, sf_dir, grid)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend slope
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_slope",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.n - a.n) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+           {round_cmp_sql("AVG(CASE WHEN rn IN ((m + 1) / 2, (m + 2) / 2) THEN s END)")} AS sen_slope
+    FROM ranked
+    """,
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate on the daily purchase series: the
+    MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), i<j — the
+    breakdown-resistant companion to mann_kendall_trend (Sen 1968): up
+    to ~29% of the days can be corrupted before the slope moves, where
+    OLS (regr_linear_fit) follows a single outlier.
+
+    The median is the exact rank-based one (mean of the two middle
+    order statistics for even counts, integer rank positions pinned on
+    both sides) — each slope is ONE IEEE division of exact integers, so
+    ordering is bit-identical across engines.
+
+    Scale shape: identical to mann_kendall — the O(n²) pair join runs
+    over the POST-AGGREGATION daily table (30 days → 435 pairs,
+    driver-sized at any input volume); the rank window runs over those
+    pairs, never raw events.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    slopes = a.join(b, F.col("da") < F.col("db")).select(
+        ((F.col("nb") - F.col("na")) / (F.col("db") - F.col("da")).cast("double")).alias("s")
+    )
+    wk = Window.orderBy("s")
+    wall = Window.partitionBy()
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(wk).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    mid = F.when(
+        (F.col("rn") == (F.col("m") + 1) / 2) | (F.col("rn") == (F.col("m") + 2) / 2),
+        F.col("s"),
+    )
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        round_cmp(F.avg(mid)).alias("sen_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic half-sample bootstrap CI
+# --------------------------------------------------------------------------
+
+#: number of half-sample replicas
+_BOOT_B = 32
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT r.r AS rep,
+             AVG(o_totalprice) AS m,
+             COUNT(*) AS n
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r) r
+      WHERE CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 2)) AS BIGINT) < 128
+      GROUP BY r.r
+    ),
+    stats AS (
+      SELECT AVG(m) AS boot_mean, STDDEV_SAMP(m) AS boot_sd, COUNT(*) AS b,
+             MIN(n) AS min_n, MAX(n) AS max_n
+      FROM reps
+    ),
+    full_mean AS (SELECT AVG(o_totalprice) AS mu FROM orders)
+    SELECT CAST(s.b AS BIGINT) AS n_replicas,
+           {round_cmp_sql("f.mu")} AS full_mean,
+           {round_cmp_sql("s.boot_mean")} AS boot_mean,
+           {round_cmp_sql("s.boot_sd")} AS boot_sd,
+           {round_cmp_sql("f.mu - 2 * s.boot_sd")} AS ci_lo,
+           {round_cmp_sql("f.mu + 2 * s.boot_sd")} AS ci_hi
+    FROM stats s CROSS JOIN full_mean f
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample bootstrap confidence interval for the mean order
+    total: {_BOOT_B} deterministic half-samples (row r is in replica b
+    iff md5(b:key) lands in the lower half — no RNG state, every engine
+    and every rerun draws the SAME replicas), the spread of the replica
+    means estimates the sampling error, and μ ± 2σ_boot is the interval.
+    The subsampling/half-sampling bootstrap is the variant whose
+    replicas a distributed engine can evaluate in ONE pass (each row
+    row-locally knows its replica memberships), unlike the multinomial
+    bootstrap's random multiplicities.
+
+    Scale shape: one scan; replica membership is a row-local md5
+    predicate per replica, so the {_BOOT_B}-fold expansion happens
+    IN-ROW (explode over the replica ids a row belongs to) feeding one
+    partial-agg'd shuffle keyed by replica id — {_BOOT_B} cells of
+    state, trivially mergeable.
+    """
+    o = load(spark, sf_dir, "orders")
+    member = F.expr(
+        f"""filter(sequence(0, {_BOOT_B - 1}), r ->
+              conv(substring(md5(concat(cast(r as string), ':',
+                   cast(o_orderkey as string))), 1, 2), 16, 10) < 128)"""
+    )
+    reps = (
+        o.select(F.explode(member).alias("rep"), "o_totalprice")
+        .groupBy("rep")
+        .agg(F.avg("o_totalprice").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    stats = reps.agg(
+        F.avg("m").alias("boot_mean"),
+        F.stddev_samp("m").alias("boot_sd"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    full = o.agg(F.avg("o_totalprice").alias("mu"))
+    return (
+        stats.crossJoin(F.broadcast(full))
+        .select(
+            F.col("b").cast("long").alias("n_replicas"),
+            round_cmp(F.col("mu")).alias("full_mean"),
+            round_cmp(F.col("boot_mean")).alias("boot_mean"),
+            round_cmp(F.col("boot_sd")).alias("boot_sd"),
+            round_cmp(F.col("mu") - 2 * F.col("boot_sd")).alias("ci_lo"),
+            round_cmp(F.col("mu") + 2 * F.col("boot_sd")).alias("ci_hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Run-length / delta encodability statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "encoding_run_stats",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT o_orderstatus, o_orderpriority,
+             LAG(o_orderstatus) OVER w AS prev_status,
+             LAG(o_orderpriority) OVER w AS prev_prio
+      FROM orders
+      WINDOW w AS (ORDER BY o_orderkey)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN prev_status IS NULL
+                          OR o_orderstatus <> prev_status
+                    THEN 1 ELSE 0 END) AS BIGINT) AS status_runs,
+           CAST(SUM(CASE WHEN prev_prio IS NULL
+                          OR o_orderpriority <> prev_prio
+                    THEN 1 ELSE 0 END) AS BIGINT) AS priority_runs,
+           {round_cmp_sql("COUNT(*) * 1.0 / SUM(CASE WHEN prev_status IS NULL OR o_orderstatus <> prev_status THEN 1 ELSE 0 END)")} AS status_avg_run_len,
+           {round_cmp_sql("COUNT(*) * 1.0 / SUM(CASE WHEN prev_prio IS NULL OR o_orderpriority <> prev_prio THEN 1 ELSE 0 END)")} AS priority_avg_run_len
+    FROM ordered
+    """,
+)
+def encoding_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability of the low-cardinality columns under the
+    table's primary order: run counts and average run length per column
+    — the statistic a layout optimizer consults before choosing
+    dictionary+RLE encodings or a sort key (a column whose avg run
+    length ≈ 1 under the current order may compress 100× after sorting
+    by it; pairs with zorder_interleave as the layout-analysis shelf).
+    A run starts wherever the value differs from its predecessor.
+
+    Scale shape: LAG over the primary-key order is the one global-order
+    window — at production this is evaluated per PARQUET ROW GROUP (the
+    unit RLE actually encodes), making it embarrassingly parallel; the
+    whole-table form here is the exact global statistic at driver-sized
+    post-agg output. Run counting itself is integer-exact.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    ordered = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    )
+    status_new = F.when(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status")),
+        1,
+    ).otherwise(0)
+    prio_new = F.when(
+        F.col("prev_prio").isNull()
+        | (F.col("o_orderpriority") != F.col("prev_prio")),
+        1,
+    ).otherwise(0)
+    return ordered.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(status_new).cast("long").alias("status_runs"),
+        F.sum(prio_new).cast("long").alias("priority_runs"),
+        round_cmp(
+            F.count(F.lit(1)) * F.lit(1.0) / F.sum(status_new)
+        ).alias("status_avg_run_len"),
+        round_cmp(
+            F.count(F.lit(1)) * F.lit(1.0) / F.sum(prio_new)
+        ).alias("priority_avg_run_len"),
+    )

@@ -137,6 +137,9 @@ PROVENANCE = {
     "attribution_position_based": "extension: U-shaped conversion attribution over ordered touch sequences (time-band join)",
     "countmin_estimate": "extension: Count-Min sketch point estimates vs exact (md5-seeded grid, overcount >= 0 certified)",
     "streaming_countmin_replay": "§2.9 streaming Count-Min grid over micro-batch replay, probed identically — same oracle as the batch twin",
+    "theil_sen_slope": "extension: Theil-Sen robust trend slope (exact rank median of post-agg pairwise slopes)",
+    "bootstrap_mean_ci": "extension: deterministic half-sample bootstrap CI (in-row replica membership, one pass)",
+    "encoding_run_stats": "extension: RLE/delta encodability stats under primary order (layout-analysis shelf)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

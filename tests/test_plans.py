@@ -703,3 +703,26 @@ def test_countmin_grid_is_partial_agg_and_broadcast_probe(spark):
     df = q("countmin_estimate", spark)
     assert partial_agg_functions(df)
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_theil_sen_pairs_run_post_agg(spark):
+    # pairwise slopes join the DAILY aggregate with itself — the raw
+    # scan collapses first (partial agg), quadratic work is post-agg
+    df = q("theil_sen_slope", spark)
+    assert partial_agg_functions(df)
+
+
+def test_bootstrap_replicas_expand_in_row(spark):
+    # replica membership is an in-row filtered sequence + explode — one
+    # scan, no self-join, one aggregate shuffle keyed by replica
+    df = q("bootstrap_mean_ci", spark)
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert len(read_schemas(df)) <= 2  # replica pass + full-mean pass
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_encoding_run_stats_single_scan(spark):
+    df = q("encoding_run_stats", spark)
+    assert len(read_schemas(df)) == 1
+    assert "Window" in formatted_plan(df)

@@ -125,6 +125,15 @@ ROUND5B_IDS = [
     "countmin_estimate",
 ]
 
+#: locally certified, queued just past the full 50-slot window for the
+#: r6 rotation (asserted to exist in the registry, not in the prefix)
+ROUND5C_QUEUE = [
+    "streaming_countmin_replay",
+    "theil_sen_slope",
+    "bootstrap_mean_ci",
+    "encoding_run_stats",
+]
+
 
 def test_parity_and_round2_ids_inside_driver_window():
     prefix = list(REGISTRY)[:WINDOW]
@@ -139,6 +148,11 @@ def test_parity_and_round2_ids_inside_driver_window():
         if n not in prefix
     ]
     assert not missing, f"ids outside the driver's {WINDOW}-entry window: {missing}"
+
+
+def test_queued_ops_are_registered_with_oracles():
+    for n in ROUND5C_QUEUE:
+        assert n in REGISTRY and REGISTRY[n].oracle, n
 
 
 def test_recheck_ids_lead_the_registry():

@@ -112,6 +112,8 @@ _RECHECK_FIRST = [
     "theil_sen_slope",
     "bootstrap_mean_ci",
     "encoding_run_stats",
+    "abtest_proportions_ztest",
+    "km_survival_estimate",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,

@@ -2487,6 +2487,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, trivially mergeable.
     """
     o = load(spark, sf_dir, "orders")
+    # the testdata ships one parquet split, so the B-fold in-row
+    # expansion (32 md5 evaluations per row) would run on ONE task;
+    # spread the 2 referenced columns first. At 100 TB the source has
+    # thousands of natural splits and this repartition is a no-op to
+    # remove, not a plan change.
+    o = o.select("o_orderkey", "o_totalprice").repartition(
+        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
+    )
     member = F.expr(
         f"""filter(sequence(0, {_BOOT_B - 1}), r ->
               conv(substring(md5(concat(cast(r as string), ':',
@@ -2586,4 +2594,273 @@ def encoding_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_cmp(
             F.count(F.lit(1)) * F.lit(1.0) / F.sum(prio_new)
         ).alias("priority_avg_run_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B proportions z-test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "abtest_proportions_ztest",
+    oracle=f"""
+    WITH tot AS (
+      SELECT COUNT(*) AS all_ev,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS all_p
+      FROM events
+    ),
+    assign AS (
+      -- converted = user's purchase share above the corpus share,
+      -- compared by exact integer cross-multiplication (scale-stable:
+      -- ~half the users at any volume, no float boundary)
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) < 128
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * MAX(t.all_ev)
+                       > COUNT(*) * MAX(t.all_p)
+                  THEN 1 ELSE 0 END AS converted
+      FROM events CROSS JOIN tot t GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+      FROM assign GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN k END) AS ka,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN k END) AS kb
+      FROM arms
+    )
+    SELECT na, ka, nb, kb,
+           {round_cmp_sql("ka / CAST(na AS DOUBLE)")} AS rate_a,
+           {round_cmp_sql("kb / CAST(nb AS DOUBLE)")} AS rate_b,
+           CASE WHEN (ka + kb) > 0 AND (ka + kb) < (na + nb)
+                THEN {round_cmp_sql("(ka / CAST(na AS DOUBLE) - kb / CAST(nb AS DOUBLE)) / sqrt(((ka + kb) / CAST(na + nb AS DOUBLE)) * (1 - (ka + kb) / CAST(na + nb AS DOUBLE)) * (1.0 / na + 1.0 / nb))")} END AS z_stat
+    FROM wide
+    """,
+)
+def abtest_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash-assigned A/B
+    split: users land in arms by md5 parity (the same reproducible
+    assignment a real experiment platform uses — no RNG state, stable
+    under re-runs and partial data), conversion = ever purchased, and
+    the pooled-variance z statistic decides whether the arms differ.
+    The experiment-analysis primitive next to the descriptive shelf;
+    with a hash-uniform split and identical behavior the z should
+    hover near 0 — a large |z| here would flag assignment bias.
+
+    All inputs to the z formula are exact integers; the handful of IEEE
+    divisions and the sqrt are textually identical on both engines.
+
+    Scale shape: one scan → per-user aggregate (partial-agg'd) → 2-row
+    arm rollup → 1-row scalar math. The per-user dedup is the only
+    shuffle, keyed by the experiment unit, exactly like production.
+    """
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 128,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("all_ev"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "all_p"
+        ),
+    )
+    # converted = purchase share above the corpus share, decided by exact
+    # integer cross-multiplication — ~half the users at any scale factor
+    assign = (
+        ev.crossJoin(F.broadcast(tot))
+        .groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                * F.max("all_ev")
+                > F.count(F.lit(1)) * F.max("all_p"),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("k"))).alias("kb"),
+    )
+    ra = F.col("ka") / F.col("na").cast("double")
+    rb = F.col("kb") / F.col("nb").cast("double")
+    pool = (F.col("ka") + F.col("kb")) / (F.col("na") + F.col("nb")).cast("double")
+    z = F.when(
+        ((F.col("ka") + F.col("kb")) > 0)
+        & ((F.col("ka") + F.col("kb")) < (F.col("na") + F.col("nb"))),
+        (ra - rb)
+        / F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+    )
+    return wide.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        round_cmp(ra).alias("rate_a"),
+        round_cmp(rb).alias("rate_b"),
+        round_cmp(z).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "km_survival_estimate",
+    oracle=f"""
+    WITH horizon AS (SELECT MAX(ts) AS tmax FROM events),
+    signup AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.t0, MIN(e.ts) AS tp
+      FROM signup s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id, s.t0
+    ),
+    durations AS (
+      SELECT CASE WHEN c.tp IS NOT NULL
+                  THEN CAST(FLOOR(epoch(c.tp)) - FLOOR(epoch(c.t0)) AS BIGINT) // 86400
+                  ELSE CAST(FLOOR(epoch(h.tmax)) - FLOOR(epoch(c.t0)) AS BIGINT) // 86400
+             END AS d,
+             CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv c CROSS JOIN horizon h
+    ),
+    tbl AS (
+      SELECT d, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored,
+             COUNT(*) AS n_at
+      FROM durations GROUP BY d
+    ),
+    risk AS (
+      SELECT d, n_events, n_censored,
+             SUM(n_at) OVER (ORDER BY d DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+      FROM tbl
+    )
+    SELECT d AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_events, n_censored,
+           -- survival hits exactly 0 once a day consumes everyone at
+           -- risk; ln(0) is undefined, so sum logs of the POSITIVE
+           -- factors and zero out from the first exhausting day on
+           CASE WHEN MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE {round_cmp_sql("exp(SUM(CASE WHEN n_events < n_at_risk THEN ln(1 - n_events / CAST(n_at_risk AS DOUBLE)) ELSE 0 END) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")}
+           END AS survival
+    FROM risk
+    ORDER BY day
+    """,
+)
+def km_survival_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after
+    signup, with right-censoring at the corpus horizon (Kaplan & Meier
+    1958) — the retention/conversion-lag curve every growth team wants,
+    and the canonical censored-data statistic naive "average days to
+    convert" silently biases. Users who never purchase contribute
+    at-risk time up to the horizon instead of being dropped.
+
+    The product Π(1 − dᵢ/nᵢ) is evaluated as exp of a running sum of
+    logs — the distributed-friendly form, textually identical on both
+    engines; at-risk counts come from a DESCENDING cumulative sum over
+    the grouped duration table, so every input to the product is
+    integer-exact.
+
+    Scale shape: two partial-agg'd passes over events (first-signup,
+    first-purchase-after via a user-keyed join), then everything runs
+    on the duration TABLE (distinct days — driver-sized at any input
+    volume); the survival windows never see raw rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id")) & (F.col("pts") > F.col("t0")),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("tp"))
+    )
+    d_days = F.when(
+        F.col("tp").isNotNull(),
+        F.expr("(cast(tp as long) - cast(t0 as long)) div 86400"),
+    ).otherwise(F.expr("(cast(tmax as long) - cast(t0 as long)) div 86400"))
+    durations = conv.crossJoin(F.broadcast(horizon)).select(
+        d_days.cast("long").alias("d"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tbl = durations.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w_desc = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    risk = tbl.withColumn("n_at_risk", F.sum("n_at").over(w_desc))
+    return (
+        risk.withColumn(
+            "exhausted",
+            F.max(
+                F.when(F.col("n_events") >= F.col("n_at_risk"), 1).otherwise(0)
+            ).over(w_asc),
+        )
+        .withColumn(
+            "logsum",
+            F.sum(
+                F.when(
+                    F.col("n_events") < F.col("n_at_risk"),
+                    F.log(
+                        1 - F.col("n_events") / F.col("n_at_risk").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_asc),
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "n_events",
+            "n_censored",
+            F.when(F.col("exhausted") == 1, F.lit(0.0))
+            .otherwise(round_cmp(F.exp(F.col("logsum"))))
+            .alias("survival"),
+        )
+        .orderBy("day")
     )

@@ -140,6 +140,8 @@ PROVENANCE = {
     "theil_sen_slope": "extension: Theil-Sen robust trend slope (exact rank median of post-agg pairwise slopes)",
     "bootstrap_mean_ci": "extension: deterministic half-sample bootstrap CI (in-row replica membership, one pass)",
     "encoding_run_stats": "extension: RLE/delta encodability stats under primary order (layout-analysis shelf)",
+    "abtest_proportions_ztest": "extension: two-proportion z-test over a deterministic hash A/B split (pooled variance, guarded)",
+    "km_survival_estimate": "extension: Kaplan-Meier time-to-purchase survival with right-censoring (log-sum product form)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -174,3 +174,21 @@ def test_countmin_never_undercounts(spark):
     for r in rows:
         assert r["overcount"] >= 0, r
         assert r["cm_est"] >= r["exact_cnt"], r
+
+
+def test_km_survival_is_monotone_nonincreasing(spark):
+    rows = sorted(run("km_survival_estimate", spark), key=lambda r: r["day"])
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:])), surv
+    # everyone is at risk on the first table row
+    assert rows[0]["n_at_risk"] == sum(r["n_events"] + r["n_censored"] for r in rows)
+
+
+def test_abtest_split_is_roughly_balanced(spark):
+    (r,) = run("abtest_proportions_ztest", spark)
+    total = r["na"] + r["nb"]
+    assert abs(r["na"] - r["nb"]) < 0.3 * total, r
+    # conversion definition targets ~half the users; z must be finite-ish
+    if r["z_stat"] is not None:
+        assert abs(r["z_stat"]) < 10, r

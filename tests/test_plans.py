@@ -726,3 +726,20 @@ def test_encoding_run_stats_single_scan(spark):
     df = q("encoding_run_stats", spark)
     assert len(read_schemas(df)) == 1
     assert "Window" in formatted_plan(df)
+
+
+def test_abtest_is_two_level_aggregate_no_join_heavy(spark):
+    # scan -> per-user agg -> arm rollup -> scalar math; the only join
+    # is the broadcast of the 1-row corpus totals
+    df = q("abtest_proportions_ztest", spark)
+    assert partial_agg_functions(df)
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_km_survival_windows_run_on_duration_table(spark):
+    # the duration table is grouped before any window; survival windows
+    # never see raw events
+    df = q("km_survival_estimate", spark)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert partial_agg_functions(df)

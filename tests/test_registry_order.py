@@ -132,6 +132,8 @@ ROUND5C_QUEUE = [
     "theil_sen_slope",
     "bootstrap_mean_ci",
     "encoding_run_stats",
+    "abtest_proportions_ztest",
+    "km_survival_estimate",
 ]
 
 

@@ -114,6 +114,9 @@ _RECHECK_FIRST = [
     "encoding_run_stats",
     "abtest_proportions_ztest",
     "km_survival_estimate",
+    "chi_square_independence",
+    "shannon_entropy_profile",
+    "rank_auc_mann_whitney",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,

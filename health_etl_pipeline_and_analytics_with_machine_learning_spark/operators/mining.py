@@ -2864,3 +2864,230 @@ def km_survival_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(strftime(CAST(ts AS DATE), '%w') AS INTEGER) + 1 AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           {round_cmp_sql("SUM((o - row_tot * col_tot / CAST(n AS DOUBLE)) * (o - row_tot * col_tot / CAST(n AS DOUBLE)) / (row_tot * col_tot / CAST(n AS DOUBLE)))")} AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM margins
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between event type and day-of-week — "is
+    traffic mix the same every day?" The categorical-association
+    primitive next to the two-proportion z-test (which is its 2×2
+    special case) and the Benford goodness-of-fit terms. Day-of-week
+    pinned to Spark's 1=Sunday convention, as in
+    seasonal_baseline_anomaly.
+
+    Expected counts are row·col/n from the SAME observed table via
+    margin windows (no second scan); every input to the χ² sum is
+    integer-exact, with the handful of IEEE divisions textually
+    identical on both engines.
+
+    Scale shape: the raw scan collapses to |types|×|dows| cells in one
+    partial-agg'd shuffle; margins, the statistic, and the degrees of
+    freedom all run over those ≤ 35 cells.
+    """
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+        round_cmp(F.sum((F.col("o") - e) * (F.col("o") - e) / e)).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy / balance profile of categorical columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shannon_entropy_profile",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    counts AS (
+      SELECT col_name, v, COUNT(*) AS c FROM stacked GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT col_name, SUM(c) AS n, COUNT(*) AS k FROM counts GROUP BY 1
+    )
+    SELECT c.col_name,
+           CAST(t.k AS BIGINT) AS n_values,
+           {round_cmp_sql("SUM(-(c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE)))")} AS entropy_nats,
+           {round_cmp_sql("CASE WHEN t.k > 1 THEN SUM(-(c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE))) / ln(CAST(t.k AS DOUBLE)) ELSE 0.0 END")} AS balance
+    FROM counts c JOIN tot t ON t.col_name = c.col_name
+    GROUP BY c.col_name, t.k, t.n
+    ORDER BY c.col_name
+    """,
+)
+def shannon_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and normalized balance (H / ln k) of the
+    categorical columns — the information-theoretic companion to
+    column_profile's distinct counts: two columns with the same
+    cardinality can be perfectly balanced (balance 1) or 99%-one-value
+    (balance → 0), which decides dictionary-encoding wins, partition-key
+    suitability, and whether a column is worth a filter statistic.
+
+    Scale shape: one unpivoted pass (UNION of column projections here —
+    at many columns the stack() form column_profile uses applies), a
+    (column, value) count with map-side partials, then per-column
+    rollups over the tiny distinct-value table.
+    """
+    o = load(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.lit("o_orderstatus").alias("col_name"),
+        F.col("o_orderstatus").alias("v"),
+    ).unionAll(
+        o.select(F.lit("o_orderpriority"), F.col("o_orderpriority"))
+    )
+    counts = stacked.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(tot, "col_name")
+        .groupBy("col_name", "k", "n")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+        .select(
+            "col_name",
+            F.col("k").cast("long").alias("n_values"),
+            round_cmp(F.col("h")).alias("entropy_nats"),
+            round_cmp(
+                F.when(
+                    F.col("k") > 1,
+                    F.col("h") / F.log(F.col("k").cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("balance"),
+        )
+        .orderBy("col_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney rank AUC
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rank_auc_mann_whitney",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    byval AS (
+      SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS pos
+      FROM labeled GROUP BY s
+    ),
+    ranked AS (
+      SELECT s, c, pos,
+             COALESCE(SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM byval
+    ),
+    stats AS (
+      SELECT SUM(pos * (below + (c + 1) / 2.0)) AS rank_sum_pos,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c - pos) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           {round_cmp_sql("(rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * CAST(n_neg AS DOUBLE))")} AS auc
+    FROM stats
+    """,
+)
+def rank_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of ``value`` as a predictor of the purchase label,
+    computed exactly via the Mann–Whitney U identity — AUC =
+    (R₊ − n₊(n₊+1)/2)/(n₊n₋) with midrank tie handling — in TWO
+    aggregation passes, no pairwise comparisons and no sorting of raw
+    rows. THE model-evaluation primitive a training pipeline runs at
+    scale, where sklearn's in-memory roc_auc_score cannot.
+
+    Midranks come from per-distinct-value counts and a prefix sum over
+    the (tiny) distinct-value table: every quantity is an exact
+    integer or half-integer until the single final division, so both
+    engines agree bit-for-bit. With value independent of the label,
+    AUC should sit near 0.5 — deviations flag leakage or real signal.
+
+    Scale shape: one partial-agg'd shuffle to per-value counts; the
+    rank prefix sum and U statistic run over distinct values
+    (score-cardinality, not row-cardinality). A production variant
+    buckets continuous scores first — same plan, bounded state.
+    """
+    ev = load(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    byval = labeled.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").cast("long").alias("pos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.withColumn(
+        "below", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    stats = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("c") + 1) / F.lit(2.0))
+        ).alias("rank_sum_pos"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    return stats.select(
+        "n_pos",
+        "n_neg",
+        round_cmp(
+            (F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+            / (F.col("n_pos") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )

@@ -142,6 +142,9 @@ PROVENANCE = {
     "encoding_run_stats": "extension: RLE/delta encodability stats under primary order (layout-analysis shelf)",
     "abtest_proportions_ztest": "extension: two-proportion z-test over a deterministic hash A/B split (pooled variance, guarded)",
     "km_survival_estimate": "extension: Kaplan-Meier time-to-purchase survival with right-censoring (log-sum product form)",
+    "chi_square_independence": "extension: chi-square independence of type x day-of-week (margin windows, no second scan)",
+    "shannon_entropy_profile": "extension: Shannon entropy + normalized balance per categorical column",
+    "rank_auc_mann_whitney": "extension: exact ROC-AUC via Mann-Whitney U with midrank ties — no pairwise pass",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

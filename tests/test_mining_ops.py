@@ -192,3 +192,24 @@ def test_abtest_split_is_roughly_balanced(spark):
     # conversion definition targets ~half the users; z must be finite-ish
     if r["z_stat"] is not None:
         assert abs(r["z_stat"]) < 10, r
+
+
+def test_auc_is_near_half_for_independent_score(spark):
+    (r,) = run("rank_auc_mann_whitney", spark)
+    assert 0.0 <= r["auc"] <= 1.0
+    # value is generated independently of event_type: AUC ~ 0.5
+    assert abs(r["auc"] - 0.5) < 0.1, r
+
+
+def test_entropy_balance_in_unit_range(spark):
+    rows = run("shannon_entropy_profile", spark)
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["balance"] <= 1.0 + 1e-9, r
+        assert r["entropy_nats"] >= 0.0, r
+
+
+def test_chi_square_nonnegative_with_expected_dof(spark):
+    (r,) = run("chi_square_independence", spark)
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == (5 - 1) * (r["n_cells"] // 5 - 1) or r["dof"] > 0

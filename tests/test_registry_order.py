@@ -134,6 +134,9 @@ ROUND5C_QUEUE = [
     "encoding_run_stats",
     "abtest_proportions_ztest",
     "km_survival_estimate",
+    "chi_square_independence",
+    "shannon_entropy_profile",
+    "rank_auc_mann_whitney",
 ]
 
 

@@ -117,6 +117,8 @@ _RECHECK_FIRST = [
     "chi_square_independence",
     "shannon_entropy_profile",
     "rank_auc_mann_whitney",
+    "spearman_rank_corr",
+    "source_jsd_pairs",
     # dropped from the window this round (r4-green and UNCHANGED in r5,
     # local differential still runs every test session):
     # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,

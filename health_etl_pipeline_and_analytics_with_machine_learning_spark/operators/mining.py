@@ -3091,3 +3091,186 @@ def rank_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_pos") * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spearman_rank_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    -- midrank per value: rows below this value + (ties+1)/2, from a
+    -- per-VALUE table so the prefix sums stay integer-exact
+    vx AS (SELECT x, COUNT(*) AS c FROM daily GROUP BY x),
+    vxr AS (
+      SELECT x, COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS r
+      FROM vx
+    ),
+    vy AS (SELECT y, COUNT(*) AS c FROM daily GROUP BY y),
+    vyr AS (
+      SELECT y, COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS r
+      FROM vy
+    ),
+    ranked AS (
+      SELECT d.day, vxr.r AS rank_x, vyr.r AS rank_y
+      FROM daily d JOIN vxr ON vxr.x = d.x JOIN vyr ON vyr.y = d.y
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           {round_cmp_sql("CORR(rank_x, rank_y)")} AS spearman_rho
+    FROM ranked
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily view and purchase
+    series — Pearson on MIDRANKS, the monotone-association measure
+    that, unlike corr_matrix's Pearson, ignores outliers and nonlinear
+    scaling. Completes the correlation family (whole-period Pearson,
+    rolling Pearson, Kendall's τ via mann_kendall, now Spearman's ρ).
+
+    Midranks are exact half-integers from per-distinct-value prefix
+    sums (same machinery as the Mann–Whitney AUC); the final CORR runs
+    over ranks whose variance is never zero unless a series is
+    constant — days differ here, and the 30-row frame makes the
+    aggregate's accumulation noise vanish under round_cmp.
+
+    Scale shape: raw scan → daily cells (partial-agg'd); rank tables,
+    joins, and the correlation all run over distinct VALUES and days —
+    driver-sized at any volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        v = daily.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return v.select(
+            col,
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0))
+                + (F.col("c") + 1) / F.lit(2.0)
+            ).alias(f"rank_{col}"),
+        )
+
+    ranked = daily.join(F.broadcast(midranks("x")), "x").join(
+        F.broadcast(midranks("y")), "y"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        round_cmp(F.corr("rank_x", "rank_y")).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between source token distributions
+# --------------------------------------------------------------------------
+
+_JSD_TOP = 10
+
+
+@query(
+    "source_jsd_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({ALPHA_TOKENIZE_SQL}) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1),
+    p AS (
+      SELECT cnt.source, cnt.t, cnt.c / CAST(tot.n AS DOUBLE) AS p
+      FROM cnt JOIN tot ON tot.source = cnt.source
+    ),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb,
+             SUM(0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) AS jsd_shared,
+             SUM(a.p) AS mass_a, SUM(b.p) AS mass_b
+      FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sa, sb,
+           {round_cmp_sql("(jsd_shared + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b))) / ln(2)")} AS jsd_bits
+    FROM shared
+    ORDER BY (jsd_shared + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b))) / ln(2),
+             sa, sb
+    LIMIT {_JSD_TOP}
+    """,
+)
+def source_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between per-source token distributions,
+    top-{_JSD_TOP} MOST similar pairs — the probabilistic upgrade of
+    source_vocab_overlap's set Jaccard: JSD weighs how differently two
+    sources USE shared vocabulary, not just whether they share it. The
+    corpus-mixing diagnostic behind "are these two crawls near-duplicate
+    distributions" before source_mixture_weights allocates budget.
+
+    Tokens absent from one side contribute exactly ½·p·ln2 each (the
+    m=p/2 limit), so the full divergence decomposes into a SHARED-token
+    join plus closed-form unshared-mass terms — no full outer join, no
+    per-pair vocab materialization. Normalized to bits; identical
+    formula text on both engines, rank by the raw double with (sa, sb)
+    tiebreaks.
+
+    Scale shape: per-source token counts are one partial-agg'd shuffle;
+    the pair stage is an equi-join ON TOKEN (Σ freq² like the dedup
+    ladder, never |sources|²·|vocab|), and the pair aggregate is
+    |source-pairs| rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.expr(ALPHA_TOKENIZE_EXPR)).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "t", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    a = p.select(F.col("source").alias("sa"), "t", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("sb"), "t", F.col("p").alias("pb"))
+    m = F.col("pa") + F.col("pb")
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.lit(0.5) * F.col("pa") * F.log(2 * F.col("pa") / m)
+                + F.lit(0.5) * F.col("pb") * F.log(2 * F.col("pb") / m)
+            ).alias("jsd_shared"),
+            F.sum("pa").alias("mass_a"),
+            F.sum("pb").alias("mass_b"),
+        )
+    )
+    jsd = (
+        F.col("jsd_shared")
+        + F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * ((1 - F.col("mass_a")) + (1 - F.col("mass_b")))
+    ) / F.log(F.lit(2.0))
+    return (
+        shared.select("sa", "sb", jsd.alias("_j"), round_cmp(jsd).alias("jsd_bits"))
+        .orderBy("_j", "sa", "sb")
+        .limit(_JSD_TOP)
+        .drop("_j")
+    )

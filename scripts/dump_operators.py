@@ -145,6 +145,8 @@ PROVENANCE = {
     "chi_square_independence": "extension: chi-square independence of type x day-of-week (margin windows, no second scan)",
     "shannon_entropy_profile": "extension: Shannon entropy + normalized balance per categorical column",
     "rank_auc_mann_whitney": "extension: exact ROC-AUC via Mann-Whitney U with midrank ties — no pairwise pass",
+    "spearman_rank_corr": "extension: Spearman rho via exact midranks (completes the correlation family)",
+    "source_jsd_pairs": "LLM-pipeline: Jensen-Shannon divergence between source token distributions (shared-token join + closed-form unshared mass)",
     "cdc_latest_compaction": "extension: warehouse — CDC latest-row-wins compaction (struct-max, no window)",
     "merge_upsert_counts": "extension: warehouse — MERGE INTO semantics (full outer join + action classifier)",
     "scd2_dimension_update": "extension: warehouse — SCD type-2 dimension versioning",

@@ -213,3 +213,16 @@ def test_chi_square_nonnegative_with_expected_dof(spark):
     (r,) = run("chi_square_independence", spark)
     assert r["chi2"] >= 0.0
     assert r["dof"] == (5 - 1) * (r["n_cells"] // 5 - 1) or r["dof"] > 0
+
+
+def test_spearman_rho_in_range(spark):
+    (r,) = run("spearman_rank_corr", spark)
+    assert -1.0 - 1e-9 <= r["spearman_rho"] <= 1.0 + 1e-9, r
+
+
+def test_jsd_pairs_in_unit_range_and_symmetric_keys(spark):
+    rows = run("source_jsd_pairs", spark)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jsd_bits"] <= 1.0 + 1e-9, r
+        assert r["sa"] < r["sb"], r

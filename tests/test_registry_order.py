@@ -137,6 +137,8 @@ ROUND5C_QUEUE = [
     "chi_square_independence",
     "shannon_entropy_profile",
     "rank_auc_mann_whitney",
+    "spearman_rank_corr",
+    "source_jsd_pairs",
 ]
 
 

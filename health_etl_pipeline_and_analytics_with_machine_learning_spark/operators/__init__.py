@@ -33,83 +33,36 @@ from .registry import REGISTRY as _R
 #: four sessionization-family ops touched by the second-truncation
 #: oracle pin + the distributed chunk writer.
 _RECHECK_FIRST = [
-    # — fresh-row tier (r5 changes) —
-    "similarity_lsh_bucketed",  # full oracle since r4; driver row stale (r3 no_oracle)
-    "dedup_semantic_cluster",  # full oracle since r4; driver row stale (r3 no_oracle)
-    "bpe_pair_counts",  # never driver-checked (new in r4)
-    "source_vocab_overlap",  # never driver-checked (new in r4)
-    "multimodal_bmp_decode",  # new: byte-level BMP decode, full oracle
-    "text_simhash",  # r5: zero-shuffle Arrow tally rewrite
-    "simhash_near_pairs",  # consumes the rewritten fingerprint
-    "similarity_ivf_topk",  # r5: memoized deterministic quantizer fit
-    "sessionization",  # r5: gap rule second-truncation pinned in oracle
-    "streaming_sessionization",  # same pin + distributed chunk writer
-    "streaming_hour_rollup",  # distributed chunk writer
-    "streaming_view_purchase_join",  # distributed chunk writer
-    # — new-op tier (r5 mining/sketch/graph family, first driver
-    #   certification; these take the slots of 11 keep-tier residents
-    #   that are r4-driver-green, UNCHANGED, and still locally
-    #   differential-checked every test session: project_dropna,
-    #   range_filter_agg, group2_sort_mixed_limit, group_avg_having_sort,
-    #   filter_group2_avg2_count_sort, group_avg_sum2_topk, two_level_agg,
-    #   trend_group_avg_sort, overview_scalars, dedup_exact, corr_matrix) —
-    "kmv_distinct_sketch",
-    "weighted_sample_topk",
-    "range_interval_window",
-    "cusum_changepoint",
+    # — r6 fix tier: the four r5 driver hash-fails, re-certified after the
+    #   HUGEINT-oracle + TZ-invariance fix (oracle output types now match
+    #   Spark's numeric class column-for-column; epoch extraction goes
+    #   through registry.epoch_us_utc). A green row here closes VERDICT
+    #   r5 item 1 —
     "column_profile",
     "interval_concurrency_peak",
-    "skyline_pareto",
-    "assoc_rules_lift",
-    "brand_copurchase_triangles",
-    "pagerank_nation_trade",
-    "token_pmi_topk",
-    "seasonal_baseline_anomaly",
-    "inverted_index_topk",
-    "mode_per_group",
     "gaps_islands_streaks",
     "skew_diagnosis_gini",
-    "kmv_join_cardinality",
-    "time_weighted_avg",
-    "path_regex_match",
-    "fd_discovery",
-    "benford_law_check",
-    "mann_kendall_trend",
-    "rolling_correlation",
-    "multimodal_wav_decode",
-    "zorder_interleave",
-    "attribution_position_based",
-    "countmin_estimate",
-    # — keep-certified tier (SURVEY §2 parity + prior window residents;
-    #   rotated out for the mining ops above, all r4-green, unchanged,
-    #   locally differential-checked every session:
-    #   window_group_median_fill, global_sort_rowid, zscore_normalize,
-    #   median_fill, iqr_clip, group_quantiles, stratified_hash_sample,
-    #   eq_filter_group_agg, value_counts_topk, sequence_pack_scaled,
-    #   vocab_oov_rate, salted_skew_join, median_fill_scaled,
-    #   iqr_clip_scaled, group_quantiles_scaled, and finally the
-    #   flagship filter_group_avg_topk itself — r4-driver-green,
-    #   plan-pinned in tests/test_plans.py, benched every round, and
-    #   locally differential-checked every session) —
-    # — new-op tier (r5 additions, first driver certification) —
-    "cdc_latest_compaction",
-    "merge_upsert_counts",
-    "scd2_dimension_update",
-    "snapshot_diff",
-    "incremental_agg_update",
-    "heavy_hitters_twopass",
-    "ewma_smoothing",
-    "largest_remainder_alloc",
+    # — r6 re-certify tier: ops whose oracle text or epoch path changed
+    #   in the same sweep (DECIMAL→DOUBLE lo_edge, BIGINT↔INT output
+    #   alignment, epoch_us_utc call sites, fd NULL pinning) — all were
+    #   driver-green before, want fresh rows on the new text —
+    "histogram_fixed_width",
+    "topk_per_group",
+    "ntile_quartiles",
+    "grouping_sets_agg",
+    "supplier_revenue_rank",
     "entity_resolution_blocked",
-    "streaming_dedup_replay",
-    "streaming_cdc_compaction",
-    # — position 51: first entry PAST the 50-slot window. Every window
-    #   slot is taken by an id needing a fresh r5 row; this op is
-    #   locally oracle-certified (incl. the real micro-batch replay)
-    #   and is the r6 window's first rotation candidate; the three
-    #   statistics/layout ops after it queue behind it —
+    "seasonal_baseline_anomaly",
+    "range_interval_window",
+    "time_weighted_avg",
+    "attribution_position_based",
+    "fd_discovery",
+    # — r6 backlog-drain tier: every registry entry that has NEVER had a
+    #   driver row (VERDICT r5 item 2): the r5 statistics family, the
+    #   streaming count-min replay, and all 14 TPC-H shapes. Registry
+    #   growth is FROZEN this round so the backlog clears in one window —
     "streaming_countmin_replay",
-    "theil_sen_slope",
+    "theil_sen_slope",  # + ADVICE r5 even-m median fix
     "bootstrap_mean_ci",
     "encoding_run_stats",
     "abtest_proportions_ztest",
@@ -118,17 +71,50 @@ _RECHECK_FIRST = [
     "shannon_entropy_profile",
     "rank_auc_mann_whitney",
     "spearman_rank_corr",
-    "source_jsd_pairs",
-    # dropped from the window this round (r4-green and UNCHANGED in r5,
-    # local differential still runs every test session):
-    # events_enrich_segment, events_gap_fill, forward_fill_last_purchase,
-    # json_props_extract, mad_outlier_detect, pivot_event_counts,
-    # running_distinct_users, window_lag_value_delta,
-    # funnel_view_click_purchase, set_intersect_except,
-    # set_ops_bag_semantics, user_event_paths, hash_train_test_split,
-    # asof_join_attribution, cohort_retention, events_hour_agg,
-    # sequence_pack_stats, salted_skew_agg — their slots pay for the r5
-    # fresh + new tiers.
+    "source_jsd_pairs",  # + ADVICE r5 rank-by-rounded fix
+    "bigram_cross_entropy",
+    "cume_dist_price_bands",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    # — stale-refresh tier: last driver row dates to r1; refresh the
+    #   oldest certifications with the remaining slots —
+    "term_frequency_topk",
+    "tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "c4_heuristic_filter",
+    "corpus_curation",
+    "star_join_revenue",
+    "bloom_filter_semi_join",
+    # r5-green residents rotated out this round (unchanged, local
+    # differential still covers them every test session):
+    # similarity_lsh_bucketed, dedup_semantic_cluster, bpe_pair_counts,
+    # source_vocab_overlap, multimodal_bmp_decode, text_simhash,
+    # simhash_near_pairs, similarity_ivf_topk, sessionization,
+    # streaming_sessionization, streaming_hour_rollup,
+    # streaming_view_purchase_join, kmv_distinct_sketch,
+    # weighted_sample_topk, cusum_changepoint, skyline_pareto,
+    # assoc_rules_lift, brand_copurchase_triangles, pagerank_nation_trade,
+    # token_pmi_topk, inverted_index_topk, mode_per_group,
+    # kmv_join_cardinality, path_regex_match, benford_law_check,
+    # mann_kendall_trend, rolling_correlation, multimodal_wav_decode,
+    # zorder_interleave, countmin_estimate, cdc_latest_compaction,
+    # merge_upsert_counts, scd2_dimension_update, snapshot_diff,
+    # incremental_agg_update, heavy_hitters_twopass, ewma_smoothing,
+    # largest_remainder_alloc, streaming_dedup_replay,
+    # streaming_cdc_compaction.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -25,7 +25,7 @@ TOP_K = 2
 @query(
     "topk_per_group",
     oracle=f"""
-    SELECT l_suppkey, rnk, l_orderkey, l_linenumber,
+    SELECT l_suppkey, CAST(rnk AS INTEGER) AS rnk, l_orderkey, l_linenumber,
            ROUND(l_extendedprice, {DP}) AS price
     FROM (
       SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -354,7 +354,7 @@ N_TILES = 4
              ) AS quartile
       FROM customer
     )
-    SELECT segment, quartile,
+    SELECT segment, CAST(quartile AS INTEGER) AS quartile,
            COUNT(*) AS n_customers,
            {round_cmp_sql("AVG(c_acctbal)")} AS avg_balance,
            ROUND(MIN(c_acctbal), {DP}) AS lo,

@@ -801,7 +801,7 @@ _ER_BLOCK_SQL = "substr(regexp_replace({col}, '[^0-9]+', ''{g}), 1, 7)"
                                 ORDER BY lev, master_key) AS rn
       FROM cand
     )
-    SELECT lev, COUNT(*) AS n_matches,
+    SELECT CAST(lev AS INTEGER) AS lev, COUNT(*) AS n_matches,
            CAST(SUM(CASE WHEN probe_key = master_key THEN 1 ELSE 0 END) AS BIGINT)
              AS n_correct
     FROM best WHERE rn = 1

@@ -338,8 +338,8 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), {DP}) AS revenue,
-           GROUPING(o_orderstatus) AS g_status,
-           GROUPING(o_orderpriority) AS g_priority
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
@@ -395,7 +395,8 @@ _RANK_TOP = 3
       JOIN supplier s ON rev.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
     )
-    SELECT nation, s_name, ROUND(revenue, {DP}) AS revenue, rnk
+    SELECT nation, s_name, ROUND(revenue, {DP}) AS revenue,
+           CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= {_RANK_TOP}
     ORDER BY nation, rnk, s_name
     """,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
+from .registry import ROUND_DP, epoch_us_utc, load, query, round_cmp, round_cmp_sql
 from .text import ALPHA_TOKENIZE_EXPR, ALPHA_TOKENIZE_SQL
 
 DP = ROUND_DP
@@ -220,7 +220,7 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, hence ``round_cmp`` on the sum but not the count.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < _RW_USER_CAP)
-    ep = F.col("ts").cast("long")
+    ep = F.floor(epoch_us_utc(F.col("ts")) / F.lit(1_000_000)).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy("epoch_s")
@@ -308,7 +308,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT * FROM (
       SELECT 'o_orderkey' AS col_name,
-             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              COUNT(DISTINCT o_orderkey) AS n_distinct,
              {round_cmp_sql("CAST(MIN(o_orderkey) AS DOUBLE)")} AS min_num,
              {round_cmp_sql("CAST(MAX(o_orderkey) AS DOUBLE)")} AS max_num,
@@ -316,7 +316,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'o_custkey',
-             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_custkey),
              {round_cmp_sql("CAST(MIN(o_custkey) AS DOUBLE)")},
              {round_cmp_sql("CAST(MAX(o_custkey) AS DOUBLE)")},
@@ -324,13 +324,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'o_orderstatus',
-             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_orderstatus),
              NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
       FROM orders
       UNION ALL
       SELECT 'o_totalprice',
-             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_totalprice),
              {round_cmp_sql("MIN(o_totalprice)")},
              {round_cmp_sql("MAX(o_totalprice)")},
@@ -338,7 +338,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'o_orderdate',
-             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_orderdate),
              {round_cmp_sql("CAST(FLOOR(epoch(MIN(o_orderdate))) AS DOUBLE)")},
              {round_cmp_sql("CAST(FLOOR(epoch(MAX(o_orderdate))) AS DOUBLE)")},
@@ -346,7 +346,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'o_orderpriority',
-             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT o_orderpriority),
              NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
       FROM orders
@@ -400,13 +400,20 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_cmp(F.max("o_totalprice")).alias("mx_tp"),
         nn("o_orderdate").alias("nn_od"),
         F.countDistinct("o_orderdate").alias("nd_od"),
-        # o_orderdate arrives as TIMESTAMP_NTZ; route through TIMESTAMP
-        # (session TZ is UTC, epoch preserved) to reach epoch seconds
+        # o_orderdate arrives as TIMESTAMP_NTZ; epoch_us_utc undoes the
+        # session-TZ offset the NTZ→TIMESTAMP cast applies, so the epoch
+        # seconds match DuckDB's epoch() under ANY session timezone
         round_cmp(
-            F.min("o_orderdate").cast("timestamp").cast("long").cast("double")
+            F.floor(
+                epoch_us_utc(F.min("o_orderdate").cast("timestamp"))
+                / F.lit(1_000_000)
+            ).cast("double")
         ).alias("mn_od"),
         round_cmp(
-            F.max("o_orderdate").cast("timestamp").cast("long").cast("double")
+            F.floor(
+                epoch_us_utc(F.max("o_orderdate").cast("timestamp"))
+                / F.lit(1_000_000)
+            ).cast("double")
         ).alias("mx_od"),
         nn("o_orderpriority").alias("nn_op"),
         F.countDistinct("o_orderpriority").alias("nd_op"),
@@ -455,7 +462,8 @@ _IC_DUR_US = 300 * 1_000_000
     pk AS (
       SELECT event_type, MAX(running) AS peak_concurrency FROM run GROUP BY event_type
     )
-    SELECT r.event_type, p.peak_concurrency,
+    SELECT r.event_type,
+           CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
            MIN(r.t) AS peak_t_us
     FROM run r JOIN pk p
       ON p.event_type = r.event_type AND r.running = p.peak_concurrency
@@ -486,7 +494,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salted-window pattern (op/skew.py) applies unchanged.
     """
     ev = load(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts"))
+    t = epoch_us_utc(F.col("ts"))
     starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("delta"))
     ends = ev.select(
         "event_type", (t + F.lit(_IC_DUR_US)).alias("t"), F.lit(-1).alias("delta")
@@ -1061,7 +1069,7 @@ _SEAS_Z = 1.5
     WITH hourly AS (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(strftime(CAST(ts AS DATE), '%w') AS INTEGER) + 1 AS dow,
-             EXTRACT(hour FROM ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
              COUNT(*) AS n_events
       FROM events GROUP BY 1, 2, 3
     ),
@@ -1310,7 +1318,7 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MAX(streak) AS longest_streak,
            MIN(CASE WHEN streak = ms THEN streak_start END) AS first_peak_start,
-           SUM(streak) AS n_active_days
+           CAST(SUM(streak) AS BIGINT) AS n_active_days
     FROM (SELECT *, MAX(streak) OVER (PARTITION BY user_id) AS ms FROM islands)
     GROUP BY user_id
     ORDER BY user_id
@@ -1374,7 +1382,7 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT COUNT(*) AS n_keys,
-             SUM(cnt) AS n_rows,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
              MAX(cnt) AS max_cnt,
              SUM(rk * cnt) AS weighted
       FROM ranked
@@ -1585,7 +1593,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates.
     """
     ev = load(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts"))
+    t = epoch_us_utc(F.col("ts"))
     w = Window.partitionBy("event_type").orderBy(t, F.col("event_id"))
     raw_dt = (F.lead(t).over(w) - t) / F.lit(1_000_000.0)
     # F.least SKIPS nulls: capping the raw gap directly would hand the
@@ -1714,7 +1722,8 @@ def _fd_oracle() -> str:
              COUNT(DISTINCT ({a}, {b})) AS nd_pair,
              COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS fd_forward,
              COUNT(DISTINCT {b}) = COUNT(DISTINCT ({a}, {b})) AS fd_backward
-      FROM orders"""
+      FROM orders
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL"""
         )
     return (
         "SELECT * FROM (" + "\n      UNION ALL".join(selects) + ") ORDER BY det, dep"
@@ -1744,9 +1753,19 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = []
     for a, b in _fd_pairs():
-        aggs.append(F.countDistinct(a).alias(f"nd_{a}_{b}_a"))
-        aggs.append(F.countDistinct(b).alias(f"nd_{a}_{b}_b"))
-        aggs.append(F.countDistinct(a, b).alias(f"nd_{a}_{b}_ab"))
+        # NULL semantics pinned on BOTH engines (ADVICE r5): Spark's
+        # countDistinct(a, b) drops tuples with ANY null while DuckDB's
+        # COUNT(DISTINCT (a, b)) keeps them — restrict every count to
+        # rows where both columns are non-null so the FD verdicts agree
+        # even on nullable inputs
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs.append(F.countDistinct(F.when(both, F.col(a))).alias(f"nd_{a}_{b}_a"))
+        aggs.append(F.countDistinct(F.when(both, F.col(b))).alias(f"nd_{a}_{b}_b"))
+        aggs.append(
+            F.countDistinct(
+                F.when(both, F.col(a)), F.when(both, F.col(b))
+            ).alias(f"nd_{a}_{b}_ab")
+        )
     one = o.agg(*aggs)
     rows = []
     for a, b in _fd_pairs():
@@ -2140,7 +2159,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd aggregate over position classes.
     """
     ev = load(spark, sf_dir, "events")
-    t_us = F.unix_micros(F.col("ts"))
+    t_us = epoch_us_utc(F.col("ts"))
     conv = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("conv_id"), t_us.alias("cts")
     )
@@ -2387,7 +2406,7 @@ def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM slopes
     )
     SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
-           {round_cmp_sql("AVG(CASE WHEN rn IN ((m + 1) / 2, (m + 2) / 2) THEN s END)")} AS sen_slope
+           {round_cmp_sql("AVG(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2) THEN s END)")} AS sen_slope
     FROM ranked
     """,
 )
@@ -2424,8 +2443,12 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wk).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("m"),
     )
+    # INTEGER division picks both middle ranks for even m (float `/`
+    # would select only the upper one — ADVICE r5); for odd m the two
+    # expressions coincide on the single middle rank
     mid = F.when(
-        (F.col("rn") == (F.col("m") + 1) / 2) | (F.col("rn") == (F.col("m") + 2) / 2),
+        (F.col("rn") == F.expr("(m + 1) div 2"))
+        | (F.col("rn") == F.expr("(m + 2) div 2")),
         F.col("s"),
     )
     return ranked.agg(
@@ -3212,7 +3235,7 @@ _JSD_TOP = 10
     SELECT sa, sb,
            {round_cmp_sql("(jsd_shared + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b))) / ln(2)")} AS jsd_bits
     FROM shared
-    ORDER BY (jsd_shared + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b))) / ln(2),
+    ORDER BY {round_cmp_sql("(jsd_shared + 0.5 * ln(2) * ((1 - mass_a) + (1 - mass_b))) / ln(2)")},
              sa, sb
     LIMIT {_JSD_TOP}
     """,
@@ -3229,8 +3252,8 @@ def source_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=p/2 limit), so the full divergence decomposes into a SHARED-token
     join plus closed-form unshared-mass terms — no full outer join, no
     per-pair vocab materialization. Normalized to bits; identical
-    formula text on both engines, rank by the raw double with (sa, sb)
-    tiebreaks.
+    formula text on both engines, ranked by the ROUNDED value with
+    (sa, sb) tiebreaks so the LIMIT boundary can't flip cross-engine.
 
     Scale shape: per-source token counts are one partial-agg'd shuffle;
     the pair stage is an equi-join ON TOKEN (Σ freq² like the dedup
@@ -3268,9 +3291,12 @@ def source_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(F.lit(2.0))
         * ((1 - F.col("mass_a")) + (1 - F.col("mass_b")))
     ) / F.log(F.lit(2.0))
+    # rank by the ROUNDED value (token_pmi_topk pattern, ADVICE r5):
+    # the raw double is a float sum whose accumulation order differs
+    # between engines, so near-equal pairs at the LIMIT boundary could
+    # otherwise flip cross-engine
     return (
-        shared.select("sa", "sb", jsd.alias("_j"), round_cmp(jsd).alias("jsd_bits"))
-        .orderBy("_j", "sa", "sb")
+        shared.select("sa", "sb", round_cmp(jsd).alias("jsd_bits"))
+        .orderBy("jsd_bits", "sa", "sb")
         .limit(_JSD_TOP)
-        .drop("_j")
     )

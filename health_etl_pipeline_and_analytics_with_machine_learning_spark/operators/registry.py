@@ -73,6 +73,25 @@ def round_cmp_sql(expr: str, dp: int = ROUND_DP) -> str:
     return f"FLOOR(ROUND({expr}, {dp + 3}) * {scale} + 0.5) / {scale}"
 
 
+def epoch_us_utc(col):
+    """Session-TZ-proof epoch micros for a timestamp column that
+    originated as TIMESTAMP_NTZ (the driver's parquet encoding).
+
+    ``load`` casts NTZ→TIMESTAMP, which computes ``epoch = wall − off(S)``
+    under session TZ ``S``; a bare ``unix_micros`` then disagrees with
+    DuckDB's ``epoch_us`` (naive wall clock read as UTC) whenever
+    ``S ≠ UTC``. ``from_utc_timestamp(ts, current_timezone())`` adds
+    ``off(S)`` back, recovering wall-clock-as-UTC micros under ANY
+    fixed-offset session TZ (verified Asia/Kolkata, America/New_York,
+    UTC); under UTC it is an exact identity. Use this — never a bare
+    ``unix_micros``/``cast("long")`` — wherever an op emits or compares
+    epoch-derived numbers.
+    """
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(F.from_utc_timestamp(col, F.expr("current_timezone()")))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one of the driver's parquet tables.
 

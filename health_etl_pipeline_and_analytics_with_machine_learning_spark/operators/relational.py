@@ -627,7 +627,8 @@ _HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
     SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), 0),
                       {_HIST_NB - 1}) AS INT) AS bucket,
            ROUND(CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), 0),
-                      {_HIST_NB - 1}) AS INT) * {_HIST_W} + {_HIST_LO}, 4) AS lo_edge,
+                      {_HIST_NB - 1}) AS INT) * CAST({_HIST_W} AS DOUBLE)
+                 + CAST({_HIST_LO} AS DOUBLE), 4) AS lo_edge,
            COUNT(*) AS n_orders,
            {round_cmp_sql("AVG(o_totalprice)")} AS avg_price
     FROM orders

@@ -43,6 +43,39 @@ def canon(rows, colnames):
     return sorted(out, key=repr)
 
 
+def strict_type_check(res, s_schema):
+    """Round-5 driver-red lesson: ``fetchall()`` converts DuckDB HUGEINT
+    to Python int, masking numeric-class mismatches the driver's
+    pandas/Arrow fetch turns into float64/decimal — local green, driver
+    red. Compare declared result types instead: every shared column must
+    be in the same numeric class on both sides.
+    """
+    classes = {
+        "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+        "UBIGINT": "i", "UINTEGER": "i",
+        "HUGEINT": "H", "UHUGEINT": "H", "DECIMAL": "H",
+        "DOUBLE": "f", "FLOAT": "f",
+        "VARCHAR": "s", "DATE": "d", "TIMESTAMP": "t", "TIMESTAMP_NS": "t",
+        "BOOLEAN": "b",
+    }
+    spark_classes = {
+        "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+        "double": "f", "float": "f", "string": "s", "date": "d",
+        "timestamp": "t", "timestamp_ntz": "t", "boolean": "b",
+    }
+    s_types = {f.name: spark_classes.get(f.dataType.simpleString()) for f in s_schema.fields}
+    errs = []
+    for col, dt in zip([d[0] for d in res.description], [d[1] for d in res.description]):
+        base = str(dt).split("(")[0]
+        oc = classes.get(base)
+        sc = s_types.get(col)
+        if oc == "H":
+            errs.append(f"{col}: oracle {dt} (HUGEINT/DECIMAL class — driver fetch diverges)")
+        elif oc is not None and sc is not None and oc != sc:
+            errs.append(f"{col}: oracle {dt} vs spark class {sc}")
+    return errs
+
+
 def main():
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     names = sys.argv[1:]
@@ -67,9 +100,14 @@ def main():
                 continue
             res = con.execute(rq.oracle)
             o_cols = [d[0] for d in res.description]
+            type_errs = strict_type_check(res, sdf.schema)
             o_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
+            rc = 1
+            continue
+        if type_errs:
+            print(f"{name}: TYPE mismatch {type_errs}")
             rc = 1
             continue
         if sorted(s_cols) != sorted(o_cols):

@@ -1,0 +1,146 @@
+"""Environment-invariance gate for the driver's correctness check.
+
+Round-5 lesson: four ops passed the local DuckDB differential under
+every config we tried yet failed the official driver check
+(CORRECTNESS_r05.json hash_match false). Root cause was NOT the Spark
+session at all — the oracles emitted DuckDB HUGEINT columns
+(un-cast integer SUMs) that a pandas/Arrow fetch turns into
+float64/decimal while Spark emits int64; the local ``fetchall()``
+masked it by converting HUGEINT to Python int. Two defenses now:
+
+1. ``test_no_hugeint_oracle_outputs`` — every oracle's DECLARED result
+   types must match Spark's numeric class column-for-column (DESCRIBE
+   binds without executing, so this covers all 168 oracles in seconds).
+2. ``test_hostile_session_parity`` — the epoch/time-deriving ops that
+   motivated the TZ hypothesis re-run under a deliberately hostile
+   session (non-UTC fixed-offset timezone + ANSI mode ON, the confs the
+   driver demonstrably runs) and must still match DuckDB bit-for-bit.
+   This pins ``epoch_us_utc`` (operators/registry.py) as the only
+   sanctioned epoch-extraction path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+    REGISTRY,
+)
+
+from conftest import SF_CORRECT
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+#: DuckDB type → numeric class; H = classes whose pandas/Arrow fetch
+#: diverges from Spark's int64/float64 (the r5 driver-red cause)
+_DUCK_CLASS = {
+    "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+    "UBIGINT": "i", "UINTEGER": "i", "USMALLINT": "i", "UTINYINT": "i",
+    "HUGEINT": "H", "UHUGEINT": "H", "DECIMAL": "H",
+    "DOUBLE": "f", "FLOAT": "f",
+    "VARCHAR": "s", "DATE": "d",
+    "TIMESTAMP": "t", "TIMESTAMP_NS": "t", "TIMESTAMP WITH TIME ZONE": "z",
+    "BOOLEAN": "b",
+}
+_SPARK_CLASS = {
+    "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+    "double": "f", "float": "f", "string": "s", "date": "d",
+    "timestamp": "t", "timestamp_ntz": "t", "boolean": "b",
+}
+
+#: the ops that derive epooch/date numbers from the NTZ ``ts``/date
+#: columns — the surface the TZ-invariance fix covers
+_TZ_SENSITIVE = [
+    "column_profile",
+    "interval_concurrency_peak",
+    "gaps_islands_streaks",
+    "skew_diagnosis_gini",
+    "range_interval_window",
+    "time_weighted_avg",
+    "attribution_position_based",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_CORRECT}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def test_no_hugeint_oracle_outputs(spark, duck):
+    """Every oracle's declared output types share Spark's numeric class.
+
+    HUGEINT/DECIMAL (or int-vs-float class flips) in any output column
+    is exactly the r5 driver-red failure mode; DESCRIBE binds the query
+    without running it, so the sweep is cheap enough to cover all
+    oracles every session.
+    """
+    errs = []
+    for name, rq in REGISTRY.items():
+        if rq.oracle is None:
+            continue
+        s_types = {
+            f.name: _SPARK_CLASS.get(f.dataType.simpleString())
+            for f in rq.fn(spark, SF_CORRECT).schema.fields
+        }
+        desc = duck.execute(f"DESCRIBE {rq.oracle}").fetchall()
+        for col, dt in ((r[0], r[1]) for r in desc):
+            base = str(dt).split("(")[0]
+            oc = _DUCK_CLASS.get(base)
+            sc = s_types.get(col)
+            if oc == "H":
+                errs.append(f"{name}.{col}: oracle type {dt} (HUGEINT class)")
+            elif oc is not None and sc is not None and oc != sc:
+                errs.append(f"{name}.{col}: oracle {dt} vs spark class {sc!r}")
+    assert not errs, errs
+
+
+def test_hostile_session_parity(spark, duck):
+    """The TZ-sensitive ops match DuckDB under non-UTC TZ + ANSI."""
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    saved_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        # fixed-offset zone: epoch shift is unconditional (no DST window
+        # to luck through) — the strictest cheap hostile setting
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        for name in _TZ_SENSITIVE:
+            rq = REGISTRY[name]
+            sdf = rq.fn(spark, SF_CORRECT)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = duck.execute(rq.oracle)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+            assert sorted(sdf.columns) == sorted(o_cols), name
+            cs, co = _canon(s_rows, sdf.columns), _canon(o_rows, o_cols)
+            assert len(cs) == len(co), f"{name}: {len(cs)} vs {len(co)} rows"
+            diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+            assert cs == co, f"{name}: first diffs {diffs}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+        spark.conf.set("spark.sql.ansi.enabled", saved_ansi)

@@ -88,6 +88,10 @@ _RECHECK_FIRST = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    # — r6 graduation: the former rows-only decode stub, rebuilt as a
+    #   fully-oracled PPM(P6) byte-level roundtrip (VERDICT r5 item 4);
+    #   new id, so it needs its first driver row now —
+    "multimodal_ppm_decode",
     # — stale-refresh tier: last driver row dates to r1; refresh the
     #   oldest certifications with the remaining slots —
     "term_frequency_topk",
@@ -95,7 +99,6 @@ _RECHECK_FIRST = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "c4_heuristic_filter",
-    "corpus_curation",
     "star_join_revenue",
     "bloom_filter_semi_join",
     # r5-green residents rotated out this round (unchanged, local

@@ -106,15 +106,132 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@query("multimodal_decode_stub", oracle=None, tags=("rows-only",))
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → decoded-feature pipeline: attach payload, run the
-    Arrow-batched decode stage, return typed features. The decode itself
-    is a stub (see DECODE_IS_STUB); everything around it — binary column,
-    struct metadata, mapInPandas batching, output schema — is real."""
+# --------------------------------------------------------------------------
+# PPM (P6) roundtrip — third certified byte-level decode (r6 graduation
+# of the former rows-only multimodal_decode_stub, per VERDICT r5 item 4;
+# decode_features/DECODE_IS_STUB above remains the documented seam for
+# formats with no pure-stdlib parser)
+# --------------------------------------------------------------------------
+
+#: PPM geometry: dims cycle with doc_id (co-prime moduli, so the
+#: (width, height) pairs sweep the full 29×13 grid across the corpus)
+_PPM_W_MOD, _PPM_H_MOD = 29, 13
+#: fixed header comment — exercises the parser's '#'-skip path; its
+#: byte length is part of the oracle's file-size formula
+_PPM_COMMENT = b"# synthetic\n"
+
+
+def _ppm_encode(doc_id: int, hex_digest: str) -> bytes:
+    """A real (viewer-openable) binary PPM: 'P6' magic, a comment line,
+    ASCII dims and maxval, then raw RGB bytes cycling the md5 hex
+    digest's ASCII bytes — the same pixel-cycle arithmetic the BMP twin
+    uses, minus row padding (PPM rows are unpadded)."""
+    w = 1 + doc_id % _PPM_W_MOD
+    h = 1 + doc_id % _PPM_H_MOD
+    n_px = w * h * 3
+    src = hex_digest.encode("ascii")
+    px = (src * ((n_px + len(src) - 1) // len(src)))[:n_px]
+    return b"P6\n" + _PPM_COMMENT + f"{w} {h}\n255\n".encode("ascii") + px
+
+
+def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
+    """Spec-faithful header tokenizer: whitespace-separated tokens with
+    '#'-to-newline comments allowed between them, single whitespace
+    after maxval, then raw data. Returns (w, h, maxval, file_size,
+    pixel mean with round_cmp's pinned tie-break)."""
+    import math
+
+    assert b[:2] == b"P6", "not a P6 PPM payload"
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from data
+    w, h, maxval = toks
+    n_px = w * h * 3
+    data = b[pos : pos + n_px]
+    assert len(data) == n_px, "truncated pixel data"
+    mean = sum(data) / n_px
+    return w, h, maxval, len(b), math.floor(round(mean, 7) * 10000.0 + 0.5) / 10000.0
+
+
+_PPM_DECODED = (
+    "doc_id long, width int, height int, maxval int, n_bytes long, px_mean double"
+)
+
+
+def _ppm_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+            w, h, mv, size, mean = _ppm_parse(_ppm_encode(int(doc_id), hx))
+            rows.append((int(doc_id), w, h, mv, size, mean))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "maxval", "n_bytes", "px_mean"],
+        )
+
+
+@query(
+    "multimodal_ppm_decode",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(1 + doc_id % {_PPM_W_MOD} AS INT) AS width,
+             CAST(1 + doc_id % {_PPM_H_MOD} AS INT) AS height
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, hx, width, height, width * height * 3 AS n_px,
+             3 + {len(_PPM_COMMENT)}
+               + length(CAST(width AS VARCHAR)) + 1
+               + length(CAST(height AS VARCHAR)) + 1 + 4 AS hdr_len
+      FROM g
+    ),
+    sums AS (
+      SELECT doc_id, width, height, n_px, hdr_len,
+             list_aggregate(list_transform(generate_series(1, 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum') AS sum32,
+             COALESCE(list_aggregate(list_transform(generate_series(1, n_px % 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum'), 0)
+               AS sum_rem
+      FROM geo
+    )
+    SELECT doc_id, width, height, 255 AS maxval,
+           CAST(hdr_len + n_px AS BIGINT) AS n_bytes,
+           FLOOR(ROUND(((n_px // 32) * sum32 + sum_rem) * 1.0 / n_px, 7)
+                 * 10000.0 + 0.5) / 10000.0 AS px_mean
+    FROM sums
+    ORDER BY doc_id
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level PPM (P6) decode, fully oracle-certified — the
+    graduation of the former rows-only decode stub, joining the BMP and
+    WAV roundtrips as the third independent byte-level decode: each
+    document gets a genuine binary PPM payload (magic + comment + ASCII
+    dims/maxval + raw RGB cycling the text's md5 hex bytes) and a
+    spec-faithful pure-stdlib tokenizer parses it back — including the
+    '#'-comment skip and the variable-length ASCII header a fixed-offset
+    reader would get wrong.
+
+    Certification is end-to-end and INDEPENDENT: DuckDB never parses
+    bytes — it recomputes dims from the doc_id formulas, the file size
+    from the ASCII-header length rule (digit counts of the dims!), and
+    the pixel mean from the md5-hex cycle arithmetic. Scale shape: one
+    Arrow-batched mapInPandas over the corpus, embarrassingly parallel,
+    no shuffle but the presentation sort."""
     d = load(spark, sf_dir, "documents")
-    payloads = with_binary_payload(d)
-    return payloads.mapInPandas(decode_features, schema=DECODED_SCHEMA).orderBy("doc_id")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    return src.mapInPandas(_ppm_roundtrip, schema=_PPM_DECODED).orderBy("doc_id")
 
 
 #: BMP geometry derived per doc: dims cycle with doc_id, pixel bytes

@@ -64,14 +64,37 @@ def test_bruteforce_topk_shape(spark):
         assert -1.0 <= r.cosine <= 1.0
 
 
-def test_multimodal_decode_stub_deterministic_and_typed(spark):
-    df = multimodal.multimodal_decode_stub(spark, SF_CORRECT)
-    assert df.columns == ["doc_id", "n_bytes", "width", "height", "n_frames", "feat_mean"]
+def test_multimodal_ppm_decode_deterministic_and_typed(spark):
+    df = multimodal.multimodal_ppm_decode(spark, SF_CORRECT)
+    assert df.columns == ["doc_id", "width", "height", "maxval", "n_bytes", "px_mean"]
     a = [tuple(r) for r in df.limit(20).collect()]
-    b = [tuple(r) for r in multimodal.multimodal_decode_stub(spark, SF_CORRECT).limit(20).collect()]
+    b = [tuple(r) for r in multimodal.multimodal_ppm_decode(spark, SF_CORRECT).limit(20).collect()]
     assert a == b
     for r in a:
-        assert r[1] > 0 and r[2] >= 16 and r[3] >= 16 and 1 <= r[4] <= 7
+        doc_id, w, h, mv, nb, mean = r
+        assert w == 1 + doc_id % multimodal._PPM_W_MOD
+        assert h == 1 + doc_id % multimodal._PPM_H_MOD
+        assert mv == 255
+        hdr = 3 + len(multimodal._PPM_COMMENT) + len(str(w)) + 1 + len(str(h)) + 1 + 4
+        assert nb == hdr + w * h * 3
+        # pixels are md5-hex ASCII: '0'-'9' (48-57) and 'a'-'f' (97-102)
+        assert 48.0 <= mean <= 102.0
+
+
+def test_ppm_parser_rejects_garbage_and_handles_comments():
+    import pytest as _pytest
+
+    good = multimodal._ppm_encode(7, "ab" * 16)
+    w, h, mv, size, _ = multimodal._ppm_parse(good)
+    assert (w, h, mv, size) == (8, 8, 255, len(good))
+    # extra comment between dims and maxval must be skipped too
+    tricky = good.replace(b"\n255\n", b"\n# late comment\n255\n", 1)
+    w2, h2, mv2, size2, mean2 = multimodal._ppm_parse(tricky)
+    assert (w2, h2, mv2) == (8, 8, 255) and size2 == len(tricky)
+    with _pytest.raises(AssertionError):
+        multimodal._ppm_parse(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(AssertionError):
+        multimodal._ppm_parse(good[:-1])  # truncated pixel data
 
 
 def test_multimodal_frame_sample_shape_and_determinism(spark):
@@ -92,13 +115,19 @@ def test_multimodal_frame_sample_shape_and_determinism(spark):
         assert offs == sorted(offs)
 
 
-def test_multimodal_meta_matches_payload_bytes(spark):
+def test_multimodal_meta_matches_decode_stage_bytes(spark):
+    """The decode_features seam (DECODE_IS_STUB) must preserve the
+    payload byte count multimodal_meta reports — the batch-contract
+    invariant a real decoder plugged into the seam must also hold."""
     meta = multimodal.multimodal_meta(spark, SF_CORRECT).select(
         "doc_id", F.col("n_bytes").alias("nb_meta")
     )
-    decoded = multimodal.multimodal_decode_stub(spark, SF_CORRECT).select(
-        "doc_id", F.col("n_bytes").alias("nb_dec")
+    payloads = multimodal.with_binary_payload(
+        multimodal.load(spark, SF_CORRECT, "documents")
     )
+    decoded = payloads.mapInPandas(
+        multimodal.decode_features, schema=multimodal.DECODED_SCHEMA
+    ).select("doc_id", F.col("n_bytes").alias("nb_dec"))
     bad = meta.join(decoded, "doc_id").filter(F.col("nb_meta") != F.col("nb_dec")).count()
     assert bad == 0
 

@@ -80,14 +80,15 @@ ROUND6_BACKLOG_IDS = [
     "tpch_q22",
 ]
 
-#: stale-refresh tail: last driver row dates to r1
+#: the r6 graduation (new id replacing the rows-only decode stub) plus
+#: the stale-refresh tail whose last driver row dates to r1
 ROUND6_STALE_REFRESH_IDS = [
+    "multimodal_ppm_decode",
     "term_frequency_topk",
     "tfidf_top_terms",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "c4_heuristic_filter",
-    "corpus_curation",
     "star_join_revenue",
     "bloom_filter_semi_join",
 ]

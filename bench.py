@@ -34,12 +34,27 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
+    # Ambient-load noise control (BASELINE.md methodology): the official
+    # r5 artifact showed simhash_near_pairs at 3.80 s where a quiesced
+    # re-measure gave 1.45 s — the Arrow-batch + Python-worker ops are
+    # the most sensitive to background load, so they get min-of-4
+    # instead of min-of-2. Everything else stays at min-of-2 to keep the
+    # full 170-query sweep under ~10 min.
+    noisy = {
+        "simhash_near_pairs",
+        "text_simhash",
+        "entity_resolution_blocked",
+        "similarity_ivf_topk",
+        "set_ops_bag_semantics",
+        "term_frequency_topk",
+    }
+
     timings: dict[str, float] = {}
     for name, rq in sorted(registry.REGISTRY.items()):
         try:
             rq.fn(spark, sf_dir).collect()  # warm-up: caches, JIT, file footers
             best = float("inf")
-            for _ in range(2):  # min-of-2: damp JIT/GC noise, keep runs honest
+            for _ in range(4 if name in noisy else 2):
                 t0 = time.perf_counter()
                 rq.fn(spark, sf_dir).collect()  # fresh plan — no shuffle reuse
                 best = min(best, time.perf_counter() - t0)

@@ -21,7 +21,7 @@ import sys
 
 from pyspark.sql import SparkSession
 
-from .. import queries
+from .. import quality, queries
 from ..ml import train_mortality_model
 from ..pipeline import clean_health_dataset
 from ..report import (
@@ -47,6 +47,16 @@ def run(
 
     sections = [
         collect_section("Overview", queries.overview_metrics(cleaned)),
+        # data-quality section (reference nb@0:342-404): shape/dup counts,
+        # per-column nulls, key-metric summary — the QA tables the
+        # reference eyeballs before trusting the week's numbers
+        collect_section("Data Quality — Shape", quality.shape_report(cleaned)),
+        collect_section(
+            "Data Quality — Nulls per Column", quality.null_report(cleaned)
+        ),
+        collect_section(
+            "Data Quality — Key Metrics", quality.key_metric_summary(cleaned)
+        ),
         collect_section("Top 5 Deadliest Diseases", queries.q1_deadliest_diseases(cleaned, 5)),
         collect_section("Top 5 Treatment Costs", queries.q4_treatment_cost(cleaned).limit(5)),
         collect_section("Gender Split of Deadliest", queries.q5_gender_split(cleaned, 5)),

@@ -38,6 +38,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .events_stream import _probe_events_schema
 
+
+def _wall_ts(col):
+    """Session-TZ-proof event-time canonicalization (r6): ``ts`` arrives
+    as an NTZ→TIMESTAMP cast whose epoch carries the session offset;
+    re-adding it makes the epoch equal the wall clock read as UTC, so
+    tumbling ``window()`` buckets align to WALL hours under any session
+    timezone (identity under UTC). Mirrors registry.epoch_us_utc."""
+    return F.from_utc_timestamp(col, F.expr("current_timezone()"))
+
+
+def _fmt_wall(col, fmt: str):
+    """Render a wall-canonical timestamp (epoch == wall-as-UTC) as its
+    wall-clock string regardless of session TZ: ``to_utc_timestamp``
+    subtracts the session offset that ``date_format`` re-adds."""
+    return F.date_format(F.to_utc_timestamp(col, F.expr("current_timezone()")), fmt)
+
 #: batch twin's inactivity gap (operators/events.py sessionization)
 SESSION_GAP_S = 30 * 60
 
@@ -261,7 +277,7 @@ def stream_hour_rollup(
     watch_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
     raw = _read_chunked_stream(spark, watch_dir)
     rolled = (
-        raw.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        raw.groupBy(F.window(_wall_ts(F.col("ts")), "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
@@ -286,7 +302,7 @@ def stream_hour_rollup(
     return (
         spark.sql(f"SELECT * FROM {name}")
         .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            _fmt_wall(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
             "n_events",
             "sum_value",
@@ -516,7 +532,10 @@ def stream_cdc_compaction(
             F.col("s.event_id").alias("last_event_id"),
             F.col("s.event_type").alias("last_event_type"),
             F.col("s.value").alias("last_value"),
-            F.date_format(
+            # ts_us is already wall-canonical micros (the Arrow transfer
+            # renders session-TZ wall clock before the int64 cast), so
+            # only the re-rendering needs the session-offset pin
+            _fmt_wall(
                 F.timestamp_micros(F.col("s.ts_us")), "yyyy-MM-dd HH:mm:ss"
             ).alias("last_ts"),
         )

@@ -19,6 +19,8 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 from conftest import SF_CORRECT
 
+pytestmark = pytest.mark.parity
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

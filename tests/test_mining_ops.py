@@ -226,3 +226,31 @@ def test_jsd_pairs_in_unit_range_and_symmetric_keys(spark):
     for r in rows:
         assert 0.0 <= r["jsd_bits"] <= 1.0 + 1e-9, r
         assert r["sa"] < r["sb"], r
+
+
+def test_theil_sen_median_rank_selection_even_and_odd(spark):
+    """The r6 integer-division fix (ADVICE r5): for EVEN pair counts the
+    sen slope must be the MEAN of the two middle order statistics, not
+    the upper one alone. Replays the op's rank-selection expression on
+    synthetic slope sets where the answer is known in closed form."""
+    from pyspark.sql import functions as F
+
+    def sen_of(slopes):
+        df = spark.createDataFrame([(float(s),) for s in slopes], "s double")
+        from pyspark.sql.window import Window
+
+        ranked = df.select(
+            "s",
+            F.row_number().over(Window.orderBy("s")).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        )
+        mid = F.when(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2")),
+            F.col("s"),
+        )
+        return ranked.agg(F.avg(mid)).collect()[0][0]
+
+    assert sen_of([1, 2, 3, 4]) == 2.5  # even: mean of both middles
+    assert sen_of([1, 2, 3]) == 2.0  # odd: single middle
+    assert sen_of([4, 1, 3, 2, 5, 0]) == 2.5  # even, unsorted input

@@ -362,31 +362,39 @@ FRAMES_PER_DOC = 3
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage with 1→N cardinality: uniformly sample up to
     FRAMES_PER_DOC 'frames' per payload (video/audio frame extraction
-    shape). The frame decode is the same deterministic stand-in as
-    decode_features (DECODE_IS_STUB); real deployments seek into the
-    container at frame_offset and decode. What is real here: the
-    cardinality-changing batch contract (one input row yields a variable
-    number of output rows), offset arithmetic, and per-frame signatures.
-    """
+    shape). The frame decode is a deterministic stand-in (see
+    DECODE_IS_STUB); real deployments seek into the container at
+    frame_offset and decode. What is real here: the cardinality-changing
+    batch contract (one input row yields a variable number of output
+    rows), the BYTE-based offset arithmetic, and per-frame signatures.
+
+    The signature is the md5 of the window's lowercase-hex encoding
+    (not the raw bytes): the byte semantics are identical — hex offset
+    2·o indexes exactly payload byte o — and it makes the sig
+    replayable by the SQL oracle, whose ``substr`` is character-based
+    and would mis-slice multi-byte UTF-8 payloads (DuckDB 1.0 has no
+    BLOB substring)."""
+    import binascii
     import hashlib
 
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
+            hx = binascii.hexlify(bytes(payload)).decode("ascii")
             n_frames = 1 + n % 7  # matches decode_features
             take = min(FRAMES_PER_DOC, n_frames)
             for i in range(take):
                 # uniform sampling across the (fake) frame sequence
                 frame_no = (i * n_frames) // take
                 offset = (frame_no * n) // max(n_frames, 1)
-                window = payload[offset : offset + 16]
+                window_hex = hx[2 * offset : 2 * (offset + 16)]
                 rows.append(
                     (
                         int(doc_id),
                         frame_no,
                         offset,
-                        hashlib.md5(window).hexdigest()[:16],
+                        hashlib.md5(window_hex.encode("ascii")).hexdigest()[:16],
                     )
                 )
         yield pd.DataFrame(
@@ -394,11 +402,47 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_frame_sample", oracle=None, tags=("rows-only",))
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, hx, n, 1 + n % 7 AS n_frames,
+             LEAST({FRAMES_PER_DOC}, 1 + n % 7) AS take
+      FROM docs
+    ),
+    frames AS (
+      SELECT doc_id, hx, n, n_frames,
+             (i.i * n_frames) // take AS frame_no
+      FROM geo
+      CROSS JOIN (SELECT unnest(generate_series(0, {FRAMES_PER_DOC - 1})) AS i) i
+      WHERE i.i < take
+    ),
+    offs AS (
+      SELECT doc_id, hx,
+             CAST(frame_no AS INTEGER) AS frame_idx,
+             CAST((frame_no * n) // GREATEST(n_frames, 1) AS BIGINT) AS frame_offset
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, frame_offset,
+           substr(md5(substr(hx, 2 * frame_offset + 1, 32)), 1, 16) AS frame_sig
+    FROM offs
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal",),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over the binary payload column: up to
     FRAMES_PER_DOC uniformly-spaced frames per document, one output row
-    per frame. Partition-parallel, Arrow-batched, deterministic."""
+    per frame. Partition-parallel, Arrow-batched, deterministic — and
+    since r6 FULLY oracle-certified: DuckDB replays the frame-count/
+    offset integer arithmetic and recomputes each signature from the
+    hex-encoded payload window, so the 1→N batch contract, the byte
+    offsets, and the sig derivation are all value-checked."""
     d = load(spark, sf_dir, "documents")
     payloads = with_binary_payload(d)
     return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA).orderBy(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, query
+from .registry import load, query, spread
 from .text import _NORM_SQL, _norm
 
 
@@ -843,7 +843,8 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("master_key"),
         "c_name",
         F.expr(_ER_BLOCK_SQL.format(col="c_name", g="")).alias("blk"),
-    ).repartition(spark.sparkContext.defaultParallelism, "blk")
+    )
+    master = spread(master, "blk", n=spark.sparkContext.defaultParallelism)
     # thresholded levenshtein: the banded DP short-circuits above the
     # match radius (returns -1), ~linear instead of quadratic per pair —
     # the verify-step analogue of blocking. Same distances for kept rows,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
+from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql, spread
 
 DP = ROUND_DP
 
@@ -307,11 +307,10 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the testdata ships one parquet split, so the narrow probe chain
-    # (2× xxhash64 + bit test per row) would run on ONE task; spread the
-    # 3 referenced columns first. At 100 TB the fact table has thousands
-    # of natural splits and this repartition is a no-op to remove — the
-    # probe still runs upstream of any join exchange.
-    li = li.repartition(min(8, spark.sparkContext.defaultParallelism), "l_orderkey")
+    # (2× xxhash64 + bit test per row) would run on ONE task; spread()
+    # self-disables once the fact table has natural splits — the probe
+    # still runs upstream of any join exchange.
+    li = spread(li, "l_orderkey", n=min(8, spark.sparkContext.defaultParallelism))
     pruned = (
         li.crossJoin(F.broadcast(bloom))
         .filter(probe(_BLOOM_SEEDS[0]) & probe(_BLOOM_SEEDS[1]))

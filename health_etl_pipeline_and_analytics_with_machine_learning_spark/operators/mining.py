@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import ROUND_DP, epoch_us_utc, load, query, round_cmp, round_cmp_sql
+from .registry import ROUND_DP, epoch_us_utc, load, query, round_cmp, round_cmp_sql, spread
 from .text import ALPHA_TOKENIZE_EXPR, ALPHA_TOKENIZE_SQL
 
 DP = ROUND_DP
@@ -371,12 +371,9 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     # the testdata ships one parquet split per table, so the Expand (6×
     # row amplification for the multi-distinct) and its partial
-    # aggregate would run on ONE task; spread rows first. At 100 TB the
-    # source has thousands of natural splits and this repartition is a
-    # no-op to remove, not a plan change.
-    o = o.repartition(
-        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
-    )
+    # aggregate would run on ONE task; spread() self-disables once the
+    # source has natural splits (production layouts).
+    o = spread(o, "o_orderkey")
 
     def nn(c):
         return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
@@ -1748,9 +1745,7 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality, so cross-engine comparison is exact.
     """
     o = load(spark, sf_dir, "orders")
-    o = o.repartition(
-        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
-    )
+    o = spread(o, "o_orderkey")
     aggs = []
     for a, b in _fd_pairs():
         # NULL semantics pinned on BOTH engines (ADVICE r5): Spark's
@@ -2512,12 +2507,8 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     # the testdata ships one parquet split, so the B-fold in-row
     # expansion (32 md5 evaluations per row) would run on ONE task;
-    # spread the 2 referenced columns first. At 100 TB the source has
-    # thousands of natural splits and this repartition is a no-op to
-    # remove, not a plan change.
-    o = o.select("o_orderkey", "o_totalprice").repartition(
-        min(16, spark.sparkContext.defaultParallelism), "o_orderkey"
-    )
+    # spread() self-disables once the source has natural splits.
+    o = spread(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
     member = F.expr(
         f"""filter(sequence(0, {_BOOT_B - 1}), r ->
               conv(substring(md5(concat(cast(r as string), ':',

@@ -73,6 +73,26 @@ def round_cmp_sql(expr: str, dp: int = ROUND_DP) -> str:
     return f"FLOOR(ROUND({expr}, {dp + 3}) * {scale} + 0.5) / {scale}"
 
 
+def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Keyed repartition that SELF-DISABLES on production layouts.
+
+    The driver testdata ships each table as one parquet split, so an
+    op whose heavy compute is a narrow stage (multi-distinct Expand,
+    Arrow-batched tally, banded-DP verify) would run on a single task
+    without an explicit spread. At real split counts the scan is
+    already parallel and the extra shuffle is pure cost — so skip it
+    when the input already has at least the target partition count.
+    This replaces the per-op "no-op to remove at scale" comments with
+    actual behavior; results are partition-count-invariant for every
+    caller (aggregates/tallies only).
+    """
+    sc = df.sparkSession.sparkContext
+    target = n if n is not None else min(16, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols)
+
+
 def epoch_us_utc(col):
     """Session-TZ-proof epoch micros for a timestamp column that
     originated as TIMESTAMP_NTZ (the driver's parquet encoding).
@@ -99,11 +119,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     encodings across driver versions — TIMESTAMP(NANOS) (which Spark's
     reader rejects unless nanos are read as a long) and plain
     ``timestamp[us]`` (read as TIMESTAMP_NTZ). We branch on the schema
-    Spark actually resolves, so either encoding yields the same
-    session-TZ TIMESTAMP column at microsecond precision — the precision
-    DuckDB uses, so oracle comparisons on derived time columns agree.
-    (Session TZ is UTC per session.py, so NTZ→TIMESTAMP preserves epoch
-    micros exactly.)
+    Spark actually resolves, and both branches establish the SAME
+    invariant: ``ts`` is a TIMESTAMP whose session-rendered WALL CLOCK
+    equals DuckDB's naive reading of the file, at microsecond
+    precision. The NTZ cast gives that for free (wall-preserving);
+    the nanos branch pins it with ``to_utc_timestamp(...,
+    current_timezone())`` — identity under UTC, and under any other
+    session TZ it re-bases the true-epoch value so wall-clock
+    operators (date_trunc/to_date/hour) and :func:`epoch_us_utc`
+    both agree with the oracle regardless of session timezone.
     """
     path = f"{sf_dir}/{table}.parquet"
     if table != "events":
@@ -123,9 +147,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if isinstance(dt, T.LongType):
         # nanos-as-long; integer division: ts/1000 via `/` is a double
         # and loses the last microsecond above 2^53 ns — DuckDB
-        # truncates exactly
+        # truncates exactly. timestamp_micros yields the TRUE epoch,
+        # whose session rendering would drift from DuckDB's naive wall
+        # clock under non-UTC TZs — re-base so the wall-clock invariant
+        # in the docstring holds for this encoding too (UTC: identity)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(
+            "ts",
+            F.to_utc_timestamp(
+                F.timestamp_micros(F.expr("ts div 1000")),
+                F.expr("current_timezone()"),
+            ),
+        )
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, query, round_cmp, round_cmp_sql
+from .registry import load, query, round_cmp, round_cmp_sql, spread
 
 #: the SHARED lowercase-alpha tokenizer: Spark expression and its DuckDB
 #: twin. bigram_cross_entropy, token_pmi_topk, and inverted_index_topk
@@ -282,8 +282,11 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan change.
     n_part = min(8, spark.sparkContext.defaultParallelism)
     return (
-        d.select("doc_id", _norm(F.col("text")).alias("norm"))
-        .repartition(n_part, "doc_id")
+        spread(
+            d.select("doc_id", _norm(F.col("text")).alias("norm")),
+            "doc_id",
+            n=n_part,
+        )
         .select(
             "doc_id",
             F.expr(

@@ -175,3 +175,30 @@ def test_sessionization_gap_rule_pinned_at_subsecond_precision(spark, tmp_path):
         for r in con.execute(REGISTRY["sessionization"].oracle).fetchall()
     }
     assert oracle == got, (oracle, got)
+
+
+def test_load_wall_clock_invariant_under_hostile_tz(spark, micros_dir, nanos_dir):
+    """r6 invariant: under ANY session timezone, ts's SESSION-rendered
+    wall clock (date_format — collect() renders in the Python process's
+    system TZ instead, which is not the contract) equals DuckDB's naive
+    reading of the file — for BOTH encodings. The nanos branch re-bases
+    the true epoch through to_utc_timestamp; the NTZ cast is
+    wall-preserving by construction."""
+    from pyspark.sql import functions as F
+
+    want = [t.strftime("%Y-%m-%d %H:%M:%S") for t in _TS]
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        for d in (micros_dir, nanos_dir):
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            got = [
+                r.w
+                for r in load(spark, d, "events")
+                .orderBy("event_id")
+                .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("w"))
+                .collect()
+            ]
+            assert got == want, d
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)

@@ -333,3 +333,20 @@ def test_misra_gries_fold_guarantee():
     # worst case: all heavy occurrences first, then the tail decrements
     out = list(_misra_gries_candidates([pd.DataFrame({"hk": stream})]))[0]
     assert 7 in set(out["hk"])
+
+
+def test_spread_self_disables_on_already_parallel_input(spark):
+    """spread() must add the keyed repartition ONLY when the input is
+    under-split (the single-file testdata) and be a true no-op once the
+    source already has enough partitions — the production layout."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        spread,
+    )
+
+    one = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    widened = spread(one, "k", n=8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert sorted(r.k for r in widened.collect()) == list(range(1000))
+
+    many = spark.range(0, 1000, 1, 16).withColumnRenamed("id", "k")
+    assert spread(many, "k", n=8) is many  # untouched, no shuffle added

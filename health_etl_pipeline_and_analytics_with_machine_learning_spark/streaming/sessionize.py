@@ -111,7 +111,12 @@ def _sessionize_user(key, pdf_iter, state: GroupState):
 #: mtimes), so rebuilding it per run is wasted setup — reuse is as
 #: legitimate as reusing the source parquet itself. Each streaming op's
 #: replay (the thing being measured) still runs in full every call.
-_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+#: keyed by (sf_dir, n_chunks, session TZ): the chunk files store ts as
+#: an instant whose epoch embeds the session offset in effect when the
+#: NTZ source was cast, so chunks written under one session timezone
+#: must never be replayed under another (the r6 hostile-TZ suite run
+#: caught exactly that cross-TZ cache hit)
+_CHUNK_CACHE: dict[tuple[str, int, str], str] = {}
 
 
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
@@ -134,7 +139,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     from ..operators.record_id import with_record_id
     from ..operators.registry import load
 
-    key = (sf_dir, n_chunks)
+    key = (sf_dir, n_chunks, spark.conf.get("spark.sql.session.timeZone"))
     cached = _CHUNK_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached

@@ -53,7 +53,19 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLES_SQL = f"""
+#: word-3-gram document-frequency cap (same rationale as MAX_BUCKET /
+#: _SIMHASH_MAX_BUCKET below): a shingle shared by k same-language docs
+#: contributes k² candidate pairs to the inverted-index self-join, so a
+#: single stop-phrase shingle at 100 TB is a quadratic skew-killer —
+#: while discriminating nothing (everything matches it). Shingles with
+#: document frequency above the cap are dropped from the index BEFORE
+#: the self-join, on BOTH the Spark and oracle sides, so intersection
+#: AND union counts are computed over the same capped shingle universe
+#: (Jaccard stays well-defined in [0, 1]). At the driver SFs no shingle
+#: exceeds DF 14 (measured sf0.001–0.1), so results are unchanged there.
+SHINGLE_DF_CAP = 64
+
+_SHINGLES_RAW_SQL = f"""
       SELECT doc_id, lang, sh FROM (
         SELECT doc_id, lang,
                unnest(list_transform(
@@ -64,6 +76,68 @@ _SHINGLES_SQL = f"""
               FROM documents)
       ) GROUP BY doc_id, lang, sh
 """
+
+#: capped inverted shingle index — the oracle twin of
+#: :func:`_shingle_index` (hot shingles anti-joined away)
+_SHINGLES_SQL = f"""
+      SELECT s.doc_id, s.lang, s.sh
+      FROM ({_SHINGLES_RAW_SQL}) s
+      ANTI JOIN (SELECT lang, sh FROM ({_SHINGLES_RAW_SQL})
+                 GROUP BY lang, sh HAVING COUNT(*) > {SHINGLE_DF_CAP}) hot
+        ON s.lang = hot.lang AND s.sh = hot.sh
+"""
+
+
+def _shingle_index(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Distinct ``(doc_id, lang, sh)`` word-3-gram inverted index with
+    hot shingles (same-language document frequency > ``cap``) dropped.
+
+    The hot list is by definition tiny (skew lives in few keys), so it
+    is broadcast and removed with a ``left_anti`` join — never a
+    shuffle of the full index against itself. This is the piece that
+    bounds the downstream self-join to Σ freq(shingle)² with
+    freq ≤ cap, instead of letting one stop-phrase go quadratic.
+
+    The token array is materialized in its own projection BEFORE the
+    shingle lambda: inlining the split into the lambda makes every
+    ``element_at`` re-run the regex normalization + split (~3× per
+    shingle — measured 19 s → 0.9 s at sf0.1 for this one change).
+    Catalyst's CollapseProject keeps the split un-inlined because the
+    consumer references it more than once.
+    """
+    tok_tbl = d.select(
+        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    t = F.col("toks")
+    # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — docs with
+    # fewer than 3 tokens must short-circuit to an empty shingle list
+    starts = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        tok_tbl.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("lang", "sh")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > cap)
+        .select("lang", "sh")
+    )
+    return sh.join(F.broadcast(hot), ["lang", "sh"], "left_anti").select(
+        "doc_id", "lang", "sh"
+    )
 
 
 @query(
@@ -89,44 +163,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup: top-20 same-language pairs.
 
     Scale shape: the inverted shingle index (distinct (doc, shingle))
-    self-joins on the shingle — pair work is Σ freq(shingle)², bounded by
-    shingle selectivity, not n². Hot shingles (stop-phrases) are the skew
-    risk at 100 TB: mitigate by dropping shingles with document frequency
-    above a cap (they contribute candidates, not discrimination) — AQE
-    skew-join handles the remainder.
-
-    The token array is materialized in its own projection BEFORE the
-    shingle lambda: inlining the split into the lambda makes every
-    ``element_at`` re-run the regex normalization + split (~3× per
-    shingle — measured 19 s → 0.9 s at sf0.1 for this one change).
-    Catalyst's CollapseProject keeps the split un-inlined because the
-    consumer references it more than once.
+    self-joins on the shingle — pair work is Σ freq(shingle)², bounded
+    by shingle selectivity, not n². Hot shingles (stop-phrases) are the
+    skew risk at 100 TB: :func:`_shingle_index` drops shingles with
+    document frequency above SHINGLE_DF_CAP before the self-join (they
+    contribute candidates, not discrimination; the oracle mirrors the
+    cap) — AQE skew-join handles the sub-cap remainder.
     """
     d = load(spark, sf_dir, "documents")
-    tok_tbl = d.select(
-        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
-    )
-    t = F.col("toks")
-    # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — docs with
-    # fewer than 3 tokens must short-circuit to an empty shingle list
-    starts = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = (
-        tok_tbl.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-                    ),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    sh = _shingle_index(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -600,29 +645,16 @@ _CC_JACCARD = 0.5
 
 def _neardup_edges(d: DataFrame) -> DataFrame:
     """Undirected near-dup edge list (doc_a < doc_b): word-3-gram Jaccard
-    >= {thr} pairs ∪ exact-text pairs (md5 equality)."""
-    tok_tbl = d.select(
-        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
-    )
-    t = F.col("toks")
-    starts = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = (
-        tok_tbl.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-                    ),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    >= {thr} pairs ∪ exact-text edges.
+
+    Shares :func:`_shingle_index`'s hot-shingle DF cap with
+    dedup_ngram_jaccard, and emits exact-text duplicates as STAR edges
+    (group-min doc → every other member, k−1 edges) instead of the k²
+    clique — the connected components are identical under transitive
+    closure, so the oracle's clique-pair formulation certifies this
+    shape unchanged while the edge list stays linear in dup-group size.
+    """
+    sh = _shingle_index(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -645,11 +677,22 @@ def _neardup_edges(d: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    # star edges: one groupBy finds each dup group's min doc, then a
+    # join back emits (min, member) — k−1 edges per k-dup group, never
+    # the k² self-join clique; AQE picks the join strategy (the dup
+    # group table is usually broadcast-sized but unbounded in theory)
     h = d.select("doc_id", F.md5("text").alias("h"))
-    ha, hb = h.alias("ha"), h.alias("hb")
-    epairs = ha.join(
-        hb, (F.col("ha.h") == F.col("hb.h")) & (F.col("ha.doc_id") < F.col("hb.doc_id"))
-    ).select(F.col("ha.doc_id").alias("doc_a"), F.col("hb.doc_id").alias("doc_b"))
+    grp = (
+        h.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_a"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    epairs = (
+        h.join(grp, "h")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
     return jpairs.union(epairs).distinct()
 
 

@@ -152,6 +152,49 @@ def test_semantic_dedup_reps_are_cluster_argmin(spark):
     assert again == {c: r.rep_vec_id for c, r in summary.items()}
 
 
+def test_hot_shingle_cap_suppresses_stop_phrase_candidates(spark):
+    """VERDICT r6 item 2: a stop-phrase shingle shared by more docs than
+    SHINGLE_DF_CAP must be dropped from the inverted index — above the
+    cap it would generate k² candidate pairs while discriminating
+    nothing. Genuine near-dups sharing sub-cap shingles must survive."""
+    n_hot = dedup.SHINGLE_DF_CAP + 6
+    rows = [
+        # n_hot docs share ONLY the stop phrase "aaa bbb ccc"; their
+        # remaining shingles are unique per doc → zero true near-dups
+        (i, "en", f"aaa bbb ccc unique{i} tail{i}")
+        for i in range(n_hot)
+    ] + [
+        # one genuine near-dup pair on sub-cap shingles
+        (1000, "en", "xxx yyy zzz www vvv"),
+        (1001, "en", "xxx yyy zzz www uuu"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    idx = dedup._shingle_index(d)
+    shingles = {r.sh for r in idx.collect()}
+    assert "aaa bbb ccc" not in shingles, "hot shingle survived the DF cap"
+    assert "xxx yyy zzz" in shingles
+
+    edges = dedup._neardup_edges(d)
+    pairs = {(r.doc_a, r.doc_b) for r in edges.collect()}
+    assert pairs == {(1000, 1001)}, pairs
+
+
+def test_neardup_exact_edges_are_star_shaped(spark):
+    """Exact-text dup groups emit k−1 star edges (min doc → member),
+    never the k² clique — components are identical under closure."""
+    rows = [(i, "en", "same exact text everywhere here") for i in range(5)] + [
+        (99, "en", "totally different text content here")
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pairs = {(r.doc_a, r.doc_b) for r in dedup._neardup_edges(d).collect()}
+    # the 5-dup group yields exactly the 4 star edges from doc 0; the
+    # docs also share sub-cap shingles, so Jaccard edges may add pairs —
+    # but every pair must include doc 0..4 only, and the star edges exist
+    assert {(0, 1), (0, 2), (0, 3), (0, 4)} <= pairs
+    assert all(a in range(5) and b in range(5) for a, b in pairs)
+
+
 def test_connected_components_resolves_transitive_chains(spark):
     """A~B, B~C must land in ONE component even though A≁C directly —
     the property the sf0.01 oracle can't exercise (its real components

@@ -22,102 +22,87 @@ from . import mining  # noqa: F401  (tier 5: r5 sketch/interval/skyline family)
 from .registry import REGISTRY as _R
 
 #: ids that must occupy the driver's 50-entry correctness-window PREFIX,
-#: in priority order. Front section = ids whose semantics changed (or
-#: whose load path broke) this round and need a FRESH driver row; back
-#: section = previously-certified window residents kept inside the
-#: window so their green rows refresh instead of decaying to local-only.
-#: r5 front: the four certification-lagged ops (two r4 oracle upgrades
-#: whose newest driver rows still said no_oracle, two never checked),
-#: the new oracle-certified BMP decode, the rewritten simhash pair
-#: (narrow mapInPandas tally), the memoized-quantizer ANN pair, and the
-#: four sessionization-family ops touched by the second-truncation
-#: oracle pin + the distributed chunk writer.
+#: in priority order. WINDOW POLICY (formalized in r7, VERDICT r6 item
+#: 3): (a) every op whose impl or oracle text changed this round gets a
+#: slot — no exceptions (the r6 window broke this rule for the two
+#: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
+#: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
+#: latest driver row can age past ~3 rounds as the rotation cycles.
+#: r7 window: the three r6-changed ops the r6 window omitted + this
+#: round's changed/new ops (shingle cap, decode dispatch, ValueError
+#: parsers), then the ENTIRE r1 and r3 cohorts (certified before the r6
+#: TZ/loader hardening — the exact class of change that made four ops
+#: driver-red in r5), then 7 of the r4-era SURVEY §2.4 parity
+#: flagships. After r7 lands green, max driver-row staleness across the
+#: registry is 3 rounds (the remaining r4 cohort), r8's natural window.
 _RECHECK_FIRST = [
-    # — r6 fix tier: the four r5 driver hash-fails, re-certified after the
-    #   HUGEINT-oracle + TZ-invariance fix (oracle output types now match
-    #   Spark's numeric class column-for-column; epoch extraction goes
-    #   through registry.epoch_us_utc). A green row here closes VERDICT
-    #   r5 item 1 —
-    "column_profile",
-    "interval_concurrency_peak",
-    "gaps_islands_streaks",
-    "skew_diagnosis_gini",
-    # — r6 re-certify tier: ops whose oracle text or epoch path changed
-    #   in the same sweep (DECIMAL→DOUBLE lo_edge, BIGINT↔INT output
-    #   alignment, epoch_us_utc call sites, fd NULL pinning) — all were
-    #   driver-green before, want fresh rows on the new text —
-    "histogram_fixed_width",
-    "topk_per_group",
-    "ntile_quartiles",
-    "grouping_sets_agg",
-    "supplier_revenue_rank",
-    "entity_resolution_blocked",
-    "seasonal_baseline_anomaly",
-    "range_interval_window",
-    "time_weighted_avg",
-    "attribution_position_based",
-    "fd_discovery",
-    # — r6 backlog-drain tier: every registry entry that has NEVER had a
-    #   driver row (VERDICT r5 item 2): the r5 statistics family, the
-    #   streaming count-min replay, and all 14 TPC-H shapes. Registry
-    #   growth is FROZEN this round so the backlog clears in one window —
-    "streaming_countmin_replay",
-    "theil_sen_slope",  # + ADVICE r5 even-m median fix
-    "bootstrap_mean_ci",
-    "encoding_run_stats",
-    "abtest_proportions_ztest",
-    "km_survival_estimate",
-    "chi_square_independence",
-    "shannon_entropy_profile",
-    "rank_auc_mann_whitney",
-    "spearman_rank_corr",
-    "source_jsd_pairs",  # + ADVICE r5 rank-by-rounded fix
-    "bigram_cross_entropy",
-    "cume_dist_price_bands",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    # — r6 graduation: the former rows-only decode stub, rebuilt as a
-    #   fully-oracled PPM(P6) byte-level roundtrip (VERDICT r5 item 4);
-    #   new id, so it needs its first driver row now —
-    "multimodal_ppm_decode",
-    # — stale-refresh tier: last driver row dates to r1; refresh the
-    #   oldest certifications with the remaining slots —
-    "term_frequency_topk",
-    "tfidf_top_terms",
-    "dedup_minhash_lsh",
+    # — changed-text tier: fresh driver rows REQUIRED (window policy a).
+    #   frame_sample's full oracle (r6 commit 93bf94c) has never seen
+    #   the driver; decode_dispatch is this round's new seam-closure op;
+    #   the two dedup ops gained the hot-shingle DF cap (both oracles
+    #   changed); the two streaming ops changed behavior in r6
+    #   (_wall_ts/_fmt_wall session-offset pins) but were rotated out of
+    #   the r6 window (ADVICE r6 item 1); the three byte-level decodes
+    #   switched from assert to ValueError validation this round —
+    "multimodal_frame_sample",
+    "multimodal_decode_dispatch",
+    "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "c4_heuristic_filter",
-    "star_join_revenue",
-    "bloom_filter_semi_join",
-    # r5-green residents rotated out this round (unchanged, local
-    # differential still covers them every test session):
-    # similarity_lsh_bucketed, dedup_semantic_cluster, bpe_pair_counts,
-    # source_vocab_overlap, multimodal_bmp_decode, text_simhash,
-    # simhash_near_pairs, similarity_ivf_topk, sessionization,
-    # streaming_sessionization, streaming_hour_rollup,
-    # streaming_view_purchase_join, kmv_distinct_sketch,
-    # weighted_sample_topk, cusum_changepoint, skyline_pareto,
-    # assoc_rules_lift, brand_copurchase_triangles, pagerank_nation_trade,
-    # token_pmi_topk, inverted_index_topk, mode_per_group,
-    # kmv_join_cardinality, path_regex_match, benford_law_check,
-    # mann_kendall_trend, rolling_correlation, multimodal_wav_decode,
-    # zorder_interleave, countmin_estimate, cdc_latest_compaction,
-    # merge_upsert_counts, scd2_dimension_update, snapshot_diff,
-    # incremental_agg_update, heavy_hitters_twopass, ewma_smoothing,
-    # largest_remainder_alloc, streaming_dedup_replay,
-    # streaming_cdc_compaction.
+    "streaming_hour_rollup",
+    "streaming_cdc_compaction",
+    "multimodal_ppm_decode",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    # — r1-cohort tier (oldest-first, policy b): latest driver rows date
+    #   to round 1, BEFORE the r6 TZ-invariant loader + oracle typing
+    #   hardening; all green in the local differential every session —
+    "anti_join_inactive_customers",
+    "basket_concentration_hhi",
+    "brand_revenue_share",
+    "contamination_ngram_check",
+    "corpus_curation",
+    "cube_status_priority",
+    "dedup_common_spans",
+    "dedup_exact_text",
+    "dedup_incremental",
+    "mixture_resample",
+    "percent_rank_band",
+    "range_band_join",
+    "regr_linear_fit",
+    "rfm_segments",
+    "rollup_status_priority",
+    "source_mixture_weights",
+    "unigram_cross_entropy",
+    "window_moving_avg",
+    # — r3-cohort tier (next-oldest): —
+    "approx_distinct_bound",
+    "approx_quantile_bound",
+    "doc_chunk_explode",
+    "doc_fingerprint",
+    "embedding_int8_quantize",
+    "embedding_neardup_topk",
+    "group_sum2_unpivot",
+    "hash_train_test_split",
+    "multimodal_meta",
+    "pii_scrub_digits",
+    "shard_assignment_balance",
+    "similarity_bruteforce_topk",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_flags",
+    "text_token_count",
+    # — r4-flagship tier: the SURVEY §2.4 parity core rotates back in
+    #   with the remaining slots (oldest r4 certifications) —
+    "filter_group_avg_topk",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "filter_group2_avg2_count_sort",
+    "group_avg_sum2_topk",
+    "two_level_agg",
+    "overview_scalars",
+    # r5/r6-green residents rotated out this round (unchanged text,
+    # local differential still covers them every test session); the
+    # remaining r4 cohort (37 ops, staleness 3) is r8's natural window.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -91,10 +91,16 @@ def test_ppm_parser_rejects_garbage_and_handles_comments():
     tricky = good.replace(b"\n255\n", b"\n# late comment\n255\n", 1)
     w2, h2, mv2, size2, mean2 = multimodal._ppm_parse(tricky)
     assert (w2, h2, mv2) == (8, 8, 255) and size2 == len(tricky)
-    with _pytest.raises(AssertionError):
+    # ValueError, never assert: python -O strips asserts, which would
+    # turn malformed payloads into silently wrong means (ADVICE r6)
+    with _pytest.raises(ValueError):
         multimodal._ppm_parse(b"P5\n1 1\n255\n\x00")
-    with _pytest.raises(AssertionError):
+    with _pytest.raises(ValueError):
         multimodal._ppm_parse(good[:-1])  # truncated pixel data
+    with _pytest.raises(ValueError):
+        multimodal._bmp_parse(multimodal._bmp_encode(7, "ab" * 16)[:-1])
+    with _pytest.raises(ValueError):
+        multimodal._wav_parse(multimodal._wav_encode(7, "ab" * 16)[:-1])
 
 
 def test_multimodal_frame_sample_shape_and_determinism(spark):
@@ -116,9 +122,10 @@ def test_multimodal_frame_sample_shape_and_determinism(spark):
 
 
 def test_multimodal_meta_matches_decode_stage_bytes(spark):
-    """The decode_features seam (DECODE_IS_STUB) must preserve the
-    payload byte count multimodal_meta reports — the batch-contract
-    invariant a real decoder plugged into the seam must also hold."""
+    """decode_features must preserve the payload byte count
+    multimodal_meta reports — the batch-contract invariant every parser
+    in the magic-dispatch table must hold (opaque branch here: the raw
+    corpus is UTF-8 text, not a media container)."""
     meta = multimodal.multimodal_meta(spark, SF_CORRECT).select(
         "doc_id", F.col("n_bytes").alias("nb_meta")
     )
@@ -130,6 +137,24 @@ def test_multimodal_meta_matches_decode_stage_bytes(spark):
     ).select("doc_id", F.col("n_bytes").alias("nb_dec"))
     bad = meta.join(decoded, "doc_id").filter(F.col("nb_meta") != F.col("nb_dec")).count()
     assert bad == 0
+
+
+def test_decode_one_dispatches_on_magic_and_quarantines_corrupt():
+    """The magic-dispatch decoder routes each certified container to its
+    parser, and payloads that LOOK like a container but fail spec
+    validation (e.g. text starting with 'BM') fall back to the opaque
+    branch instead of crashing the batch."""
+    hx = "0123456789abcdef" * 2
+    kind, size, w, h, nf, mean = multimodal._decode_one(multimodal._ppm_encode(7, hx))
+    assert kind == "ppm" and (w, h, nf) == (8, 8, 1)
+    kind, size, w, h, nf, mean = multimodal._decode_one(multimodal._bmp_encode(7, hx))
+    assert kind == "bmp" and (w, h, nf) == (8, 8, 1)
+    kind, size, w, h, nf, mean = multimodal._decode_one(multimodal._wav_encode(7, hx))
+    assert kind == "wav" and (w, h) == (0, 0) and nf == 107
+    kind, *_ = multimodal._decode_one(b"BMW makes cars, not bitmaps")
+    assert kind == "opaque"
+    kind, *_ = multimodal._decode_one("plain utf-8 text".encode())
+    assert kind == "opaque"
 
 
 def test_semantic_dedup_reps_are_cluster_argmin(spark):

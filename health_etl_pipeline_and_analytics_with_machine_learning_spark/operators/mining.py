@@ -2350,7 +2350,11 @@ def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, truth from the warehouse. See streaming/sessionize.py for
     replay mechanics and scale notes.
     """
-    from ..streaming.sessionize import _chunked_events_dir, _read_chunked_stream
+    from ..streaming.sessionize import (
+        REPLAY_STATE_PARTITIONS as _REPLAY_STATE_PARTITIONS,
+        _chunked_events_dir,
+        _read_chunked_stream,
+    )
 
     watch_dir = _chunked_events_dir(spark, sf_dir, 3)
     raw = _read_chunked_stream(spark, watch_dir)
@@ -2361,7 +2365,9 @@ def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "countmin_replay"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _REPLAY_STATE_PARTITIONS
+    )
     try:
         q = (
             grid_stream.writeStream.outputMode("complete")

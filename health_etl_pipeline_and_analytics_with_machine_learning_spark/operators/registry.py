@@ -85,10 +85,26 @@ def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     This replaces the per-op "no-op to remove at scale" comments with
     actual behavior; results are partition-count-invariant for every
     caller (aggregates/tallies only).
+
+    The split-count probe is deliberately CHEAP (ADVICE r6): every call
+    site is scan-rooted, so ``df.inputFiles()`` (analysis only — no
+    physical planning, no RDD conversion) gives the file count, a lower
+    bound on scan partitions (large files split further; small files
+    may coalesce under maxPartitionBytes — either way, at production
+    split counts the probe clears the threshold and spread() no-ops).
+    Non-file-rooted inputs (unit tests over ``spark.range``) fall back
+    to ``df.rdd.getNumPartitions()``, which forces physical planning
+    and reports the pre-AQE count — fine off the hot path.
     """
     sc = df.sparkSession.sparkContext
     target = n if n is not None else min(16, sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive; analysis errors surface later
+        n_splits = 0
+    if n_splits == 0:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits >= target:
         return df
     return df.repartition(target, *cols)
 
@@ -101,9 +117,21 @@ def epoch_us_utc(col):
     under session TZ ``S``; a bare ``unix_micros`` then disagrees with
     DuckDB's ``epoch_us`` (naive wall clock read as UTC) whenever
     ``S ≠ UTC``. ``from_utc_timestamp(ts, current_timezone())`` adds
-    ``off(S)`` back, recovering wall-clock-as-UTC micros under ANY
-    fixed-offset session TZ (verified Asia/Kolkata, America/New_York,
-    UTC); under UTC it is an exact identity. Use this — never a bare
+    ``off(S)`` back, recovering wall-clock-as-UTC micros; under UTC it
+    is an exact identity.
+
+    CONTRACT (pinned empirically by
+    tests/test_driver_conditions.py::test_dst_zone_epoch_contract):
+    exact under every FIXED-OFFSET session zone (UTC, Asia/Kolkata,
+    any ±HH:MM), and under DST zones (America/New_York) for every wall
+    clock that EXISTS in that zone — including ambiguous fall-back
+    times, where both the NTZ cast and from_utc_timestamp resolve to
+    the same (earlier-offset) instant and cancel. The one divergence:
+    wall times inside a spring-forward GAP (nonexistent local times,
+    at most one hour per year) normalize forward by the gap width on
+    the Spark side while DuckDB reads them naively. The driver session
+    is UTC (proved in r5), so this edge never reaches certification;
+    it is documented rather than papered over. Use this — never a bare
     ``unix_micros``/``cast("long")`` — wherever an op emits or compares
     epoch-derived numbers.
     """

@@ -118,6 +118,23 @@ def _sessionize_user(key, pdf_iter, state: GroupState):
 #: caught exactly that cross-TZ cache hit)
 _CHUNK_CACHE: dict[tuple[str, int, str], str] = {}
 
+#: state-store partition counts for the bounded certification replays.
+#: The state-store layout follows spark.sql.shuffle.partitions at query
+#: START, and per-micro-batch overhead has two opposing terms:
+#: per-PARTITION cost (state-store commit + delta file + exchange — and
+#: for pandas state ops a Python worker round) vs per-GROUP Python cost
+#: that parallelizes ACROSS partitions. Replay key cardinality is a few
+#: hundred users/windows, so the JVM-state replays (stream-stream join
+#: buffer, dropDuplicates, windowed/complete aggregation) want FEW
+#: partitions — measured at sf0.1 on the join replay: 8 → 4.5 s,
+#: 2 → 2.3–3.0 s, identical results. The applyInPandasWithState
+#: replays invert: their per-user pandas calls are Python-bound, and 2
+#: partitions serializes them onto 2 workers (sessionization 10.4 s vs
+#: 3.7 s at 8) — they keep 8. Results are partition-count-invariant
+#: either way; production unbounded runs size to key cardinality.
+REPLAY_STATE_PARTITIONS = "2"
+REPLAY_PANDAS_STATE_PARTITIONS = "8"
+
 
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     """Split the events table into ``n_chunks`` time-ordered parquet
@@ -221,14 +238,12 @@ def stream_sessionization(
         )
     )
     name = "sessionize_updates"
-    # state-store partition count follows spark.sql.shuffle.partitions at
-    # query START; per-micro-batch overhead is proportional to it (one
-    # state file + one Python worker exchange per partition per batch).
-    # User-count cardinality is tiny next to the event volume, so pin a
-    # small state layout for the bounded replay and restore the session
-    # conf after. (Production unbounded runs size this to key cardinality.)
+    # pin the replay state layout (see REPLAY_STATE_PARTITIONS) and
+    # restore the session conf after
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", REPLAY_PANDAS_STATE_PARTITIONS
+    )
     try:
         q = (
             updates.writeStream.outputMode("update")
@@ -290,7 +305,7 @@ def stream_hour_rollup(
     )
     name = "hour_rollup_replay"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", REPLAY_STATE_PARTITIONS)
     try:
         q = (
             rolled.writeStream.outputMode("complete")
@@ -363,7 +378,7 @@ def stream_view_purchase_join(
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
     name = "view_purchase_pairs"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", REPLAY_STATE_PARTITIONS)
     try:
         q = (
             joined.writeStream.outputMode("append")
@@ -421,7 +436,7 @@ def stream_dedup_replay(
     )
     name = "dedup_replay_events"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", REPLAY_STATE_PARTITIONS)
     try:
         q = (
             deduped.writeStream.outputMode("append")
@@ -514,7 +529,9 @@ def stream_cdc_compaction(
     )
     name = "cdc_compaction_updates"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", REPLAY_PANDAS_STATE_PARTITIONS
+    )
     try:
         q = (
             updates.writeStream.outputMode("update")

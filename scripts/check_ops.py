@@ -48,32 +48,15 @@ def strict_type_check(res, s_schema):
     to Python int, masking numeric-class mismatches the driver's
     pandas/Arrow fetch turns into float64/decimal — local green, driver
     red. Compare declared result types instead: every shared column must
-    be in the same numeric class on both sides.
+    be in the same numeric class on both sides. The class maps live in
+    ONE place (`oracle_types`, shared with tests/test_driver_conditions)
+    so the dev-loop check can't drift from the parity gate (ADVICE r6).
     """
-    classes = {
-        "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
-        "UBIGINT": "i", "UINTEGER": "i",
-        "HUGEINT": "H", "UHUGEINT": "H", "DECIMAL": "H",
-        "DOUBLE": "f", "FLOAT": "f",
-        "VARCHAR": "s", "DATE": "d", "TIMESTAMP": "t", "TIMESTAMP_NS": "t",
-        "BOOLEAN": "b",
-    }
-    spark_classes = {
-        "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
-        "double": "f", "float": "f", "string": "s", "date": "d",
-        "timestamp": "t", "timestamp_ntz": "t", "boolean": "b",
-    }
-    s_types = {f.name: spark_classes.get(f.dataType.simpleString()) for f in s_schema.fields}
-    errs = []
-    for col, dt in zip([d[0] for d in res.description], [d[1] for d in res.description]):
-        base = str(dt).split("(")[0]
-        oc = classes.get(base)
-        sc = s_types.get(col)
-        if oc == "H":
-            errs.append(f"{col}: oracle {dt} (HUGEINT/DECIMAL class — driver fetch diverges)")
-        elif oc is not None and sc is not None and oc != sc:
-            errs.append(f"{col}: oracle {dt} vs spark class {sc}")
-    return errs
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.oracle_types import (
+        class_mismatches,
+    )
+
+    return class_mismatches(res.description, s_schema)
 
 
 def main():

@@ -38,22 +38,9 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-#: DuckDB type → numeric class; H = classes whose pandas/Arrow fetch
-#: diverges from Spark's int64/float64 (the r5 driver-red cause)
-_DUCK_CLASS = {
-    "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
-    "UBIGINT": "i", "UINTEGER": "i", "USMALLINT": "i", "UTINYINT": "i",
-    "HUGEINT": "H", "UHUGEINT": "H", "DECIMAL": "H",
-    "DOUBLE": "f", "FLOAT": "f",
-    "VARCHAR": "s", "DATE": "d",
-    "TIMESTAMP": "t", "TIMESTAMP_NS": "t", "TIMESTAMP WITH TIME ZONE": "z",
-    "BOOLEAN": "b",
-}
-_SPARK_CLASS = {
-    "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
-    "double": "f", "float": "f", "string": "s", "date": "d",
-    "timestamp": "t", "timestamp_ntz": "t", "boolean": "b",
-}
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.oracle_types import (  # noqa: E402
+    class_mismatches,
+)
 
 #: the ops that derive epooch/date numbers from the NTZ ``ts``/date
 #: columns — the surface the TZ-invariance fix covers
@@ -111,20 +98,80 @@ def test_no_hugeint_oracle_outputs(spark, duck):
     for name, rq in REGISTRY.items():
         if rq.oracle is None:
             continue
-        s_types = {
-            f.name: _SPARK_CLASS.get(f.dataType.simpleString())
-            for f in rq.fn(spark, SF_CORRECT).schema.fields
-        }
+        schema = rq.fn(spark, SF_CORRECT).schema
         desc = duck.execute(f"DESCRIBE {rq.oracle}").fetchall()
-        for col, dt in ((r[0], r[1]) for r in desc):
-            base = str(dt).split("(")[0]
-            oc = _DUCK_CLASS.get(base)
-            sc = s_types.get(col)
-            if oc == "H":
-                errs.append(f"{name}.{col}: oracle type {dt} (HUGEINT class)")
-            elif oc is not None and sc is not None and oc != sc:
-                errs.append(f"{name}.{col}: oracle {dt} vs spark class {sc!r}")
+        errs += [f"{name}.{e}" for e in class_mismatches(desc, schema)]
     assert not errs, errs
+
+
+def test_dst_zone_epoch_contract(spark, tmp_path):
+    """Pin epoch_us_utc's behavior under a DST session zone (ADVICE r6:
+    the NTZ→TIMESTAMP cast resolves the offset at local wall time,
+    from_utc_timestamp at the instant — so DST zones COULD diverge).
+
+    Empirical contract, asserted here with synthetic events placed
+    inside and around both 2024 America/New_York transitions: the two
+    resolutions cancel for every wall clock that EXISTS in the zone —
+    including ambiguous fall-back times — and diverge ONLY for wall
+    times inside the spring-forward gap (nonexistent local times),
+    which normalize forward by exactly the gap width. The driver
+    session is UTC, so the gap edge never reaches certification."""
+    import duckdb as _duckdb
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        epoch_us_utc,
+        load,
+    )
+    from pyspark.sql import functions as F
+
+    walls = [
+        "2024-03-10 01:59:59",  # last instant before the spring-forward gap
+        "2024-03-10 02:30:00",  # INSIDE the gap — nonexistent local time
+        "2024-03-10 03:00:00",  # first instant after the gap
+        "2024-11-03 00:30:00",
+        "2024-11-03 01:30:00",  # ambiguous (fall-back hour occurs twice)
+        "2024-11-03 02:30:00",
+        "2024-06-15 12:00:00",
+        "2024-01-15 12:00:00",
+    ]
+    gap = {"2024-03-10 02:30:00"}
+    ts = [datetime.fromisoformat(w) for w in walls]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_id": list(range(len(ts))),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    con = _duckdb.connect()
+    oracle = dict(
+        con.execute(
+            f"SELECT event_id, epoch_us(ts) FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        ).fetchall()
+    )
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            r.event_id: r.ep
+            for r in load(spark, str(tmp_path), "events")
+            .select("event_id", epoch_us_utc(F.col("ts")).alias("ep"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+    for i, w in enumerate(walls):
+        if w in gap:
+            # nonexistent wall time: normalized forward by the 1 h gap
+            assert got[i] - oracle[i] == 3_600_000_000, (w, got[i], oracle[i])
+        else:
+            assert got[i] == oracle[i], (w, got[i], oracle[i])
 
 
 def test_hostile_session_parity(spark, duck):

@@ -350,3 +350,26 @@ def test_spread_self_disables_on_already_parallel_input(spark):
 
     many = spark.range(0, 1000, 1, 16).withColumnRenamed("id", "k")
     assert spread(many, "k", n=8) is many  # untouched, no shuffle added
+
+
+def test_spread_probes_file_count_without_rdd_conversion(spark, tmp_path):
+    """On scan-rooted input the split probe is inputFiles() — a multi-
+    file source self-disables, the single-file driver layout widens
+    (ADVICE r6: the rdd.getNumPartitions probe forced a full physical
+    planning pass inside every benched query build)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        spread,
+    )
+
+    many_dir = str(tmp_path / "many")
+    spark.range(0, 1000, 1, 8).withColumnRenamed("id", "k").write.parquet(many_dir)
+    many = spark.read.parquet(many_dir)
+    assert len(many.inputFiles()) >= 8
+    assert spread(many, "k", n=8) is many
+
+    one_dir = str(tmp_path / "one")
+    spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k").write.parquet(one_dir)
+    one = spark.read.parquet(one_dir)
+    widened = spread(one, "k", n=8)
+    assert widened is not one
+    assert sorted(r.k for r in widened.collect()) == list(range(1000))

@@ -1,113 +1,294 @@
 """Distributed EXACT quantiles — the scale path for the reference's
 exact medians/IQR (SURVEY §4.3).
 
-Spark's built-in exact ``percentile`` aggregate buffers every value (as
-a value→count map) inside one final aggregation state — correct, but a
-single-node memory funnel: at 100 TB it OOMs the task that merges the
-buffers. ``percentile_approx`` fixes memory but changes answers, which
-the parity tier can't accept.
+Spark's built-in exact ``percentile`` aggregate buffers every distinct
+value (a value→count map) inside one final aggregation state — correct,
+but a single-node memory funnel: at 100 TB it OOMs the task that merges
+the buffers. ``percentile_approx`` fixes memory but changes answers,
+which the parity tier can't accept.
 
-This module computes exact interpolated quantiles with only
-scale-proof primitives:
+This module computes exact interpolated quantiles by DISTRIBUTED
+SELECTION (bucket refinement — the classic k-th-smallest algorithm),
+replacing the r1 histogram/range-partition design whose first stage
+shuffled one row per DISTINCT value (at 100 TB: billions of rows).
+Here no stage ever moves more than ``N_BUCKETS`` rows per map task:
 
-1. ``groupBy(value).count()``       — shuffle of |distinct| rows, partial-agg'd;
-2. ``repartitionByRange(value)``    + sort within partitions — a distributed
-   sort of the (value, count) histogram, never of the raw rows;
-3. per-partition count totals       — tiny collect (one row per partition),
-   prefix-summed on the driver into partition offsets (the same
-   two-phase pattern as operators/record_id.py mode='scaled');
-4. pid-partitioned cumulative sums  + offset → each value's global
-   1-based position range, computed in parallel (window is partitioned
-   by pid — no global funnel);
-5. one distributed filter pulls the ≤ 2·|probs| boundary values; linear
-   interpolation happens on the driver.
+1. one aggregate → (count, nan count, min, max) per column;
+2. one aggregate → a fixed-width ``N_BUCKETS``-bucket count histogram
+   (map-side partial, ≤ N_BUCKETS rows per task, collected to the
+   driver: O(N_BUCKETS) driver memory);
+3. the cumulative histogram locates the bucket holding each needed
+   global rank k = the flanking positions of t = 1 + (n−1)·p;
+4. one job collects the (value, count) pairs of just those buckets —
+   expected n/N_BUCKETS values each — and walks to the k-th value;
+   a bucket whose count exceeds ``MAX_BOUNDARY_COLLECT`` (value skew)
+   recurses: re-bucket THAT bucket's value range, shrinking the
+   candidate set ×N_BUCKETS per level (≤ log_B(n) levels, 2–3 at
+   100 TB), so both collect size and driver memory stay bounded.
+
+Multi-column batching (``exact_quantiles_multi``) runs stages 1/2/4
+for ALL requested columns in single passes (struct-array explode), so
+e.g. four medians cost three jobs total, not twelve.
+
+NaN policy matches Spark sort order (and the prior implementation):
+NaN counts toward n and ranks above every number, so a rank landing in
+the NaN region yields NaN. Nulls are ignored.
 
 Interpolation matches pandas ``quantile``, DuckDB ``quantile_cont`` and
 Spark ``percentile``: target position 1 + (n-1)·p, linear between the
-flanking values — so results are bit-comparable with the oracle.
+flanking values, evaluated in IEEE doubles on the driver — so results
+are bit-comparable with the oracle (pinned by tests/test_quantiles.py
+against the built-in exact percentile).
 """
 
 from __future__ import annotations
 
+import bisect
+import math
+from collections import defaultdict
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+#: histogram resolution per refinement level; driver memory is O(this)
+N_BUCKETS = 8192
+#: a located bucket with more rows than this recurses instead of
+#: collecting (value skew guard); expected bucket load is n/N_BUCKETS
+MAX_BOUNDARY_COLLECT = 65536
+#: refinement depth guard — progress is guaranteed while lo < hi, but
+#: degenerate FP ranges fall back to an exact histogram collect
+MAX_DEPTH = 64
+
+
+def _bucket_expr(v, lo: float, width: float):
+    """The shared JVM-side bucket assignment; `_bucket_of` is its exact
+    Python twin (both pure IEEE-double ops, so they always agree)."""
+    return F.least(
+        F.lit(N_BUCKETS - 1),
+        F.floor((v - F.lit(lo)) / F.lit(width) * N_BUCKETS),
+    ).cast("int")
+
+
+def _bucket_of(v: float, lo: float, width: float) -> int:
+    return min(N_BUCKETS - 1, int(math.floor((v - lo) / width * N_BUCKETS)))
+
+
+def _walk(rows, base: int, ks: Sequence[int], out: dict[int, float]) -> None:
+    """Resolve ranks from sorted (value, count) pairs starting at global
+    rank ``base`` (exclusive)."""
+    acc = base
+    for v, cnt in rows:
+        for k in ks:
+            if acc < k <= acc + cnt:
+                out[k] = float(v)
+        acc += cnt
+
+
+def _kth_smallest(
+    frame: DataFrame, ks: Sequence[int], lo: float, hi: float, base: int = 0
+) -> dict[int, float]:
+    """Exact k-th smallest values (1-based global ranks ``ks``) of the
+    non-NaN double column ``v`` of ``frame``, whose values lie in
+    [lo, hi] and which holds ranks base+1.. — by iterative bucket
+    refinement. Every collect is ≤ max(N_BUCKETS, MAX_BOUNDARY_COLLECT)
+    rows; skewed buckets recurse instead of collecting."""
+    out: dict[int, float] = {}
+    pending = [(tuple(ks), frame, lo, hi, base, 0)]
+    while pending:
+        ks_, fr, lo_, hi_, base_, depth = pending.pop()
+        if lo_ == hi_:
+            for k in ks_:
+                out[k] = float(lo_)
+            continue
+        if depth >= MAX_DEPTH:  # pragma: no cover - degenerate FP ranges
+            rows = [
+                (r["v"], r["c"])
+                for r in fr.groupBy("v").agg(F.count(F.lit(1)).alias("c")).orderBy("v").collect()
+            ]
+            _walk(rows, base_, ks_, out)
+            continue
+        width = hi_ - lo_
+        b = _bucket_expr(F.col("v"), lo_, width)
+        hist = {
+            r["b"]: r["c"]
+            for r in fr.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        buckets = sorted(hist)
+        cum, acc = [], 0
+        for j in buckets:
+            acc += hist[j]
+            cum.append(acc)
+        by_bucket: dict[int, list[int]] = defaultdict(list)
+        for k in ks_:
+            i = bisect.bisect_left(cum, k - base_)
+            by_bucket[i].append(k)
+        collect_now = []
+        for i, kk in by_bucket.items():
+            j, start = buckets[i], (cum[i - 1] if i else 0)
+            if hist[j] <= MAX_BOUNDARY_COLLECT:
+                collect_now.append((j, start, kk))
+            else:
+                sub = fr.filter(_bucket_expr(F.col("v"), lo_, width) == j)
+                sst = sub.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+                pending.append((tuple(kk), sub, sst["lo"], sst["hi"], base_ + start, depth + 1))
+        if collect_now:
+            needed = [j for j, _, _ in collect_now]
+            rows = (
+                fr.filter(_bucket_expr(F.col("v"), lo_, width).isin(needed))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy("v")
+                .collect()
+            )
+            per_bucket: dict[int, list[tuple[float, int]]] = defaultdict(list)
+            for r in rows:
+                per_bucket[_bucket_of(r["v"], lo_, width)].append((r["v"], r["c"]))
+            for j, start, kk in collect_now:
+                _walk(per_bucket[j], base_ + start, kk, out)
+    return out
+
+
+def exact_quantiles_multi(
+    df: DataFrame, col_probs: dict[str, Sequence[float]]
+) -> dict[str, list[float]]:
+    """Exact interpolated quantiles for SEVERAL columns in three jobs
+    total (stats, histograms, boundary values) — see module docstring.
+    Returns ``{col: [q for each prob]}``; empty columns yield NaN."""
+    cols = list(col_probs)
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        nn = v.isNotNull() & ~F.isnan(v)
+        aggs += [
+            F.count(F.when(v.isNotNull(), 1)).alias(f"__n_{c}"),
+            F.min(F.when(nn, v)).alias(f"__lo_{c}"),
+            F.max(F.when(nn, v)).alias(f"__hi_{c}"),
+            F.count(F.when(nn, 1)).alias(f"__nr_{c}"),
+        ]
+    st = df.agg(*aggs).first().asDict()
+
+    # ranks each column needs resolved (only those inside the non-NaN
+    # region; ranks above it are NaN by the sort-last policy)
+    specs: dict[str, list[tuple[int, int, float]]] = {}
+    need: dict[str, list[int]] = {}
+    for c, probs in col_probs.items():
+        n = st[f"__n_{c}"] or 0
+        sp, ks = [], set()
+        for p in probs:
+            if n == 0:
+                sp.append((0, 0, 0.0))
+                continue
+            t = 1 + (n - 1) * float(p)
+            k0, k1 = int(t), min(int(t) + 1, n)
+            sp.append((k0, k1, t - int(t)))
+            ks.update((k0, k1))
+        specs[c] = sp
+        n_real, lo, hi = st[f"__nr_{c}"], st[f"__lo_{c}"], st[f"__hi_{c}"]
+        need[c] = sorted(k for k in ks if k <= n_real) if n_real and lo != hi else []
+
+    # one histogram job for every column that needs selection
+    hist_structs = []
+    for c in cols:
+        if not need[c]:
+            continue
+        v = F.col(c).cast("double")
+        nn = v.isNotNull() & ~F.isnan(v)
+        lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
+        b = _bucket_expr(v, lo, hi - lo)
+        hist_structs.append(
+            F.struct(F.lit(c).alias("c"), F.when(nn, b).alias("b"))
+        )
+    hist: dict[tuple[str, int], int] = {}
+    if hist_structs:
+        for r in (
+            df.select(F.explode(F.array(*hist_structs)).alias("s"))
+            .filter(F.col("s.b").isNotNull())
+            .groupBy(F.col("s.c").alias("c"), F.col("s.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            hist[(r["c"], r["b"])] = r["cnt"]
+
+    # locate buckets; batch the well-behaved ones into ONE boundary job,
+    # recurse per skewed bucket via _kth_smallest
+    resolved: dict[str, dict[int, float]] = {c: {} for c in cols}
+    boundary_structs = []
+    walk_plan: list[tuple[str, int, int, list[int]]] = []  # (col, bucket, start, ks)
+    for c in cols:
+        if not need[c]:
+            continue
+        lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
+        width = hi - lo
+        buckets = sorted(b for (cc, b) in hist if cc == c)
+        cum, acc = [], 0
+        for j in buckets:
+            acc += hist[(c, j)]
+            cum.append(acc)
+        by_bucket: dict[int, list[int]] = defaultdict(list)
+        for k in need[c]:
+            by_bucket[bisect.bisect_left(cum, k)].append(k)
+        v = F.col(c).cast("double")
+        nn = v.isNotNull() & ~F.isnan(v)
+        for i, kk in by_bucket.items():
+            j, start = buckets[i], (cum[i - 1] if i else 0)
+            if hist[(c, j)] <= MAX_BOUNDARY_COLLECT:
+                walk_plan.append((c, j, start, kk))
+                boundary_structs.append(
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.when(nn & (_bucket_expr(v, lo, width) == j), v).alias("v"),
+                    )
+                )
+            else:
+                sub = df.filter(nn & (_bucket_expr(v, lo, width) == j)).select(
+                    v.alias("v")
+                )
+                sst = sub.agg(F.min("v").alias("l"), F.max("v").alias("h")).first()
+                resolved[c].update(
+                    _kth_smallest(sub, kk, sst["l"], sst["h"], base=start)
+                )
+    if boundary_structs:
+        rows = (
+            df.select(F.explode(F.array(*boundary_structs)).alias("s"))
+            .filter(F.col("s.v").isNotNull())
+            .groupBy(F.col("s.c").alias("c"), F.col("s.v").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("c", "v")
+            .collect()
+        )
+        per_cb: dict[tuple[str, int], list[tuple[float, int]]] = defaultdict(list)
+        for r in rows:
+            c = r["c"]
+            lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
+            per_cb[(c, _bucket_of(r["v"], lo, hi - lo))].append((r["v"], r["cnt"]))
+        for c, j, start, kk in walk_plan:
+            _walk(per_cb[(c, j)], start, kk, resolved[c])
+
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        n = st[f"__n_{c}"] or 0
+        n_real, lo = st[f"__nr_{c}"], st[f"__lo_{c}"]
+        res = []
+        for k0, k1, frac in specs[c]:
+            if n == 0:
+                res.append(float("nan"))
+                continue
+            if n_real and lo == st[f"__hi_{c}"]:
+                # all non-NaN values equal: any rank ≤ n_real is lo
+                v0 = float(lo) if k0 <= n_real else float("nan")
+                v1 = float(lo) if k1 <= n_real else float("nan")
+            else:
+                v0 = resolved[c].get(k0, float("nan"))
+                v1 = resolved[c].get(k1, float("nan"))
+            res.append(v0 + frac * (v1 - v0))
+        out[c] = res
+    return out
 
 
 def exact_quantiles(
     df: DataFrame, value_col: str, probs: Sequence[float]
 ) -> list[float]:
-    """Exact interpolated quantiles of ``value_col`` (nulls ignored),
-    computed without any single-node value buffer."""
-    counts = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # session parallelism, not counts.rdd.getNumPartitions() — the RDD
-    # property forces a DataFrame→RDD conversion just to read an int
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        counts.repartitionByRange(n_parts, "v")
-        .sortWithinPartitions("v")
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # lineage is cut so the histogram is built once, not once per pass
-    ranged = ranged.localCheckpoint(eager=False)
-
-    per_part = dict(
-        ranged.groupBy("__pid").agg(F.sum("cnt").alias("s")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid in sorted(per_part):
-        offsets[pid] = acc
-        acc += per_part[pid]
-    n = acc
-    if n == 0:
-        return [float("nan")] * len(probs)
-
-    # offsets reach the rows via a broadcast join on __pid — constant
-    # expression depth at any partition count (a chained CASE WHEN per
-    # partition would be O(#partitions) deep; same pattern as the
-    # sequence-packing prefix offsets in operators/prep.py)
-    off_df = df.sparkSession.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "__pid int, __off long",
-    )
-    w = Window.partitionBy("__pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    pos = ranged.join(F.broadcast(off_df), "__pid").select(
-        "v",
-        (F.sum("cnt").over(w) + F.col("__off")).alias("hi"),  # last global pos of v
-        (F.sum("cnt").over(w) + F.col("__off") - F.col("cnt") + 1).alias("lo"),
-    )
-
-    # global 1-based positions whose values the interpolation needs
-    targets: set[int] = set()
-    specs = []
-    for p in probs:
-        t = 1 + (n - 1) * p
-        lo_k, hi_k = int(t), min(int(t) + 1, n)
-        frac = t - int(t)
-        specs.append((lo_k, hi_k, frac))
-        targets.update((lo_k, hi_k))
-
-    cond = None
-    for k in targets:
-        c = (F.col("lo") <= k) & (F.col("hi") >= k)
-        cond = c if cond is None else (cond | c)
-    boundary = pos.filter(cond).select("v", "lo", "hi").collect()
-
-    def value_at(k: int) -> float:
-        for r in boundary:
-            if r.lo <= k <= r.hi:
-                return float(r.v)
-        raise AssertionError(f"position {k} not covered")
-
-    return [
-        value_at(lo_k) + frac * (value_at(hi_k) - value_at(lo_k))
-        for lo_k, hi_k, frac in specs
-    ]
+    """Exact interpolated quantiles of ``value_col`` (nulls ignored,
+    NaN ranks last), computed without any single-node value buffer."""
+    return exact_quantiles_multi(df, {value_col: probs})[value_col]

@@ -32,7 +32,7 @@ from .registry import REGISTRY as _R
 #: round's changed/new ops (shingle cap, decode dispatch, ValueError
 #: parsers), then the ENTIRE r1 and r3 cohorts (certified before the r6
 #: TZ/loader hardening — the exact class of change that made four ops
-#: driver-red in r5), then 7 of the r4-era SURVEY §2.4 parity
+#: driver-red in r5), then 5 of the r4-era SURVEY §2.4 parity
 #: flagships. After r7 lands green, max driver-row staleness across the
 #: registry is 3 rounds (the remaining r4 cohort), r8's natural window.
 _RECHECK_FIRST = [
@@ -53,6 +53,10 @@ _RECHECK_FIRST = [
     "multimodal_ppm_decode",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    #   median_fill and iqr_clip switched their quantile scalars to the
+    #   r7 distributed-selection engine (functions/quantiles.py v2) —
+    "median_fill",
+    "iqr_clip",
     # — r1-cohort tier (oldest-first, policy b): latest driver rows date
     #   to round 1, BEFORE the r6 TZ-invariant loader + oracle typing
     #   hardening; all green in the local differential every session —
@@ -98,8 +102,6 @@ _RECHECK_FIRST = [
     "group_avg_having_sort",
     "filter_group2_avg2_count_sort",
     "group_avg_sum2_topk",
-    "two_level_agg",
-    "overview_scalars",
     # r5/r6-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
     # remaining r4 cohort (37 ops, staleness 3) is r8's natural window.

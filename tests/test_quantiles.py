@@ -41,3 +41,47 @@ def test_edge_cases(spark):
     import math
 
     assert all(math.isnan(v) for v in exact_quantiles(empty, "x", [0.5]))
+
+
+def test_multi_column_batch_matches_per_column(spark):
+    li = load(spark, SF_CORRECT, "lineitem")
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles import (
+        exact_quantiles_multi,
+    )
+
+    spec = {"l_quantity": [0.5], "l_extendedprice": [0.25, 0.5, 0.75], "l_tax": [0.5]}
+    multi = exact_quantiles_multi(li, spec)
+    for c, probs in spec.items():
+        builtin = li.agg(
+            F.expr(f"percentile({c}, array({','.join(map(str, probs))}))")
+        ).collect()[0][0]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(multi[c], builtin)), c
+
+
+def test_skewed_bucket_recurses_and_stays_exact(spark, monkeypatch):
+    """Value skew: one bucket holds more rows than the collect cap, so
+    the engine must RECURSE into it (re-bucketing its value range)
+    instead of collecting — shrink the constants so a tiny dataset
+    exercises the recursion deterministically."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.functions import (
+        quantiles as Q,
+    )
+
+    monkeypatch.setattr(Q, "N_BUCKETS", 4)
+    monkeypatch.setattr(Q, "MAX_BOUNDARY_COLLECT", 8)
+    # 100 values packed into a sliver of [0, 1000]: every value lands in
+    # bucket 0, whose count (100) exceeds the cap (8) at level 0 and
+    # again at deeper levels until the range separates them
+    vals = [(i * 1e-6,) for i in range(100)] + [(1000.0,)]
+    df = spark.createDataFrame(vals, "x double")
+    probs = [0.1, 0.5, 0.9]
+    mine = Q.exact_quantiles(df, "x", probs)
+    builtin = df.agg(
+        F.expr(f"percentile(x, array({','.join(map(str, probs))}))")
+    ).collect()[0][0]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(mine, builtin))
+
+    # identical-value pile above the cap: recursion bottoms out on
+    # lo == hi and resolves without collecting
+    df2 = spark.createDataFrame([(7.0,)] * 50 + [(1.0,), (9.0,)], "x double")
+    assert Q.exact_quantiles(df2, "x", [0.5]) == [7.0]

@@ -6,7 +6,7 @@ insertion order verbatim — so ordering is part of the external
 verification contract, not cosmetics. These tests pin the round-7
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — the full r1 and r3 cohorts plus seven r4-era parity flagships.
+first — the full r1 and r3 cohorts plus five r4-era parity flagships.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -36,6 +36,8 @@ ROUND7_CHANGED_IDS = [
     "multimodal_ppm_decode",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "median_fill",
+    "iqr_clip",
 ]
 
 #: oldest-first refresh: every op whose latest driver row dates to r1
@@ -88,8 +90,6 @@ ROUND7_R4_FLAGSHIP_IDS = [
     "group_avg_having_sort",
     "filter_group2_avg2_count_sort",
     "group_avg_sum2_topk",
-    "two_level_agg",
-    "overview_scalars",
 ]
 
 

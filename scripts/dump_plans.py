@@ -67,7 +67,11 @@ SHOWCASE = {
     ),
     "dedup_ngram_jaccard": (
         "Near-dup via inverted shingle index: every candidate join is an "
-        "equi-join (SortMergeJoin on the shingle), pair work Σ freq², never n²."
+        "equi-join (SortMergeJoin on the shingle), pair work Σ freq², never "
+        "n² — and since r7 the hot-shingle DF cap (COUNT window over "
+        "(lang, sh) + filter) rides the join's own shuffle keys, so a "
+        "stop-phrase shingle is dropped after O(k) window work instead of "
+        "costing k² join pairs."
     ),
     "similarity_bruteforce_topk": (
         "Exact ANN: the (small) query set broadcasts — "

@@ -85,3 +85,19 @@ def test_skewed_bucket_recurses_and_stays_exact(spark, monkeypatch):
     # lo == hi and resolves without collecting
     df2 = spark.createDataFrame([(7.0,)] * 50 + [(1.0,), (9.0,)], "x double")
     assert Q.exact_quantiles(df2, "x", [0.5]) == [7.0]
+
+
+def test_nan_ranks_last_like_spark_sort(spark):
+    """NaN policy (documented in the module docstring): NaN counts
+    toward n and ranks above every number — matching Spark sort order,
+    so a rank landing in the NaN region yields NaN."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (float("nan"),)], "x double"
+    )
+    # n=5: p=0.25 → t=2.0 → rank 2 → 2.0; p=1.0 → rank 5 → NaN;
+    # p=0.75 → t=4.0 → rank 4 → NaN region
+    q = exact_quantiles(df, "x", [0.25, 0.75, 1.0])
+    assert q[0] == 2.0
+    assert math.isnan(q[1]) and math.isnan(q[2])

@@ -30,9 +30,12 @@ Multi-column batching (``exact_quantiles_multi``) runs stages 1/2/4
 for ALL requested columns in single passes (struct-array explode), so
 e.g. four medians cost three jobs total, not twelve.
 
-NaN policy matches Spark sort order (and the prior implementation):
-NaN counts toward n and ranks above every number, so a rank landing in
-the NaN region yields NaN. Nulls are ignored.
+NaN and ±Infinity follow IEEE/Spark sort order (−inf < finite < +inf
+< NaN): all four regions count toward n; ranks landing in the −inf,
++inf, or NaN prefix/suffix regions resolve in closed form from the
+region counts, and bucket selection runs only over the FINITE window
+(so an infinite outlier can't produce an infinite bucket width).
+Nulls are ignored.
 
 Interpolation matches pandas ``quantile``, DuckDB ``quantile_cont`` and
 Spark ``percentile``: target position 1 + (n-1)·p, linear between the
@@ -156,20 +159,38 @@ def exact_quantiles_multi(
     total (stats, histograms, boundary values) — see module docstring.
     Returns ``{col: [q for each prob]}``; empty columns yield NaN."""
     cols = list(col_probs)
+    inf = float("inf")
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
         nn = v.isNotNull() & ~F.isnan(v)
+        fin = nn & (v != F.lit(inf)) & (v != F.lit(-inf))
         aggs += [
             F.count(F.when(v.isNotNull(), 1)).alias(f"__n_{c}"),
-            F.min(F.when(nn, v)).alias(f"__lo_{c}"),
-            F.max(F.when(nn, v)).alias(f"__hi_{c}"),
+            F.min(F.when(fin, v)).alias(f"__lo_{c}"),
+            F.max(F.when(fin, v)).alias(f"__hi_{c}"),
+            F.count(F.when(fin, 1)).alias(f"__nf_{c}"),
+            F.count(F.when(nn & (v == F.lit(-inf)), 1)).alias(f"__ni_{c}"),
             F.count(F.when(nn, 1)).alias(f"__nr_{c}"),
         ]
     st = df.agg(*aggs).first().asDict()
 
-    # ranks each column needs resolved (only those inside the non-NaN
-    # region; ranks above it are NaN by the sort-last policy)
+    def _region_value(c: str, k: int) -> float | None:
+        """Value of rank k when it falls OUTSIDE the finite-selection
+        window (IEEE sort order: -inf < finite < +inf < NaN), or None
+        when selection must resolve it."""
+        n_neg, n_fin, n_real = st[f"__ni_{c}"], st[f"__nf_{c}"], st[f"__nr_{c}"]
+        if k <= n_neg:
+            return -inf
+        if k <= n_neg + n_fin:
+            return None
+        if k <= n_real:
+            return inf
+        return float("nan")
+
+    # ranks each column needs resolved by selection — LOCAL ranks within
+    # the finite window (global rank minus the -inf prefix); every other
+    # region (±inf, NaN) resolves in closed form above
     specs: dict[str, list[tuple[int, int, float]]] = {}
     need: dict[str, list[int]] = {}
     for c, probs in col_probs.items():
@@ -184,8 +205,13 @@ def exact_quantiles_multi(
             sp.append((k0, k1, t - int(t)))
             ks.update((k0, k1))
         specs[c] = sp
-        n_real, lo, hi = st[f"__nr_{c}"], st[f"__lo_{c}"], st[f"__hi_{c}"]
-        need[c] = sorted(k for k in ks if k <= n_real) if n_real and lo != hi else []
+        n_neg, lo, hi = st[f"__ni_{c}"], st[f"__lo_{c}"], st[f"__hi_{c}"]
+        if st[f"__nf_{c}"] and lo != hi:
+            need[c] = sorted(
+                k - n_neg for k in ks if _region_value(c, k) is None
+            )
+        else:
+            need[c] = []
 
     # one histogram job for every column that needs selection
     hist_structs = []
@@ -193,11 +219,13 @@ def exact_quantiles_multi(
         if not need[c]:
             continue
         v = F.col(c).cast("double")
-        nn = v.isNotNull() & ~F.isnan(v)
+        fin = (
+            v.isNotNull() & ~F.isnan(v) & (v != F.lit(inf)) & (v != F.lit(-inf))
+        )
         lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
         b = _bucket_expr(v, lo, hi - lo)
         hist_structs.append(
-            F.struct(F.lit(c).alias("c"), F.when(nn, b).alias("b"))
+            F.struct(F.lit(c).alias("c"), F.when(fin, b).alias("b"))
         )
     hist: dict[tuple[str, int], int] = {}
     if hist_structs:
@@ -229,7 +257,9 @@ def exact_quantiles_multi(
         for k in need[c]:
             by_bucket[bisect.bisect_left(cum, k)].append(k)
         v = F.col(c).cast("double")
-        nn = v.isNotNull() & ~F.isnan(v)
+        fin = (
+            v.isNotNull() & ~F.isnan(v) & (v != F.lit(inf)) & (v != F.lit(-inf))
+        )
         for i, kk in by_bucket.items():
             j, start = buckets[i], (cum[i - 1] if i else 0)
             if hist[(c, j)] <= MAX_BOUNDARY_COLLECT:
@@ -237,11 +267,11 @@ def exact_quantiles_multi(
                 boundary_structs.append(
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.when(nn & (_bucket_expr(v, lo, width) == j), v).alias("v"),
+                        F.when(fin & (_bucket_expr(v, lo, width) == j), v).alias("v"),
                     )
                 )
             else:
-                sub = df.filter(nn & (_bucket_expr(v, lo, width) == j)).select(
+                sub = df.filter(fin & (_bucket_expr(v, lo, width) == j)).select(
                     v.alias("v")
                 )
                 sst = sub.agg(F.min("v").alias("l"), F.max("v").alias("h")).first()
@@ -268,20 +298,29 @@ def exact_quantiles_multi(
     out: dict[str, list[float]] = {}
     for c in cols:
         n = st[f"__n_{c}"] or 0
-        n_real, lo = st[f"__nr_{c}"], st[f"__lo_{c}"]
+        n_neg, lo = st[f"__ni_{c}"], st[f"__lo_{c}"]
+
+        def _value_at(k: int) -> float:
+            region = _region_value(c, k)
+            if region is not None:
+                return region
+            if need[c]:
+                return resolved[c].get(k - n_neg, float("nan"))
+            # finite window exists but needed no selection: every
+            # finite value equals lo (the lo == hi degenerate case)
+            return float(lo)
+
         res = []
         for k0, k1, frac in specs[c]:
             if n == 0:
                 res.append(float("nan"))
                 continue
-            if n_real and lo == st[f"__hi_{c}"]:
-                # all non-NaN values equal: any rank ≤ n_real is lo
-                v0 = float(lo) if k0 <= n_real else float("nan")
-                v1 = float(lo) if k1 <= n_real else float("nan")
-            else:
-                v0 = resolved[c].get(k0, float("nan"))
-                v1 = resolved[c].get(k1, float("nan"))
-            res.append(v0 + frac * (v1 - v0))
+            # frac == 0 means rank k0 IS the target — return it directly
+            # instead of evaluating v0 + 0·(v1 − v0), which would let a
+            # k1 in the NaN region poison a real rank (matches the
+            # built-in percentile's lower==higher short-circuit)
+            v0 = _value_at(k0)
+            res.append(v0 if frac == 0.0 else v0 + frac * (_value_at(k1) - v0))
         out[c] = res
     return out
 

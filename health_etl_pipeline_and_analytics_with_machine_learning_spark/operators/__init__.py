@@ -32,8 +32,8 @@ from .registry import REGISTRY as _R
 #: round's changed/new ops (shingle cap, decode dispatch, ValueError
 #: parsers), then the ENTIRE r1 and r3 cohorts (certified before the r6
 #: TZ/loader hardening — the exact class of change that made four ops
-#: driver-red in r5), then 5 of the r4-era SURVEY §2.4 parity
-#: flagships. After r7 lands green, max driver-row staleness across the
+#: driver-red in r5), then the r4-era flagship
+#: query. After r7 lands green, max driver-row staleness across the
 #: registry is 3 rounds (the remaining r4 cohort), r8's natural window.
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
@@ -50,6 +50,13 @@ _RECHECK_FIRST = [
     "dedup_connected_components",
     "streaming_hour_rollup",
     "streaming_cdc_compaction",
+    #   the other four replays changed too this round (state-store
+    #   partition split REPLAY_STATE_PARTITIONS/REPLAY_PANDAS_...) —
+    #   policy (a) admits no conf-only exception —
+    "streaming_view_purchase_join",
+    "streaming_dedup_replay",
+    "streaming_countmin_replay",
+    "streaming_sessionization",
     "multimodal_ppm_decode",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",

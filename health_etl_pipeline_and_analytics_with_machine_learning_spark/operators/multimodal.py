@@ -100,7 +100,7 @@ def _decode_one(payload: bytes) -> tuple[str, int, int, int, int, float]:
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             rate, ns, size, mean = _wav_parse(b)
             return "wav", size, 0, 0, ns, mean
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, ZeroDivisionError):
         pass
     width = 16 + (b[0] if n else 0)
     height = 16 + (b[-1] if n else 0)
@@ -184,6 +184,8 @@ def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
         toks.append(int(b[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval from data
     w, h, maxval = toks
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PPM dimensions")
     n_px = w * h * 3
     data = b[pos : pos + n_px]
     if len(data) != n_px:
@@ -304,6 +306,11 @@ def _bmp_parse(b: bytes) -> tuple[int, int, int, int, float]:
         raise ValueError("not a BMP payload")
     size, _, _, off = struct.unpack("<IHHI", b[2:14])
     _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", b[14:30])
+    if w <= 0 or h <= 0:
+        # h < 0 is the legal top-down variant; the writer never emits
+        # it, so the parser treats it as unsupported rather than
+        # silently aggregating an empty pixel window
+        raise ValueError("non-positive BMP dimensions")
     row = w * 3
     pad = (4 - row % 4) % 4
     if len(b) < off + h * (row + pad):
@@ -547,6 +554,8 @@ def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
     if len(b) < _WAV_HDR + data_len:
         raise ValueError("truncated PCM data")
     n = data_len // 2
+    if n <= 0:
+        raise ValueError("empty PCM data")
     total = 0
     for i in range(n):
         (s,) = struct.unpack_from("<h", b, _WAV_HDR + 2 * i)

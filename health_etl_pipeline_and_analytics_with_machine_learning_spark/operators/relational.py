@@ -496,7 +496,11 @@ def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel at 100 TB (and measurably slower even at sf0.1: 1.8 s vs
     1.4 s). The quantile scalars are metadata-sized, so the driver-side
     orchestration is the same legitimate two-phase pattern as the IVF
-    index fit. ``median_fill_scaled`` certifies the all-in-plan grouped
+    index fit. Known tradeoff: the selection jobs run EAGERLY at
+    DataFrame-construction time (the scalars ARE the result), so
+    schema-only registry enumerations pay them too — cheap at the small
+    SFs those sweeps use; callers needing a fully lazy plan use
+    ``median_fill_scaled``, which certifies the all-in-plan grouped
     histogram alternative."""
     from ..functions.quantiles import exact_quantiles_multi
 

@@ -155,6 +155,16 @@ def test_decode_one_dispatches_on_magic_and_quarantines_corrupt():
     assert kind == "opaque"
     kind, *_ = multimodal._decode_one("plain utf-8 text".encode())
     assert kind == "opaque"
+    # degenerate-but-magic payloads (zero dims, empty PCM) quarantine
+    # too, never ZeroDivisionError the batch
+    for b in (
+        b"P6\n0 0\n255\n",
+        b"BM" + b"\x00" * 52,
+        b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+        b"\x40\x1f\x00\x00\x80\x3e\x00\x00\x02\x00\x10\x00data\x00\x00\x00\x00",
+    ):
+        kind, *_ = multimodal._decode_one(b)
+        assert kind == "opaque", b[:8]
 
 
 def test_semantic_dedup_reps_are_cluster_argmin(spark):

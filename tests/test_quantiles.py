@@ -101,3 +101,39 @@ def test_nan_ranks_last_like_spark_sort(spark):
     q = exact_quantiles(df, "x", [0.25, 0.75, 1.0])
     assert q[0] == 2.0
     assert math.isnan(q[1]) and math.isnan(q[2])
+
+
+def test_exact_integer_rank_next_to_nan_region(spark):
+    """frac == 0 short-circuit: when the target position is exactly the
+    last real rank, the NaN-region neighbor must not poison it
+    (matches built-in percentile's lower==higher behavior)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (float("nan"),)], "x double"
+    )
+    # n=5, p=0.5 → t=3.0 → rank 3 exactly = the last non-NaN value
+    assert exact_quantiles(df, "x", [0.5]) == [3.0]
+    df2 = spark.createDataFrame([(7.0,), (7.0,), (float("nan"),)], "x double")
+    assert exact_quantiles(df2, "x", [0.5]) == [7.0]
+    # but a rank truly inside the NaN region stays NaN
+    assert math.isnan(exact_quantiles(df, "x", [1.0])[0])
+
+
+def test_infinities_follow_ieee_sort_order(spark):
+    """±inf rows must not blow up the bucket math (inf width) — they
+    resolve as closed-form prefix/suffix regions, and selection runs
+    over the finite window only."""
+    import math
+
+    rows = [(float("-inf"),), (1.0,), (2.0,), (3.0,), (4.0,), (float("inf"),)]
+    df = spark.createDataFrame(rows, "x double")
+    probs = [0.0, 0.2, 0.5, 0.8, 1.0]
+    mine = exact_quantiles(df, "x", probs)
+    builtin = df.agg(
+        F.expr(f"percentile(x, array({','.join(map(str, probs))}))")
+    ).collect()[0][0]
+    for a, b in zip(mine, builtin):
+        assert (math.isnan(a) and math.isnan(b)) or a == b, (mine, builtin)
+    # interpolation between a finite value and +inf is +inf on both sides
+    assert mine[-1] == float("inf") and mine[0] == float("-inf")

@@ -6,7 +6,7 @@ insertion order verbatim — so ordering is part of the external
 verification contract, not cosmetics. These tests pin the round-7
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — the full r1 and r3 cohorts plus five r4-era parity flagships.
+first — the full r1 and r3 cohorts plus the flagship query.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -33,6 +33,10 @@ ROUND7_CHANGED_IDS = [
     "dedup_connected_components",
     "streaming_hour_rollup",
     "streaming_cdc_compaction",
+    "streaming_view_purchase_join",
+    "streaming_dedup_replay",
+    "streaming_countmin_replay",
+    "streaming_sessionization",
     "multimodal_ppm_decode",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -86,10 +90,6 @@ ROUND7_R3_COHORT_IDS = [
 #: SURVEY §2.4 parity flagships (r4-era rows) fill the remaining slots
 ROUND7_R4_FLAGSHIP_IDS = [
     "filter_group_avg_topk",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "filter_group2_avg2_count_sort",
-    "group_avg_sum2_topk",
 ]
 
 
@@ -115,7 +115,7 @@ def test_no_registry_entry_left_unchecked_after_r7():
     import os
 
     seen = set()
-    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
@@ -130,8 +130,8 @@ def test_r7_window_covers_the_full_r1_and_r3_cohorts():
     import os
 
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(f)[len("CORRECTNESS_r") : -len(".json")])
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r") : -len(".json")].lstrip("0") or "0")
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])

@@ -320,7 +320,19 @@ def exact_quantiles_multi(
             # k1 in the NaN region poison a real rank (matches the
             # built-in percentile's lower==higher short-circuit)
             v0 = _value_at(k0)
-            res.append(v0 if frac == 0.0 else v0 + frac * (_value_at(k1) - v0))
+            if frac == 0.0:
+                res.append(v0)
+                continue
+            v1 = _value_at(k1)
+            if math.isinf(v0) or math.isinf(v1):
+                # v0 + frac·(v1 − v0) is NaN when one flank is infinite
+                # (−inf + frac·inf); Spark/DuckDB interpolate as
+                # lower·(1−frac) + higher·frac, which keeps the sign —
+                # use their form exactly on this edge (finite flanks
+                # keep the main formula for bit-parity with the oracle)
+                res.append(v0 * (1.0 - frac) + v1 * frac)
+            else:
+                res.append(v0 + frac * (v1 - v0))
         out[c] = res
     return out
 

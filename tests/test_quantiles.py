@@ -137,3 +137,17 @@ def test_infinities_follow_ieee_sort_order(spark):
         assert (math.isnan(a) and math.isnan(b)) or a == b, (mine, builtin)
     # interpolation between a finite value and +inf is +inf on both sides
     assert mine[-1] == float("inf") and mine[0] == float("-inf")
+
+
+def test_fractional_interpolation_across_infinite_flank(spark):
+    """t landing BETWEEN an infinite flank and a finite one must keep
+    the infinity's sign like Spark/DuckDB (lower·(1−frac)+higher·frac),
+    not collapse to NaN via v0 + frac·(v1 − v0)."""
+    import math
+
+    lo_span = spark.createDataFrame([(float("-inf"),), (5.0,)], "x double")
+    assert exact_quantiles(lo_span, "x", [0.5]) == [float("-inf")]
+    hi_span = spark.createDataFrame([(5.0,), (float("inf"),)], "x double")
+    assert exact_quantiles(hi_span, "x", [0.5]) == [float("inf")]
+    both = spark.createDataFrame([(float("-inf"),), (float("inf"),)], "x double")
+    assert math.isnan(exact_quantiles(both, "x", [0.5])[0])  # like Spark

@@ -130,10 +130,12 @@ _CHUNK_CACHE: dict[tuple[str, int, str], str] = {}
 #: 2 → 2.3–3.0 s, identical results. The applyInPandasWithState
 #: replays invert: their per-user pandas calls are Python-bound, and 2
 #: partitions serializes them onto 2 workers (sessionization 10.4 s vs
-#: 3.7 s at 8) — they keep 8. Results are partition-count-invariant
-#: either way; production unbounded runs size to key cardinality.
+#: 3.7 s at 8) — they get 16 (A/B'd vs 8 across box-load conditions:
+#: equal-or-better both times, and wider spread degrades less under
+#: contention). Results are partition-count-invariant either way;
+#: production unbounded runs size to key cardinality.
 REPLAY_STATE_PARTITIONS = "2"
-REPLAY_PANDAS_STATE_PARTITIONS = "8"
+REPLAY_PANDAS_STATE_PARTITIONS = "16"
 
 
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:

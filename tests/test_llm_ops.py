@@ -1,7 +1,8 @@
-"""Cross-validation for the LLM-data-pipeline operators that have no SQL
-oracle: the approximate/scale-path implementations are checked against
+"""Cross-validation for the LLM-data-pipeline operators beyond their
+SQL oracles: approximate/scale-path implementations are checked against
 their exact counterparts (recall / candidate-containment properties),
-and the stubbed multimodal decode is checked for determinism + schema.
+and the magic-dispatch multimodal decoder is checked for determinism,
+schema, quarantine behavior, and closed-form roundtrip properties.
 """
 
 from __future__ import annotations
@@ -287,3 +288,46 @@ def test_documents_schema_assumptions(spark):
         )
         n, n_ids = d.count(), d.select("doc_id").distinct().count()
         assert n == n_ids and n > 0, (sf, n, n_ids)
+
+
+def test_encode_decode_roundtrip_matches_closed_forms():
+    """Property: for arbitrary (doc_id, md5-like hex) inputs, the
+    magic-dispatch decoder returns exactly what the oracle's closed-form
+    formulas predict for every container — the pure-Python twin of the
+    multimodal_decode_dispatch certification."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=10_000_000), st.binary(min_size=1, max_size=64))
+    def check(doc_id, seed):
+        hx = hashlib.md5(seed).hexdigest()
+        # PPM: dims from doc_id, size from ASCII-header rule, mean from
+        # the 32-char hex cycle
+        w = 1 + doc_id % multimodal._PPM_W_MOD
+        h = 1 + doc_id % multimodal._PPM_H_MOD
+        n_px = w * h * 3
+        kind, size, gw, gh, nf, mean = multimodal._decode_one(
+            multimodal._ppm_encode(doc_id, hx)
+        )
+        assert (kind, gw, gh, nf) == ("ppm", w, h, 1)
+        assert size == 3 + len(multimodal._PPM_COMMENT) + len(str(w)) + 1 + len(str(h)) + 1 + 4 + n_px
+        # BMP: stride rule
+        w = 1 + doc_id % multimodal._BMP_W_MOD
+        h = 1 + doc_id % multimodal._BMP_H_MOD
+        stride = ((w * 3 + 3) // 4) * 4
+        kind, size, gw, gh, nf, mean = multimodal._decode_one(
+            multimodal._bmp_encode(doc_id, hx)
+        )
+        assert (kind, gw, gh, nf) == ("bmp", w, h, 1)
+        assert size == multimodal._BMP_HDR + h * stride
+        # WAV: PCM16 framing; n_frames = n samples (mono)
+        n = 100 + doc_id % multimodal._WAV_N_MOD
+        kind, size, gw, gh, nf, mean = multimodal._decode_one(
+            multimodal._wav_encode(doc_id, hx)
+        )
+        assert (kind, gw, gh, nf) == ("wav", 0, 0, n)
+        assert size == multimodal._WAV_HDR + 2 * n
+
+    check()

@@ -151,3 +151,56 @@ def test_fractional_interpolation_across_infinite_flank(spark):
     assert exact_quantiles(hi_span, "x", [0.5]) == [float("inf")]
     both = spark.createDataFrame([(float("-inf"),), (float("inf"),)], "x double")
     assert math.isnan(exact_quantiles(both, "x", [0.5])[0])  # like Spark
+
+
+# ---------------------------------------------------------------------------
+# property tests: the bucket-selection engine must agree with Spark's
+# built-in exact percentile on arbitrary finite inputs
+# ---------------------------------------------------------------------------
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _bind_spark(spark):
+    """hypothesis @given can't take pytest fixtures — bind the session
+    into the module global before every test (test_fuzz_expressions
+    pattern)."""
+    global _spark
+    _spark = spark
+
+
+# duplicates-heavy pool plus free doubles: selection must stay exact
+# under ties, negatives, zeros, and large magnitudes
+_POOL = [0.0, -0.0, 1.0, -1.0, 2.5, -2.5, 1e9, -1e9, 3.14159, 1e-9]
+_VALUES = st.lists(
+    st.one_of(
+        st.sampled_from(_POOL),
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+_PROBS = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_VALUES, _PROBS)
+def test_engine_matches_builtin_percentile_on_random_input(values, probs):
+    df = _spark.createDataFrame([(v,) for v in values], "x double")
+    mine = exact_quantiles(df, "x", probs)
+    builtin = df.agg(
+        F.expr(f"percentile(x, array({','.join(repr(p) for p in probs)}))")
+    ).collect()[0][0]
+    for a, b in zip(mine, builtin):
+        tol = 1e-9 * max(1.0, abs(b))
+        assert abs(a - b) <= tol, (values, probs, mine, builtin)

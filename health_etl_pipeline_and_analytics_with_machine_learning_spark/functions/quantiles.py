@@ -18,7 +18,9 @@ Here no stage ever moves more than ``N_BUCKETS`` rows per map task:
    (map-side partial, ≤ N_BUCKETS rows per task, collected to the
    driver: O(N_BUCKETS) driver memory);
 3. the cumulative histogram locates the bucket holding each needed
-   global rank k = the flanking positions of t = 1 + (n−1)·p;
+   global rank k = the flanking positions of pos = (n−1)·p (0-based,
+   computed BEFORE the 1-based shift so the fraction survives IEEE
+   rounding);
 4. one job collects the (value, count) pairs of just those buckets —
    expected n/N_BUCKETS values each — and walks to the k-th value;
    a bucket whose count exceeds ``MAX_BOUNDARY_COLLECT`` (value skew)
@@ -38,10 +40,13 @@ region counts, and bucket selection runs only over the FINITE window
 Nulls are ignored.
 
 Interpolation matches pandas ``quantile``, DuckDB ``quantile_cont`` and
-Spark ``percentile``: target position 1 + (n-1)·p, linear between the
-flanking values, evaluated in IEEE doubles on the driver — so results
-are bit-comparable with the oracle (pinned by tests/test_quantiles.py
-against the built-in exact percentile).
+Spark ``percentile``: 0-based position pos = (n-1)·p, then Spark's own
+symmetric form lower·(1−frac) + higher·frac on ALL flanks (the
+algebraically-equal one-sided v0 + frac·(v1−v0) drifts under
+cancellation and NaNs on infinite flanks) — so results are
+bit-comparable with the oracle (pinned by tests/test_quantiles.py
+against the built-in exact percentile; see BASELINE.md "Certification
+invariants" item 6).
 """
 
 from __future__ import annotations
@@ -200,9 +205,15 @@ def exact_quantiles_multi(
             if n == 0:
                 sp.append((0, 0, 0.0))
                 continue
-            t = 1 + (n - 1) * float(p)
-            k0, k1 = int(t), min(int(t) + 1, n)
-            sp.append((k0, k1, t - int(t)))
+            # 0-based position FIRST, like Spark's Percentile: adding 1
+            # before extracting the fraction can round it away (ulp at
+            # 2.0 is 4.4e-16, so 1 + 0.9999999999999999 == 2.0 exactly
+            # — Hypothesis counterexample pinned in tests/test_quantiles)
+            pos = (n - 1) * float(p)
+            k0 = 1 + int(pos)
+            frac = pos - int(pos)
+            k1 = min(k0 + 1, n)
+            sp.append((k0, k1, frac))
             ks.update((k0, k1))
         specs[c] = sp
         n_neg, lo, hi = st[f"__ni_{c}"], st[f"__lo_{c}"], st[f"__hi_{c}"]
@@ -305,7 +316,17 @@ def exact_quantiles_multi(
             if region is not None:
                 return region
             if need[c]:
-                return resolved[c].get(k - n_neg, float("nan"))
+                try:
+                    return resolved[c][k - n_neg]
+                except KeyError:
+                    # a missing rank here means bucket location or
+                    # recursion went wrong — fail loudly rather than
+                    # degrade to a silently-wrong NaN (NaN results may
+                    # only come from the closed-form NaN region)
+                    raise AssertionError(
+                        f"quantile engine: rank {k} (finite-window rank "
+                        f"{k - n_neg}) of column {c!r} was never resolved"
+                    ) from None
             # finite window exists but needed no selection: every
             # finite value equals lo (the lo == hi degenerate case)
             return float(lo)
@@ -324,15 +345,14 @@ def exact_quantiles_multi(
                 res.append(v0)
                 continue
             v1 = _value_at(k1)
-            if math.isinf(v0) or math.isinf(v1):
-                # v0 + frac·(v1 − v0) is NaN when one flank is infinite
-                # (−inf + frac·inf); Spark/DuckDB interpolate as
-                # lower·(1−frac) + higher·frac, which keeps the sign —
-                # use their form exactly on this edge (finite flanks
-                # keep the main formula for bit-parity with the oracle)
-                res.append(v0 * (1.0 - frac) + v1 * frac)
-            else:
-                res.append(v0 + frac * (v1 - v0))
+            # Spark's percentile interpolates lower·(1−frac) +
+            # higher·frac on EVERY flank; the algebraically-equal
+            # v0 + frac·(v1−v0) drifts past the last ulp under
+            # cancellation (mixed-magnitude flanks: 0.0 / −1e9 with
+            # frac≈1 gives −1.192e-07 vs Spark's −1.1102e-07) and is
+            # NaN outright when a flank is ±inf — use Spark's form
+            # unconditionally (BASELINE.md certification invariant 6)
+            res.append(v0 * (1.0 - frac) + v1 * frac)
         out[c] = res
     return out
 

@@ -28,90 +28,76 @@ from .registry import REGISTRY as _R
 #: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
 #: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
 #: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r7 window: the three r6-changed ops the r6 window omitted + this
-#: round's changed/new ops (shingle cap, decode dispatch, ValueError
-#: parsers), then the ENTIRE r1 and r3 cohorts (certified before the r6
-#: TZ/loader hardening — the exact class of change that made four ops
-#: driver-red in r5), then the r4-era flagship
-#: query. After r7 lands green, max driver-row staleness across the
-#: registry is 3 rounds (the remaining r4 cohort), r8's natural window.
+#: r8 window (EXACTLY 50 ids — ADVICE r7 flagged the r7 list at 54,
+#: four past the window): this round's changed-text ops, then the
+#: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
+#: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
+#: the leftover slots. After r8 lands green, max staleness is 3 rounds
+#: (the remaining 27 r5-cohort ops — r9's natural window core).
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
-    #   frame_sample's full oracle (r6 commit 93bf94c) has never seen
-    #   the driver; decode_dispatch is this round's new seam-closure op;
-    #   the two dedup ops gained the hot-shingle DF cap (both oracles
-    #   changed); the two streaming ops changed behavior in r6
-    #   (_wall_ts/_fmt_wall session-offset pins) but were rotated out of
-    #   the r6 window (ADVICE r6 item 1); the three byte-level decodes
-    #   switched from assert to ValueError validation this round —
-    "multimodal_frame_sample",
-    "multimodal_decode_dispatch",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "streaming_hour_rollup",
-    "streaming_cdc_compaction",
-    #   the other four replays changed too this round (state-store
-    #   partition split REPLAY_STATE_PARTITIONS/REPLAY_PANDAS_...) —
-    #   policy (a) admits no conf-only exception —
-    "streaming_view_purchase_join",
-    "streaming_dedup_replay",
-    "streaming_countmin_replay",
-    "streaming_sessionization",
-    "multimodal_ppm_decode",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    #   median_fill and iqr_clip switched their quantile scalars to the
-    #   r7 distributed-selection engine (functions/quantiles.py v2) —
+    #   median_fill/iqr_clip consume the quantile engine's r8 bug fix
+    #   (0-based rank extraction + symmetric interpolation, VERDICT r7
+    #   item 1) and median_fill's rounding moved into a Spark F.round;
+    #   dedup_minhash_lsh gained the lazy bands localCheckpoint —
     "median_fill",
     "iqr_clip",
-    # — r1-cohort tier (oldest-first, policy b): latest driver rows date
-    #   to round 1, BEFORE the r6 TZ-invariant loader + oracle typing
-    #   hardening; all green in the local differential every session —
-    "anti_join_inactive_customers",
-    "basket_concentration_hhi",
-    "brand_revenue_share",
-    "contamination_ngram_check",
-    "corpus_curation",
-    "cube_status_priority",
-    "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_incremental",
-    "mixture_resample",
-    "percent_rank_band",
-    "range_band_join",
-    "regr_linear_fit",
-    "rfm_segments",
-    "rollup_status_priority",
-    "source_mixture_weights",
-    "unigram_cross_entropy",
-    "window_moving_avg",
-    # — r3-cohort tier (next-oldest): —
-    "approx_distinct_bound",
-    "approx_quantile_bound",
-    "doc_chunk_explode",
-    "doc_fingerprint",
-    "embedding_int8_quantize",
-    "embedding_neardup_topk",
-    "group_sum2_unpivot",
-    "hash_train_test_split",
-    "multimodal_meta",
-    "pii_scrub_digits",
-    "shard_assignment_balance",
-    "similarity_bruteforce_topk",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_flags",
-    "text_token_count",
-    # — r4-flagship tier: the SURVEY §2.4 parity core rotates back in
-    #   with the remaining slots (oldest r4 certifications) —
-    "filter_group_avg_topk",
+    "dedup_minhash_lsh",
+    # — r4-cohort tier (oldest-first, policy b): every live op whose
+    #   latest driver row dates to round 4 —
+    "asof_join_attribution",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_exact",
+    "eq_filter_group_agg",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "filter_group2_avg2_count_sort",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "global_sort_rowid",
     "group2_sort_mixed_limit",
     "group_avg_having_sort",
-    "filter_group2_avg2_count_sort",
     "group_avg_sum2_topk",
-    # r5/r6-green residents rotated out this round (unchanged text,
+    "group_quantiles",
+    "group_quantiles_scaled",
+    "iqr_clip_scaled",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "median_fill_scaled",
+    "overview_scalars",
+    "pivot_event_counts",
+    "project_dropna",
+    "range_filter_agg",
+    "running_distinct_users",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "sequence_pack_scaled",
+    "sequence_pack_stats",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "stratified_hash_sample",
+    "trend_group_avg_sort",
+    "two_level_agg",
+    "user_event_paths",
+    "value_counts_topk",
+    "vocab_oov_rate",
+    "window_group_median_fill",
+    "window_lag_value_delta",
+    "zscore_normalize",
+    # — r5-cohort tier: oldest-first remainder (alphabetical within the
+    #   equal-staleness tie; similarity_lsh_bucketed leads as this
+    #   round's shared-subtree audit target) —
+    "similarity_lsh_bucketed",
+    "assoc_rules_lift",
+    "benford_law_check",
+    "bpe_pair_counts",
+    "brand_copurchase_triangles",
+    "cdc_latest_compaction",
+    # r6/r7-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
-    # remaining r4 cohort (37 ops, staleness 3) is r8's natural window.
+    # remaining r5 cohort (27 ops, staleness 3) is r9's natural window.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

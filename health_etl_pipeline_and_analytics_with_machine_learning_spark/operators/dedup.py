@@ -472,6 +472,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
+    # the signature subtree (explode → 16 universal hashes → groupBy →
+    # band explode) has THREE consumers below — bucket sizing plus both
+    # sides of the self-join — and Catalyst re-executes shared subplans
+    # per reference; cut the lineage once (lazy: schema-only registry
+    # enumerations must not pay the materialization). Measured at
+    # sf0.1: 1.80 → 1.64 s, result-identical through the final
+    # .limit(100) (deterministic orderBy tiebreak keys make the limit
+    # checkpoint-safe).
+    bands = bands.localCheckpoint(eager=False)
+
     bucket_sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )

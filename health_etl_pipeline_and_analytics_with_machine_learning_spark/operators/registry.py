@@ -88,10 +88,16 @@ def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
 
     The split-count probe is deliberately CHEAP (ADVICE r6): every call
     site is scan-rooted, so ``df.inputFiles()`` (analysis only — no
-    physical planning, no RDD conversion) gives the file count, a lower
-    bound on scan partitions (large files split further; small files
-    may coalesce under maxPartitionBytes — either way, at production
-    split counts the probe clears the threshold and spread() no-ops).
+    physical planning, no RDD conversion) gives the file count as a
+    partition ESTIMATE, biased in both directions (ADVICE r7): large
+    files split further (underestimate), while many SMALL files pack
+    several per partition under maxPartitionBytes/openCostInBytes
+    (OVERESTIMATE — a 100-tiny-file input can report n_splits ≥ target
+    while the actual scan has far fewer partitions, skipping the
+    widening repartition). That miss is a perf heuristic only — results
+    are partition-count-invariant — and at production split counts
+    file sizes approach maxPartitionBytes, where the estimate is tight
+    and spread() correctly no-ops.
     Non-file-rooted inputs (unit tests over ``spark.range``) fall back
     to ``df.rdd.getNumPartitions()``, which forces physical planning
     and reports the pre-AQE count — fine off the hot path.

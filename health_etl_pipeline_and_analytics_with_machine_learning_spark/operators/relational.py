@@ -511,15 +511,18 @@ def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row = [
         (
-            round(meds["l_quantity"][0], DP),
-            round(meds["l_extendedprice"][0], DP),
-            round(meds["l_discount"][0], DP),
-            round(meds["l_tax"][0], DP),
+            meds["l_quantity"][0],
+            meds["l_extendedprice"][0],
+            meds["l_discount"][0],
+            meds["l_tax"][0],
         )
     ]
+    # round in a Spark expression, not Python round(): F.round is
+    # HALF_UP (ties away from zero) like DuckDB's ROUND, while Python's
+    # builtin is half-to-even — keep the certified rounding rule
     return spark.createDataFrame(
         row, "med_qty double, med_price double, med_discount double, med_tax double"
-    )
+    ).select(*(F.round(F.col(c), DP).alias(c) for c in ("med_qty", "med_price", "med_discount", "med_tax")))
 
 
 @query(

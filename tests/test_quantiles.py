@@ -159,7 +159,7 @@ def test_fractional_interpolation_across_infinite_flank(spark):
 # ---------------------------------------------------------------------------
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 _spark = None
 
@@ -195,6 +195,13 @@ _PROBS = st.lists(
 
 @settings(max_examples=20, deadline=None)
 @given(_VALUES, _PROBS)
+# the r7 Hypothesis find, kept permanently: (n-1)*p = 0.9999999999999999
+# but 1 + (n-1)*p == 2.0 in IEEE doubles — the 1-based shift must happen
+# AFTER extracting the fraction, and the interpolation must use Spark's
+# symmetric lower·(1−frac)+higher·frac (the one-sided form loses ulps
+# under 0.0/−1e9 cancellation). Engine used to return 0.0; truth ≈
+# −1.1102e-07.
+@example(values=[0.0, -1e9], probs=[0.9999999999999999])
 def test_engine_matches_builtin_percentile_on_random_input(values, probs):
     df = _spark.createDataFrame([(v,) for v in values], "x double")
     mine = exact_quantiles(df, "x", probs)
@@ -204,3 +211,89 @@ def test_engine_matches_builtin_percentile_on_random_input(values, probs):
     for a, b in zip(mine, builtin):
         tol = 1e-9 * max(1.0, abs(b))
         assert abs(a - b) <= tol, (values, probs, mine, builtin)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    _VALUES,
+    st.integers(min_value=0, max_value=80),
+    st.sampled_from([0.0, 1e-16, -1e-16, 4.44e-16, -4.44e-16]),
+)
+def test_probs_at_exact_rank_boundaries(values, k, eps):
+    """probs at (and a few ulps around) k/(n-1) — the exact-integer-rank
+    regime where the r7 bug lived: frac must survive the 1-based shift
+    and the frac==0 short-circuit must fire only when pos is integral."""
+    n = len(values)
+    p = 0.5 if n == 1 else min(k, n - 1) / (n - 1) + eps
+    if not (0.0 <= p <= 1.0):
+        p = min(1.0, max(0.0, p))
+    df = _spark.createDataFrame([(v,) for v in values], "x double")
+    mine = exact_quantiles(df, "x", [p])
+    builtin = df.agg(F.expr(f"percentile(x, array({p!r}))")).collect()[0][0]
+    tol = 1e-9 * max(1.0, abs(builtin[0]))
+    assert abs(mine[0] - builtin[0]) <= tol, (values, p, mine, builtin)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from([float("inf"), float("-inf"), 0.0, -1e9, 1e9, 1e-9]),
+            st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    st.lists(
+        st.one_of(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.sampled_from([0.0, 1.0, 1e-16, 1 - 1e-16, 0.9999999999999999]),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_infinite_flanks_match_builtin(values, probs):
+    """±inf rows with frac near 0/1: the closed-form region ranks and the
+    symmetric interpolation must agree with Spark's builtin, including
+    sign-keeping across an infinite flank."""
+    import math
+
+    df = _spark.createDataFrame([(v,) for v in values], "x double")
+    mine = exact_quantiles(df, "x", probs)
+    builtin = df.agg(
+        F.expr(f"percentile(x, array({','.join(repr(p) for p in probs)}))")
+    ).collect()[0][0]
+    for a, b in zip(mine, builtin):
+        if math.isnan(b):
+            assert math.isnan(a), (values, probs, mine, builtin)
+        elif math.isinf(b):
+            assert a == b, (values, probs, mine, builtin)
+        else:
+            tol = 1e-9 * max(1.0, abs(b))
+            assert abs(a - b) <= tol, (values, probs, mine, builtin)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_VALUES, _VALUES, _PROBS, _PROBS)
+def test_multi_column_batch_property(xs, ys, px, py):
+    """The struct-explode batched path must equal per-column builtins —
+    ragged lengths (nulls pad the shorter column) included."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles import (
+        exact_quantiles_multi,
+    )
+
+    n = max(len(xs), len(ys))
+    rows = [
+        (xs[i] if i < len(xs) else None, ys[i] if i < len(ys) else None)
+        for i in range(n)
+    ]
+    df = _spark.createDataFrame(rows, "x double, y double")
+    multi = exact_quantiles_multi(df, {"x": px, "y": py})
+    for c, probs in (("x", px), ("y", py)):
+        builtin = df.agg(
+            F.expr(f"percentile({c}, array({','.join(repr(p) for p in probs)}))")
+        ).collect()[0][0]
+        for a, b in zip(multi[c], builtin):
+            tol = 1e-9 * max(1.0, abs(b))
+            assert abs(a - b) <= tol, (c, probs, multi[c], builtin)

@@ -3,10 +3,10 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-7
+verification contract, not cosmetics. These tests pin the round-8
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — the full r1 and r3 cohorts plus the flagship query.
+first — the full r4 cohort plus the oldest r5-cohort remainder.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -21,95 +21,95 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: changed-text tier — fresh driver rows REQUIRED: the frame sampler's
-#: r6 oracle has never been driver-run; decode_dispatch is new this
-#: round; the dedup pair gained the hot-shingle DF cap; the streaming
-#: pair changed in r6 but missed the r6 window (ADVICE r6 item 1); the
-#: three byte-level decodes moved from assert to ValueError validation
-ROUND7_CHANGED_IDS = [
-    "multimodal_frame_sample",
-    "multimodal_decode_dispatch",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "streaming_hour_rollup",
-    "streaming_cdc_compaction",
-    "streaming_view_purchase_join",
-    "streaming_dedup_replay",
-    "streaming_countmin_replay",
-    "streaming_sessionization",
-    "multimodal_ppm_decode",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
+#: changed-text tier — fresh driver rows REQUIRED: median_fill/iqr_clip
+#: consume the r8 quantile-engine fix (0-based rank extraction +
+#: symmetric interpolation; VERDICT r7 item 1) and median_fill's final
+#: rounding moved from Python round() into a Spark F.round expression;
+#: dedup_minhash_lsh gained the lazy `bands` localCheckpoint
+ROUND8_CHANGED_IDS = [
     "median_fill",
     "iqr_clip",
+    "dedup_minhash_lsh",
 ]
 
-#: oldest-first refresh: every op whose latest driver row dates to r1
-ROUND7_R1_COHORT_IDS = [
-    "anti_join_inactive_customers",
-    "basket_concentration_hhi",
-    "brand_revenue_share",
-    "contamination_ngram_check",
-    "corpus_curation",
-    "cube_status_priority",
-    "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_incremental",
-    "mixture_resample",
-    "percent_rank_band",
-    "range_band_join",
-    "regr_linear_fit",
-    "rfm_segments",
-    "rollup_status_priority",
-    "source_mixture_weights",
-    "unigram_cross_entropy",
-    "window_moving_avg",
+#: oldest-first refresh: every live op whose latest driver row dates to
+#: round 4 (staleness 4 entering r8 — the oldest cohort remaining)
+ROUND8_R4_COHORT_IDS = [
+    "asof_join_attribution",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_exact",
+    "eq_filter_group_agg",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "filter_group2_avg2_count_sort",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "global_sort_rowid",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "group_avg_sum2_topk",
+    "group_quantiles",
+    "group_quantiles_scaled",
+    "iqr_clip_scaled",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "median_fill_scaled",
+    "overview_scalars",
+    "pivot_event_counts",
+    "project_dropna",
+    "range_filter_agg",
+    "running_distinct_users",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "sequence_pack_scaled",
+    "sequence_pack_stats",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "stratified_hash_sample",
+    "trend_group_avg_sort",
+    "two_level_agg",
+    "user_event_paths",
+    "value_counts_topk",
+    "vocab_oov_rate",
+    "window_group_median_fill",
+    "window_lag_value_delta",
+    "zscore_normalize",
 ]
 
-#: every live op whose latest driver row dates to r3 (the retired
-#: multimodal_decode_stub id excluded; frame_sample sits in tier 1)
-ROUND7_R3_COHORT_IDS = [
-    "approx_distinct_bound",
-    "approx_quantile_bound",
-    "doc_chunk_explode",
-    "doc_fingerprint",
-    "embedding_int8_quantize",
-    "embedding_neardup_topk",
-    "group_sum2_unpivot",
-    "hash_train_test_split",
-    "multimodal_meta",
-    "pii_scrub_digits",
-    "shard_assignment_balance",
-    "similarity_bruteforce_topk",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_flags",
-    "text_token_count",
-]
-
-#: SURVEY §2.4 parity flagships (r4-era rows) fill the remaining slots
-ROUND7_R4_FLAGSHIP_IDS = [
-    "filter_group_avg_topk",
+#: the leftover slots go to the oldest r5-cohort ops (alphabetical
+#: within the equal-staleness tie; similarity_lsh_bucketed leads as the
+#: round's shared-subtree audit target)
+ROUND8_R5_COHORT_IDS = [
+    "similarity_lsh_bucketed",
+    "assoc_rules_lift",
+    "benford_law_check",
+    "bpe_pair_counts",
+    "brand_copurchase_triangles",
+    "cdc_latest_compaction",
 ]
 
 
-def test_r7_window_is_exactly_the_planned_fifty():
+def test_r8_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = (
-        ROUND7_CHANGED_IDS
-        + ROUND7_R1_COHORT_IDS
-        + ROUND7_R3_COHORT_IDS
-        + ROUND7_R4_FLAGSHIP_IDS
-    )
+    planned = ROUND8_CHANGED_IDS + ROUND8_R4_COHORT_IDS + ROUND8_R5_COHORT_IDS
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
     ]
 
 
-def test_no_registry_entry_left_unchecked_after_r7():
-    """Every registry id either has a driver row from r1–r6 or sits in
-    the r7 window — no op can reach the judge without certification."""
+def test_recheck_list_fits_the_window():
+    """ADVICE r7 item 5: the r7 list held 54 ids against a 50-slot
+    window, silently starving the last four — the list must never
+    exceed the window again."""
+    assert len(ops._RECHECK_FIRST) <= WINDOW
+
+
+def test_no_registry_entry_left_unchecked_after_r8():
+    """Every registry id either has a driver row from r1–r7 or sits in
+    the r8 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -119,12 +119,12 @@ def test_no_registry_entry_left_unchecked_after_r7():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r7 slot: {never}"
+    assert not never, f"ids with no driver row and no r8 slot: {never}"
 
 
-def test_r7_window_covers_the_full_r1_and_r3_cohorts():
-    """The oldest-first policy invariant: after r7 lands green, no op's
-    latest driver certification is older than round 4."""
+def test_r8_window_covers_every_pre_r5_certification():
+    """The oldest-first policy invariant: after r8 lands green, no op's
+    latest driver certification is older than round 5."""
     import glob
     import json
     import os
@@ -135,8 +135,8 @@ def test_r7_window_covers_the_full_r1_and_r3_cohorts():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    stale = [n for n in REGISTRY if latest.get(n, 0) <= 3 and n not in prefix]
-    assert not stale, f"pre-r4 certifications left outside the r7 window: {stale}"
+    stale = [n for n in REGISTRY if latest.get(n, 0) <= 4 and n not in prefix]
+    assert not stale, f"pre-r5 certifications left outside the r8 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

@@ -43,6 +43,10 @@ _RECHECK_FIRST = [
     "median_fill",
     "iqr_clip",
     "dedup_minhash_lsh",
+    #   quantile_profile is NEW this round: the engine certified
+    #   directly at 4 cols × 6 probs (incl. the boundary prob class the
+    #   r8 fix addressed), not only through its two consumers —
+    "quantile_profile",
     # — r4-cohort tier (oldest-first, policy b): every live op whose
     #   latest driver row dates to round 4 —
     "asof_join_attribution",
@@ -94,10 +98,11 @@ _RECHECK_FIRST = [
     "benford_law_check",
     "bpe_pair_counts",
     "brand_copurchase_triangles",
-    "cdc_latest_compaction",
     # r6/r7-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
-    # remaining r5 cohort (27 ops, staleness 3) is r9's natural window.
+    # remaining r5 cohort (28 ops, staleness 3 — cdc_latest_compaction
+    # ceded its slot to the new quantile_profile) is r9's natural
+    # window core.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

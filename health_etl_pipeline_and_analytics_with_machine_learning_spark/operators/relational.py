@@ -572,6 +572,70 @@ def iqr_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile_profile geometry: every numeric lineitem measure × a probe
+#: set that brackets the engine's numeric edges — deep tails (0.01/
+#: 0.99), the quartile core, and the near-1 boundary prob whose
+#: fractional rank collapses under a premature 1-based shift (the r7
+#: Hypothesis counterexample class, BASELINE.md certification
+#: invariant 6)
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_PROBS = (0.01, 0.25, 0.5, 0.75, 0.99, 0.9999999999999999)
+
+
+@query(
+    "quantile_profile",
+    oracle="""
+    SELECT col_name, p, q FROM (
+    """
+    + " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, CAST({p!r} AS DOUBLE) AS p,
+               {round_cmp_sql(f"quantile_cont({c}, {p!r})")} AS q
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+        for p in _PROFILE_PROBS
+    )
+    + """
+    ) ORDER BY col_name, p
+    """,
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column quantile PROFILE — the distributed exact-quantile
+    engine certified directly, not through a single consumer: 4 columns
+    × 6 probs (24 scalars) in the engine's three batched jobs, against
+    DuckDB ``quantile_cont`` at every point. The reference's describe()/
+    quantile calls (Health_Jim.py:222, 332-347) are the 1-column
+    special case of this shape.
+
+    The probe set is chosen adversarially: 0.9999999999999999 is the
+    exact class the r8 fix addressed (``1 + (n-1)·p`` rounds the
+    fractional rank away in IEEE doubles; the engine now derives the
+    0-based position first and interpolates with Spark's symmetric
+    form — certification invariant 6), and 0.01/0.99 exercise deep-tail
+    bucket location where the cumulative histogram is flattest.
+
+    Scale: same contract as ``median_fill`` — stats, histogram, and
+    boundary collects are all bounded (O(N_BUCKETS) driver memory);
+    no per-value aggregation buffer anywhere, so the 100 TB failure
+    mode of builtin exact ``percentile`` (single-state value map) can't
+    occur. The 24 result scalars are metadata-sized; the eager
+    driver-side orchestration is the certified two-phase pattern.
+    """
+    from ..functions.quantiles import exact_quantiles_multi
+
+    li = load(spark, sf_dir, "lineitem")
+    res = exact_quantiles_multi(li, {c: list(_PROFILE_PROBS) for c in _PROFILE_COLS})
+    rows = [
+        (c, float(p), res[c][i])
+        for c in _PROFILE_COLS
+        for i, p in enumerate(_PROFILE_PROBS)
+    ]
+    return (
+        spark.createDataFrame(rows, "col_name string, p double, q double")
+        .select("col_name", "p", round_cmp(F.col("q")).alias("q"))
+        .orderBy("col_name", "p")
+    )
+
+
 @query(
     "corr_matrix",
     oracle=f"""

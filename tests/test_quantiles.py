@@ -43,6 +43,41 @@ def test_edge_cases(spark):
     assert all(math.isnan(v) for v in exact_quantiles(empty, "x", [0.5]))
 
 
+def test_quantile_profile_monotone_and_matches_builtin(spark):
+    """The registered quantile_profile op: q must be nondecreasing in p
+    within each column, and every scalar must match the builtin exact
+    percentile at the op's own probe set (incl. the near-1 boundary
+    prob the r8 rank fix addressed)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.relational import (
+        _PROFILE_COLS,
+        _PROFILE_PROBS,
+        quantile_profile,
+    )
+
+    rows = quantile_profile(spark, SF_CORRECT).collect()
+    assert len(rows) == len(_PROFILE_COLS) * len(_PROFILE_PROBS)
+    by_col: dict[str, list[tuple[float, float]]] = {}
+    for r in rows:
+        by_col.setdefault(r["col_name"], []).append((r["p"], r["q"]))
+    li = load(spark, SF_CORRECT, "lineitem")
+    for c, pq in by_col.items():
+        pq.sort()
+        qs = [q for _, q in pq]
+        assert qs == sorted(qs), (c, pq)
+        builtin = li.agg(
+            F.expr(
+                f"percentile({c}, array({','.join(repr(p) for p, _ in pq)}))"
+            )
+        ).collect()[0][0]
+        import math
+
+        # replicate registry.round_cmp's exact formula (inner 7dp round
+        # absorbs noise, FLOOR(x*1e4+0.5) pins the half-up tie-break)
+        for (_, q), b in zip(pq, builtin):
+            rc = math.floor(round(b, 7) * 1e4 + 0.5) / 1e4
+            assert abs(q - rc) <= 1e-9, (c, pq, builtin)
+
+
 def test_multi_column_batch_matches_per_column(spark):
     li = load(spark, SF_CORRECT, "lineitem")
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles import (

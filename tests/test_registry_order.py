@@ -25,11 +25,14 @@ WINDOW = 50
 #: consume the r8 quantile-engine fix (0-based rank extraction +
 #: symmetric interpolation; VERDICT r7 item 1) and median_fill's final
 #: rounding moved from Python round() into a Spark F.round expression;
-#: dedup_minhash_lsh gained the lazy `bands` localCheckpoint
+#: dedup_minhash_lsh gained the lazy `bands` localCheckpoint;
+#: quantile_profile is NEW (the engine certified directly at 4 cols ×
+#: 6 probs, funded by cdc_latest_compaction ceding its r5-refresh slot)
 ROUND8_CHANGED_IDS = [
     "median_fill",
     "iqr_clip",
     "dedup_minhash_lsh",
+    "quantile_profile",
 ]
 
 #: oldest-first refresh: every live op whose latest driver row dates to
@@ -87,7 +90,6 @@ ROUND8_R5_COHORT_IDS = [
     "benford_law_check",
     "bpe_pair_counts",
     "brand_copurchase_triangles",
-    "cdc_latest_compaction",
 ]
 
 

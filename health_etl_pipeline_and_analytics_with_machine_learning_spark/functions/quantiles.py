@@ -214,7 +214,12 @@ def exact_quantiles_multi(
             frac = pos - int(pos)
             k1 = min(k0 + 1, n)
             sp.append((k0, k1, frac))
-            ks.update((k0, k1))
+            ks.add(k0)
+            # the upper flank is only read when interpolation happens —
+            # skip resolving it for integral positions (saves a bucket
+            # locate+collect whenever p lands exactly on a rank)
+            if frac != 0.0:
+                ks.add(k1)
         specs[c] = sp
         n_neg, lo, hi = st[f"__ni_{c}"], st[f"__lo_{c}"], st[f"__hi_{c}"]
         if st[f"__nf_{c}"] and lo != hi:
@@ -271,16 +276,12 @@ def exact_quantiles_multi(
         fin = (
             v.isNotNull() & ~F.isnan(v) & (v != F.lit(inf)) & (v != F.lit(-inf))
         )
+        col_buckets: list[int] = []
         for i, kk in by_bucket.items():
             j, start = buckets[i], (cum[i - 1] if i else 0)
             if hist[(c, j)] <= MAX_BOUNDARY_COLLECT:
                 walk_plan.append((c, j, start, kk))
-                boundary_structs.append(
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.when(fin & (_bucket_expr(v, lo, width) == j), v).alias("v"),
-                    )
-                )
+                col_buckets.append(j)
             else:
                 sub = df.filter(fin & (_bucket_expr(v, lo, width) == j)).select(
                     v.alias("v")
@@ -289,6 +290,23 @@ def exact_quantiles_multi(
                 resolved[c].update(
                     _kth_smallest(sub, kk, sst["l"], sst["h"], base=start)
                 )
+        if col_buckets:
+            # ONE struct per COLUMN, not per (column, bucket): the
+            # boundary job explodes this array over every row, so its
+            # width is the job's row multiplier — a 6-prob profile over
+            # 4 columns needs ~30 buckets, and per-bucket structs made
+            # the explode 30× the table (measured 6.5 s at sf0.1 vs
+            # ~1.9 s with per-column membership filters). The
+            # driver-side walk regroups values by bucket via _bucket_of
+            # anyway, so only membership must be decided JVM-side.
+            boundary_structs.append(
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.when(
+                        fin & _bucket_expr(v, lo, width).isin(col_buckets), v
+                    ).alias("v"),
+                )
+            )
     if boundary_structs:
         rows = (
             df.select(F.explode(F.array(*boundary_structs)).alias("s"))

@@ -112,15 +112,19 @@ def grouped_exact_quantiles(
         (hi - F.col("__cnt") + 1).alias("__lo"),
     )
 
-    # flank-and-interpolate, one conditional aggregate per probe:
-    # t = 1 + (n-1)p, k = floor(t); the group's value at positions k and
-    # min(k+1, n) is max(v WHERE lo<=k<=hi) — exactly one distinct value
-    # covers any position, so max() is just "the" value.
+    # flank-and-interpolate, one conditional aggregate per probe: the
+    # 0-based position pos = (n-1)p comes FIRST, then the 1-based shift
+    # (certification invariant 6: 1 + (n-1)p rounds the fractional part
+    # away in IEEE doubles when (n-1)p sits just below an integer — the
+    # r7 Hypothesis find in the selection engine, same class here); the
+    # group's value at positions k and min(k+1, n) is
+    # max(v WHERE lo<=k<=hi) — exactly one distinct value covers any
+    # position, so max() is just "the" value.
     n = F.col("__n")
     aggs, finals = [], []
     for i, p in enumerate(probs):
-        t = F.lit(1.0) + (n - 1).cast("double") * F.lit(float(p))
-        k_lo = F.floor(t).cast("long")
+        posc = (n - 1).cast("double") * F.lit(float(p))
+        k_lo = (F.floor(posc) + F.lit(1)).cast("long")
         k_hi = F.least(k_lo + 1, n)
         aggs.append(
             F.max(F.when((F.col("__lo") <= k_lo) & (F.col("__hi") >= k_lo), F.col("__v"))).alias(f"__vlo_{i}")
@@ -130,10 +134,21 @@ def grouped_exact_quantiles(
         )
     grouped = pos.groupBy(*keys, "__n").agg(*aggs)
     for i, p in enumerate(probs):
-        t = F.lit(1.0) + (F.col("__n") - 1).cast("double") * F.lit(float(p))
-        frac = t - F.floor(t)
+        posf = (F.col("__n") - 1).cast("double") * F.lit(float(p))
+        frac = posf - F.floor(posf)
+        # symmetric interpolation on all flanks (invariant 6): the
+        # one-sided vlo + frac·(vhi−vlo) drifts under cancellation and
+        # NaNs when a flank is infinite. frac == 0 short-circuits to
+        # the lower flank (the builtin's lower==higher case) so an
+        # upper flank that is ±inf/NaN can't poison an integral rank
+        # via 0·inf
         finals.append(
-            (F.col(f"__vlo_{i}") + frac * (F.col(f"__vhi_{i}") - F.col(f"__vlo_{i}"))).alias(f"q_{i}")
+            F.when(frac == F.lit(0.0), F.col(f"__vlo_{i}"))
+            .otherwise(
+                F.col(f"__vlo_{i}") * (F.lit(1.0) - frac)
+                + F.col(f"__vhi_{i}") * frac
+            )
+            .alias(f"q_{i}")
         )
     return grouped.select(*keys, F.col("__n").alias("n"), *finals)
 

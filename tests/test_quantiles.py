@@ -309,6 +309,47 @@ def test_infinite_flanks_match_builtin(values, probs):
             assert abs(a - b) <= tol, (values, probs, mine, builtin)
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), st.sampled_from(_POOL)),
+        min_size=1,
+        max_size=40,
+    ),
+    _PROBS,
+)
+@example(rows=[(0, 0.0), (0, -1e9)], probs=[0.9999999999999999])
+def test_grouped_engine_matches_builtin_per_group(rows, probs):
+    """The all-in-plan grouped engine (operators.scaled) must agree with
+    the builtin exact percentile per group — including the boundary-prob
+    class fixed under certification invariant 6 (0-based position before
+    the 1-based shift, symmetric interpolation, frac==0 short-circuit)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.scaled import (
+        grouped_exact_quantiles,
+    )
+
+    df = _spark.createDataFrame([(g, v) for g, v in rows], "g int, v double")
+    got = {
+        r["g"]: [r[f"q_{i}"] for i in range(len(probs))]
+        for r in grouped_exact_quantiles(df, ["g"], "v", probs, n_parts=4).collect()
+    }
+    want = {
+        r["g"]: r["qs"]
+        for r in df.groupBy("g")
+        .agg(
+            F.expr(
+                f"percentile(v, array({','.join(repr(p) for p in probs)}))"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(got) == set(want), (rows, probs)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            tol = 1e-9 * max(1.0, abs(b))
+            assert abs(a - b) <= tol, (g, rows, probs, got[g], want[g])
+
+
 @settings(max_examples=10, deadline=None)
 @given(_VALUES, _VALUES, _PROBS, _PROBS)
 def test_multi_column_batch_property(xs, ys, px, py):

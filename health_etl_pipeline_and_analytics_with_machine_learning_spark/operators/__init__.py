@@ -33,7 +33,7 @@ from .registry import REGISTRY as _R
 #: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
 #: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
 #: the leftover slots. After r8 lands green, max staleness is 3 rounds
-#: (the remaining 27 r5-cohort ops — r9's natural window core).
+#: (the remaining 28 r5-cohort ops — r9's natural window core).
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
     #   median_fill/iqr_clip consume the quantile engine's r8 bug fix

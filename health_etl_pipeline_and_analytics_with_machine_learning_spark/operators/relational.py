@@ -476,10 +476,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "median_fill",
     oracle=f"""
-    SELECT ROUND(MEDIAN(l_quantity), {DP}) AS med_qty,
-           ROUND(MEDIAN(l_extendedprice), {DP}) AS med_price,
-           ROUND(MEDIAN(l_discount), {DP}) AS med_discount,
-           ROUND(MEDIAN(l_tax), {DP}) AS med_tax
+    SELECT {round_cmp_sql("MEDIAN(l_quantity)")} AS med_qty,
+           {round_cmp_sql("MEDIAN(l_extendedprice)")} AS med_price,
+           {round_cmp_sql("MEDIAN(l_discount)")} AS med_discount,
+           {round_cmp_sql("MEDIAN(l_tax)")} AS med_tax
     FROM lineitem
     """,
 )
@@ -517,12 +517,15 @@ def median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             meds["l_tax"][0],
         )
     ]
-    # round in a Spark expression, not Python round(): F.round is
-    # HALF_UP (ties away from zero) like DuckDB's ROUND, while Python's
-    # builtin is half-to-even — keep the certified rounding rule
+    # round via the round_cmp/round_cmp_sql PAIR (certification
+    # invariant 3), not Python round() (half-to-even) and not bare
+    # ROUND either — plain ROUND itself diverges between Spark
+    # (BigDecimal HALF_UP on the exact binary expansion) and DuckDB
+    # (scaled-double rounding) at half-boundaries, which is the exact
+    # divergence round_cmp pins away
     return spark.createDataFrame(
         row, "med_qty double, med_price double, med_discount double, med_tax double"
-    ).select(*(F.round(F.col(c), DP).alias(c) for c in ("med_qty", "med_price", "med_discount", "med_tax")))
+    ).select(*(round_cmp(F.col(c)).alias(c) for c in ("med_qty", "med_price", "med_discount", "med_tax")))
 
 
 @query(

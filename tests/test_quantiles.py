@@ -71,8 +71,11 @@ def test_quantile_profile_monotone_and_matches_builtin(spark):
         ).collect()[0][0]
         import math
 
-        # replicate registry.round_cmp's exact formula (inner 7dp round
-        # absorbs noise, FLOOR(x*1e4+0.5) pins the half-up tie-break)
+        # round_cmp's formula, with Python round() standing in for the
+        # inner F.round — NOT bit-identical at a 7dp half-boundary
+        # (half-to-even vs BigDecimal HALF_UP), but the outer
+        # FLOOR(x*1e4+0.5) only feels that ulp if the value also sits
+        # on a 4dp boundary, and the 1e-9 tolerance absorbs it
         for (_, q), b in zip(pq, builtin):
             rc = math.floor(round(b, 7) * 1e4 + 0.5) / 1e4
             assert abs(q - rc) <= 1e-9, (c, pq, builtin)

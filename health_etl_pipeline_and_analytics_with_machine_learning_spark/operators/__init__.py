@@ -33,7 +33,7 @@ from .registry import REGISTRY as _R
 #: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
 #: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
 #: the leftover slots. After r8 lands green, max staleness is 3 rounds
-#: (the remaining 28 r5-cohort ops — r9's natural window core).
+#: (the remaining 29 r5-cohort ops — r9's natural window core).
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
     #   median_fill/iqr_clip consume the quantile engine's r8 bug fix
@@ -45,8 +45,11 @@ _RECHECK_FIRST = [
     "dedup_minhash_lsh",
     #   quantile_profile is NEW this round: the engine certified
     #   directly at 4 cols × 6 probs (incl. the boundary prob class the
-    #   r8 fix addressed), not only through its two consumers —
+    #   r8 fix addressed), not only through its two consumers;
+    #   split_leakage_check is NEW too (cross-split near-dup audit —
+    #   hash split × blocked embedding cosine) —
     "quantile_profile",
+    "split_leakage_check",
     # — r4-cohort tier (oldest-first, policy b): every live op whose
     #   latest driver row dates to round 4 —
     "asof_join_attribution",
@@ -94,14 +97,14 @@ _RECHECK_FIRST = [
     #   equal-staleness tie; similarity_lsh_bucketed leads as this
     #   round's shared-subtree audit target) —
     "similarity_lsh_bucketed",
-    "assoc_rules_lift",
     "benford_law_check",
     "bpe_pair_counts",
     "brand_copurchase_triangles",
     # r6/r7-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
-    # remaining r5 cohort (28 ops, staleness 3 — cdc_latest_compaction
-    # ceded its slot to the new quantile_profile) is r9's natural
+    # remaining r5 cohort (29 ops, staleness 3 — cdc_latest_compaction
+    # and assoc_rules_lift ceded their slots to the new
+    # quantile_profile and split_leakage_check) is r9's natural
     # window core.
 ]
 

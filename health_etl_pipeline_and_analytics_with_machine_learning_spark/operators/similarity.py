@@ -705,3 +705,104 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: split-leakage geometry: the deterministic ~80/20 md5 split shared
+#: with hash_train_test_split (prep.py), and a cosine bar high enough
+#: that a leak is a genuine near-duplicate, not ambient similarity
+#: (this corpus's cross-split cosine P99.9 ≈ 0.37; measured max ≈ 0.47)
+_LEAK_SPLIT_HEX = "cd"
+_LEAK_COSINE = 0.35
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+                       < '{_LEAK_SPLIT_HEX}'
+                  THEN 1 ELSE 0 END AS tr
+      FROM embeddings
+    ),
+    counts AS (
+      SELECT label,
+             CAST(SUM(tr) AS BIGINT) AS n_train,
+             CAST(SUM(1 - tr) AS BIGINT) AS n_test
+      FROM e GROUP BY label
+    ),
+    leaks AS (
+      SELECT a.label, ROUND(list_cosine_similarity(a.v, b.v), 6) AS c
+      FROM e a JOIN e b ON a.label = b.label AND a.tr = 1 AND b.tr = 0
+    ),
+    agg AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_leak_pairs,
+             MAX(c) AS max_cosine
+      FROM leaks WHERE c >= {_LEAK_COSINE!r} GROUP BY label
+    )
+    SELECT c.label, c.n_train, c.n_test,
+           COALESCE(a.n_leak_pairs, 0) AS n_leak_pairs,
+           CAST(COALESCE(a.max_cosine, -1.0) AS DOUBLE) AS max_cosine
+    FROM counts c LEFT JOIN agg a USING (label)
+    ORDER BY c.label
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that CROSS the
+    deterministic hash split — the eval-contamination check every
+    training pipeline needs before trusting held-out metrics (a test
+    doc whose near-duplicate sits in train inflates eval scores without
+    any literal id overlap). Composes two certified primitives: the
+    md5 hash split (hash_train_test_split) and blocked embedding-cosine
+    near-dup (embedding_neardup_topk).
+
+    Output: one row per label block — split sizes, the number of
+    cross-split pairs with rounded cosine ≥ {_LEAK_COSINE}, and the
+    worst offender's cosine (−1.0 sentinel when the block is clean;
+    recorded leak cosines are ≥ the bar, so the sentinel is
+    unambiguous).
+
+    Scale shape: the pair join is blocked on the label key (production
+    swaps in an LSH bucket key, same plan) — Σ|block|² work, never n²;
+    the split predicate is a row-local md5 expression, so the join
+    prunes to the 0.8·0.2 cross fraction of each block with no extra
+    pass; the per-block audit row is one partial-aggregated shuffle.
+    The threshold compares ROUNDED cosine (6dp, both engines) so
+    boundary pairs can't flip membership on engine FP noise."""
+    e = _emb(spark, sf_dir).withColumn(
+        "tr",
+        F.substring(
+            F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), 1, 2
+        )
+        < _LEAK_SPLIT_HEX,
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.col("tr").cast("int")).cast("long").alias("n_train"),
+        F.sum((~F.col("tr")).cast("int")).cast("long").alias("n_test"),
+    )
+    a = e.filter(F.col("tr")).alias("a")
+    b = e.filter(~F.col("tr")).alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    leaks = (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .select(F.col("a.label").alias("label"), cos.alias("c"))
+        .filter(F.col("c") >= _LEAK_COSINE)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leak_pairs"),
+            F.max("c").alias("max_cosine"),
+        )
+    )
+    return (
+        counts.join(leaks, "label", "left")
+        .select(
+            "label",
+            "n_train",
+            "n_test",
+            F.coalesce("n_leak_pairs", F.lit(0).cast("long")).alias("n_leak_pairs"),
+            F.coalesce("max_cosine", F.lit(-1.0)).alias("max_cosine"),
+        )
+        .orderBy("label")
+    )

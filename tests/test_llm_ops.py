@@ -331,3 +331,47 @@ def test_encode_decode_roundtrip_matches_closed_forms():
         assert size == multimodal._WAV_HDR + 2 * n
 
     check()
+
+
+def test_split_leakage_audit_is_consistent_with_split_and_neardup(spark):
+    """split_leakage_check composes the md5 hash split and blocked
+    cosine near-dup: per-label split sizes must sum to the label's
+    corpus size, a clean block must carry the -1.0 sentinel, and every
+    reported leak must clear the cosine bar (recomputed independently
+    from the corpus here)."""
+    rows = similarity.split_leakage_check(spark, SF_CORRECT).collect()
+    e = similarity._emb(spark, SF_CORRECT)
+    sizes = {r["label"]: r["n"] for r in e.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    assert {r["label"] for r in rows} == set(sizes)
+    total_leaks = 0
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == sizes[r["label"]], r
+        if r["n_leak_pairs"] == 0:
+            assert r["max_cosine"] == -1.0, r
+        else:
+            assert r["max_cosine"] >= similarity._LEAK_COSINE, r
+            total_leaks += r["n_leak_pairs"]
+    assert total_leaks > 0, "synthetic corpus should contain cross-split leaks"
+
+    # independent recompute of the worst offender per leaking label
+    tr = (
+        F.substring(F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), 1, 2)
+        < similarity._LEAK_SPLIT_HEX
+    )
+    e2 = e.withColumn("tr", tr)
+    a, b = e2.filter(F.col("tr")).alias("a"), e2.filter(~F.col("tr")).alias("b")
+    cos = F.round(
+        similarity._dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    best = {
+        r["label"]: r["m"]
+        for r in a.join(b, F.col("a.label") == F.col("b.label"))
+        .select(F.col("a.label").alias("label"), cos.alias("c"))
+        .filter(F.col("c") >= similarity._LEAK_COSINE)
+        .groupBy("label")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        if r["n_leak_pairs"]:
+            assert r["max_cosine"] == best[r["label"]], r

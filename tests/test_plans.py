@@ -123,7 +123,7 @@ def test_rollup_is_single_pass_expand(spark):
 def test_neardup_joins_are_equi_not_cartesian(spark):
     # every near-dup candidate join must be an equi-join on a blocking
     # key (label / shingle / band) — the difference between Σfreq² and n²
-    for name in ("embedding_neardup_topk", "dedup_ngram_jaccard", "simhash_near_pairs", "dedup_minhash_lsh"):
+    for name in ("embedding_neardup_topk", "dedup_ngram_jaccard", "simhash_near_pairs", "dedup_minhash_lsh", "split_leakage_check"):
         strategies = join_strategies(q(name, spark))
         assert "CartesianProduct" not in strategies, name
         assert "BroadcastNestedLoopJoin" not in strategies, name

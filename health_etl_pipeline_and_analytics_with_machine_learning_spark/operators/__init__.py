@@ -33,7 +33,7 @@ from .registry import REGISTRY as _R
 #: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
 #: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
 #: the leftover slots. After r8 lands green, max staleness is 3 rounds
-#: (the remaining 29 r5-cohort ops — r9's natural window core).
+#: (the remaining 30 r5-cohort ops — r9's natural window core).
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
     #   median_fill/iqr_clip consume the quantile engine's r8 bug fix
@@ -48,8 +48,12 @@ _RECHECK_FIRST = [
     #   r8 fix addressed), not only through its two consumers;
     #   split_leakage_check is NEW too (cross-split near-dup audit —
     #   hash split × blocked embedding cosine) —
+    #   source_quantile_normalize is NEW as well (cross-source score
+    #   calibration onto the global quantile scale — invariant-6 math
+    #   over the funnel-free global rank table) —
     "quantile_profile",
     "split_leakage_check",
+    "source_quantile_normalize",
     # — r4-cohort tier (oldest-first, policy b): every live op whose
     #   latest driver row dates to round 4 —
     "asof_join_attribution",
@@ -97,15 +101,13 @@ _RECHECK_FIRST = [
     #   equal-staleness tie; similarity_lsh_bucketed leads as this
     #   round's shared-subtree audit target) —
     "similarity_lsh_bucketed",
-    "benford_law_check",
     "bpe_pair_counts",
     "brand_copurchase_triangles",
     # r6/r7-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
-    # remaining r5 cohort (29 ops, staleness 3 — cdc_latest_compaction
-    # and assoc_rules_lift ceded their slots to the new
-    # quantile_profile and split_leakage_check) is r9's natural
-    # window core.
+    # remaining r5 cohort (30 ops, staleness 3 — cdc_latest_compaction,
+    # assoc_rules_lift, and benford_law_check ceded their slots to the
+    # three new r8 ops) is r9's natural window core.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -390,3 +390,105 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "source_quantile_normalize",
+    oracle=f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    g AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS raw,
+             PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+      FROM documents
+    ),
+    k AS (
+      SELECT source, raw,
+             CAST(1 + FLOOR((n - 1) * pr) AS BIGINT) AS k0,
+             (n - 1) * pr - FLOOR((n - 1) * pr) AS frac,
+             LEAST(CAST(1 + FLOOR((n - 1) * pr) AS BIGINT) + 1,
+                   CAST(n AS BIGINT)) AS k1
+      FROM p, nn
+    ),
+    j AS (
+      SELECT k.source, k.raw,
+             CASE WHEN k.frac = 0 THEN g0.v
+                  ELSE g0.v * (1 - k.frac) + g1.v * k.frac END AS norm
+      FROM k JOIN g g0 ON g0.r = k.k0 JOIN g g1 ON g1.r = k.k1
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {round_cmp_sql("AVG(raw)")} AS avg_raw,
+           {round_cmp_sql("AVG(norm)")} AS avg_norm,
+           {round_cmp_sql("MIN(norm)")} AS min_norm,
+           {round_cmp_sql("MAX(norm)")} AS max_norm
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION of a per-doc score (n_chars
+    here; any quality score in production): each doc's value is replaced
+    by the GLOBAL distribution's value at the doc's within-source
+    percentile — the calibration step that makes per-source quality
+    scores comparable before mixture sampling (a "0.8 quality" web doc
+    and a "0.8" code doc otherwise mean different things; after
+    normalization equal scores mean equal global rank).
+
+    Mechanics (certification invariant 6 throughout): within-source
+    PERCENT_RANK → 0-based global position pos = (N−1)·pr computed
+    BEFORE the 1-based shift → symmetric interpolation between the
+    global order statistics at the flanking ranks, frac == 0
+    short-circuited. The per-source audit row aggregates raw vs
+    normalized moments.
+
+    Scale shape: the global rank table comes from the funnel-free
+    two-phase record-id pattern (``with_record_id(mode='scaled')`` —
+    range-repartition + per-partition offsets, no global window); the
+    flank lookups are two equi-joins on the rank key; the per-source
+    window sorts only within each source partition. The only driver
+    scalar is the corpus count. At 100 TB nothing funnels: ranks,
+    percentiles, and joins are all keyed shuffles."""
+    from .record_id import with_record_id
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()  # metadata-sized driver scalar (same device as median_fill)
+    g = with_record_id(
+        d.select(F.col("n_chars").cast("double").alias("v"), "doc_id"),
+        ["v", "doc_id"],
+        id_col="r",
+        mode="scaled",
+    ).select("r", "v")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    p = d.select(
+        "source",
+        F.col("n_chars").cast("double").alias("raw"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    pos = F.lit(float(n - 1)) * F.col("pr")
+    k0 = (F.floor(pos) + F.lit(1)).cast("long")
+    frac = pos - F.floor(pos)
+    k1 = F.least(k0 + F.lit(1), F.lit(n).cast("long"))
+    k = p.select(
+        "source", "raw", k0.alias("k0"), frac.alias("frac"), k1.alias("k1")
+    )
+    j = k.join(g.select(F.col("r").alias("k0"), F.col("v").alias("v0")), "k0").join(
+        g.select(F.col("r").alias("k1"), F.col("v").alias("v1")), "k1"
+    )
+    norm = F.when(F.col("frac") == F.lit(0.0), F.col("v0")).otherwise(
+        F.col("v0") * (F.lit(1.0) - F.col("frac")) + F.col("v1") * F.col("frac")
+    )
+    return (
+        j.withColumn("norm", norm)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_cmp(F.avg("raw")).alias("avg_raw"),
+            round_cmp(F.avg("norm")).alias("avg_norm"),
+            round_cmp(F.min("norm")).alias("min_norm"),
+            round_cmp(F.max("norm")).alias("max_norm"),
+        )
+        .orderBy("source")
+    )

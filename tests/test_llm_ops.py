@@ -375,3 +375,30 @@ def test_split_leakage_audit_is_consistent_with_split_and_neardup(spark):
     for r in rows:
         if r["n_leak_pairs"]:
             assert r["max_cosine"] == best[r["label"]], r
+
+
+def test_source_quantile_normalize_hits_global_extremes(spark):
+    """Quantile normalization invariants: per-source doc counts sum to
+    the corpus; the lowest doc of ANY source maps to the global minimum
+    (pr=0 → rank 1) and the highest to the global maximum (pr=1 →
+    rank N), so min-of-min_norm / max-of-max_norm equal the raw global
+    extremes; every normalized value stays inside [global min, max]."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.curation import (
+        source_quantile_normalize,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    rows = source_quantile_normalize(spark, SF_CORRECT).collect()
+    d = load(spark, SF_CORRECT, "documents")
+    n = d.count()
+    lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert min(r["min_norm"] for r in rows) == float(lo)
+    assert max(r["max_norm"] for r in rows) == float(hi)
+    for r in rows:
+        assert float(lo) <= r["min_norm"] <= r["max_norm"] <= float(hi), r
+        # every source's floor maps to the global minimum and its
+        # ceiling to the global maximum — pr spans [0,1] per source
+        assert r["min_norm"] == float(lo) and r["max_norm"] == float(hi), r

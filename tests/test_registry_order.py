@@ -27,15 +27,18 @@ WINDOW = 50
 #: rounding moved from Python round() into a Spark F.round expression;
 #: dedup_minhash_lsh gained the lazy `bands` localCheckpoint;
 #: quantile_profile is NEW (the engine certified directly at 4 cols ×
-#: 6 probs) and split_leakage_check is NEW (cross-split near-dup
-#: audit) — funded by cdc_latest_compaction and assoc_rules_lift
-#: ceding their r5-refresh slots
+#: 6 probs), split_leakage_check is NEW (cross-split near-dup audit),
+#: and source_quantile_normalize is NEW (cross-source calibration onto
+#: the global quantile scale) — funded by cdc_latest_compaction,
+#: assoc_rules_lift, and benford_law_check ceding their r5-refresh
+#: slots
 ROUND8_CHANGED_IDS = [
     "median_fill",
     "iqr_clip",
     "dedup_minhash_lsh",
     "quantile_profile",
     "split_leakage_check",
+    "source_quantile_normalize",
 ]
 
 #: oldest-first refresh: every live op whose latest driver row dates to
@@ -89,7 +92,6 @@ ROUND8_R4_COHORT_IDS = [
 #: round's shared-subtree audit target)
 ROUND8_R5_COHORT_IDS = [
     "similarity_lsh_bucketed",
-    "benford_law_check",
     "bpe_pair_counts",
     "brand_copurchase_triangles",
 ]

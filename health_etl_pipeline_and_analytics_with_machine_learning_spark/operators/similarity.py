@@ -707,11 +707,15 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: split-leakage geometry: the deterministic ~80/20 md5 split shared
-#: with hash_train_test_split (prep.py), and a cosine bar high enough
-#: that a leak is a genuine near-duplicate, not ambient similarity
-#: (this corpus's cross-split cosine P99.9 ≈ 0.37; measured max ≈ 0.47)
-_LEAK_SPLIT_HEX = "cd"
+#: split-leakage geometry: the deterministic ~80/20 md5 split IMPORTED
+#: from hash_train_test_split (prep.py) — the audit is only meaningful
+#: against the exact split training uses, so the constant must be the
+#: same object, not a copy that can drift — and a cosine bar high
+#: enough that a leak is a genuine near-duplicate, not ambient
+#: similarity (this corpus's cross-split cosine P99.9 ≈ 0.37; measured
+#: max ≈ 0.47)
+from .prep import _SPLIT_HEX as _LEAK_SPLIT_HEX  # noqa: E402
+
 _LEAK_COSINE = 0.35
 
 

@@ -33,7 +33,7 @@ from .registry import REGISTRY as _R
 #: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
 #: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
 #: the leftover slots. After r8 lands green, max staleness is 3 rounds
-#: (the remaining 30 r5-cohort ops — r9's natural window core).
+#: (the remaining 32 r5-cohort ops — r9's natural window core).
 _RECHECK_FIRST = [
     # — changed-text tier: fresh driver rows REQUIRED (window policy a).
     #   median_fill/iqr_clip consume the quantile engine's r8 bug fix
@@ -51,9 +51,14 @@ _RECHECK_FIRST = [
     #   source_quantile_normalize is NEW as well (cross-source score
     #   calibration onto the global quantile scale — invariant-6 math
     #   over the funnel-free global rank table) —
+    #   truncation_loss_curve and doc_self_repetition round out the r8
+    #   curation additions (context-length audit; intra-doc shingle
+    #   repetition) —
     "quantile_profile",
     "split_leakage_check",
     "source_quantile_normalize",
+    "truncation_loss_curve",
+    "doc_self_repetition",
     # — r4-cohort tier (oldest-first, policy b): every live op whose
     #   latest driver row dates to round 4 —
     "asof_join_attribution",
@@ -101,13 +106,12 @@ _RECHECK_FIRST = [
     #   equal-staleness tie; similarity_lsh_bucketed leads as this
     #   round's shared-subtree audit target) —
     "similarity_lsh_bucketed",
-    "bpe_pair_counts",
-    "brand_copurchase_triangles",
     # r6/r7-green residents rotated out this round (unchanged text,
     # local differential still covers them every test session); the
-    # remaining r5 cohort (30 ops, staleness 3 — cdc_latest_compaction,
-    # assoc_rules_lift, and benford_law_check ceded their slots to the
-    # three new r8 ops) is r9's natural window core.
+    # remaining r5 cohort (32 ops, staleness 3 — cdc_latest_compaction,
+    # assoc_rules_lift, benford_law_check, bpe_pair_counts, and
+    # brand_copurchase_triangles ceded their slots to the five new r8
+    # ops) is r9's natural window core.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -536,3 +536,69 @@ def sequence_pack_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__pid", "__off")
     )
     return _pack_stats(pos)
+
+
+#: context-length candidates for the truncation audit — powers of two
+#: bracketing this corpus's whitespace-token distribution
+_TRUNC_LENS = (64, 128, 256, 512)
+
+
+@query(
+    "truncation_loss_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      FROM documents
+    )
+    SELECT CAST(v.L AS BIGINT) AS max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > v.L THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_truncated,
+           CAST(SUM(LEAST(n_tok, v.L)) AS BIGINT) AS kept_tokens,
+           {round_cmp_sql("1.0 - SUM(LEAST(n_tok, v.L)) * 1.0 / SUM(n_tok)")}
+             AS loss_frac
+    FROM toks CROSS JOIN (VALUES {", ".join(f"({L})" for L in _TRUNC_LENS)}) v(L)
+    GROUP BY v.L ORDER BY max_len
+    """,
+)
+def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length TRUNCATION audit: for each candidate max sequence
+    length, how many documents get cut and what fraction of the
+    corpus's tokens is lost — the curve that picks a training context
+    length (packing efficiency vs content loss; the complement of
+    sequence_pack_stats, which assumes the length is already chosen).
+    Token counts use the same whitespace-token definition as
+    ``text_token_count``.
+
+    Scale shape: tokens are a row-local expression; the candidate
+    lengths expand IN-ROW (``explode`` of a 4-element literal array —
+    one Expand, no join), and the curve is one partial-aggregated
+    shuffle of |lengths| groups. No funnel anywhere; 100 TB cost is one
+    scan plus a 4-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+    rows = d.select(
+        n_tok.alias("n_tok"),
+        F.explode(F.array(*[F.lit(L) for L in _TRUNC_LENS])).alias("max_len"),
+    )
+    kept = F.sum(F.least(F.col("n_tok"), F.col("max_len")))
+    return (
+        rows.groupBy(F.col("max_len").cast("long").alias("max_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > F.col("max_len")).cast("int"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            kept.cast("long").alias("kept_tokens"),
+            round_cmp(
+                F.lit(1.0) - kept * F.lit(1.0) / F.sum("n_tok")
+            ).alias("loss_frac"),
+        )
+        .orderBy("max_len")
+    )

@@ -792,3 +792,89 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: a doc repeating more than this fraction of its word-3-gram shingles
+#: is flagged (corpus P99 ≈ 0.018, max ≈ 0.071 — the bar catches the
+#: tail without flagging ordinary prose)
+_SELF_REP_FLAG = 0.01
+
+
+@query(
+    "doc_self_repetition",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             greatest(len(toks) - 2, 0) AS total,
+             CASE WHEN len(toks) >= 3 THEN
+               len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+             ELSE 0 END AS uniq
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+            FROM documents)
+    ),
+    rr AS (
+      SELECT lang, ROUND(1.0 - uniq * 1.0 / total, 6) AS rep
+      FROM sh WHERE total > 0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {round_cmp_sql("AVG(rep)")} AS avg_rep,
+           {round_cmp_sql("MAX(rep)")} AS max_rep,
+           CAST(SUM(CASE WHEN rep >= {_SELF_REP_FLAG!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM rr GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition score: the fraction of a doc's word
+    3-gram shingles that are repeats of an earlier shingle in the SAME
+    doc (1 − distinct/total) — the self-similarity rung of the
+    repetition ladder (``text_repetition_flags`` tracks top-word share;
+    this catches looping/boilerplate passages whose vocabulary looks
+    normal but whose phrase structure cycles, the classic generation-
+    artifact filter). Docs under 3 tokens carry no shingles and are
+    excluded from the audit.
+
+    Scale shape: shingling, dedup, and the rate are all IN-ROW array
+    expressions (``transform``/``array_distinct`` over the token
+    array — no explode, no shuffle of shingle rows, unlike the
+    cross-doc dedup family which must shuffle the inverted index); the
+    per-language audit is one partial-aggregated shuffle of |lang|
+    groups. The flag threshold compares the ROUNDED rate (6dp, both
+    engines) so boundary docs can't flip on FP noise."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    sh = d.select(
+        "lang",
+        F.greatest(n - 2, F.lit(0)).alias("total"),
+        F.when(n >= 3, F.size(F.array_distinct(shingles)))
+        .otherwise(F.lit(0))
+        .alias("uniq"),
+    )
+    rep = F.round(F.lit(1.0) - F.col("uniq") * F.lit(1.0) / F.col("total"), 6)
+    return (
+        sh.filter(F.col("total") > 0)
+        .select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_cmp(F.avg("rep")).alias("avg_rep"),
+            round_cmp(F.max("rep")).alias("max_rep"),
+            F.sum((F.col("rep") >= _SELF_REP_FLAG).cast("int"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )

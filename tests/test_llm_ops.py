@@ -417,3 +417,61 @@ def test_source_quantile_normalize_hits_global_extremes(spark):
         assert r["min_norm"] == float(lo), r
         if r["source"] in untied_max:
             assert r["max_norm"] == float(hi), r
+
+
+def test_truncation_loss_curve_is_monotone_and_consistent(spark):
+    """More context is never worse: kept tokens nondecreasing and loss
+    fraction nonincreasing in max_len; counts reconcile with an
+    independent token recompute."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.prep import (
+        truncation_loss_curve,
+        _TRUNC_LENS,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    rows = sorted(
+        truncation_loss_curve(spark, SF_CORRECT).collect(), key=lambda r: r["max_len"]
+    )
+    assert [r["max_len"] for r in rows] == list(_TRUNC_LENS)
+    d = load(spark, SF_CORRECT, "documents")
+    t = F.col("text")
+    n_tok = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+    n_docs, total = d.select(n_tok.alias("n")).agg(
+        F.count(F.lit(1)), F.sum("n")
+    ).first()
+    kept_prev, loss_prev = -1, 2.0
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert 0 <= r["kept_tokens"] <= total
+        assert 0.0 <= r["loss_frac"] < 1.0
+        assert r["kept_tokens"] >= kept_prev and r["loss_frac"] <= loss_prev, r
+        kept_prev, loss_prev = r["kept_tokens"], r["loss_frac"]
+        assert (r["n_docs_truncated"] == 0) == (r["kept_tokens"] == total), r
+
+
+def test_doc_self_repetition_bounds_and_population(spark):
+    """Rates live in [0, 1]; flagged docs never exceed the audited
+    population; the audited population is exactly the docs carrying at
+    least one shingle (>= 3 normalized tokens)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        doc_self_repetition,
+        _norm,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    rows = doc_self_repetition(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_rep"] <= r["max_rep"] <= 1.0, r
+        assert 0 <= r["n_flagged"] <= r["n_docs"], r
+    d = load(spark, SF_CORRECT, "documents")
+    eligible = d.filter(F.size(F.split(_norm(F.col("text")), " ")) >= 3).count()
+    assert sum(r["n_docs"] for r in rows) == eligible

@@ -26,12 +26,13 @@ WINDOW = 50
 #: symmetric interpolation; VERDICT r7 item 1) and median_fill's final
 #: rounding moved from Python round() into a Spark F.round expression;
 #: dedup_minhash_lsh gained the lazy `bands` localCheckpoint;
-#: quantile_profile is NEW (the engine certified directly at 4 cols ×
-#: 6 probs), split_leakage_check is NEW (cross-split near-dup audit),
-#: and source_quantile_normalize is NEW (cross-source calibration onto
-#: the global quantile scale) — funded by cdc_latest_compaction,
-#: assoc_rules_lift, and benford_law_check ceding their r5-refresh
-#: slots
+#: five NEW r8 ops hold changed-text slots: quantile_profile (the
+#: engine certified directly at 4 cols × 6 probs), split_leakage_check
+#: (cross-split near-dup audit), source_quantile_normalize
+#: (cross-source calibration onto the global quantile scale),
+#: truncation_loss_curve (context-length audit), and
+#: doc_self_repetition (intra-doc shingle repetition) — funded by five
+#: r5-cohort residents ceding their refresh slots
 ROUND8_CHANGED_IDS = [
     "median_fill",
     "iqr_clip",
@@ -39,6 +40,8 @@ ROUND8_CHANGED_IDS = [
     "quantile_profile",
     "split_leakage_check",
     "source_quantile_normalize",
+    "truncation_loss_curve",
+    "doc_self_repetition",
 ]
 
 #: oldest-first refresh: every live op whose latest driver row dates to
@@ -92,8 +95,6 @@ ROUND8_R4_COHORT_IDS = [
 #: round's shared-subtree audit target)
 ROUND8_R5_COHORT_IDS = [
     "similarity_lsh_bucketed",
-    "bpe_pair_counts",
-    "brand_copurchase_triangles",
 ]
 
 

@@ -843,20 +843,31 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc dedup family which must shuffle the inverted index); the
     per-language audit is one partial-aggregated shuffle of |lang|
     groups. The flag threshold compares the ROUNDED rate (6dp, both
-    engines) so boundary docs can't flip on FP noise."""
+    engines) so boundary docs can't flip on FP noise.
+
+    PROJECT the token array BEFORE the per-element lambdas: an
+    ``element_at`` whose child is the raw ``split(normalize(text))``
+    EXPRESSION re-evaluates the regex pipeline on every lambda
+    invocation (~3·(n−2) times per row — measured 13 s at sf0.1);
+    binding ``toks`` as a column first makes each access a column
+    reference (0.06 s, result-identical). Corpora with truly huge
+    single documents would switch to explode + per-doc aggregation
+    (same answers, shingle rows shuffled instead of held in one array
+    cell — measured equal-speed here)."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(_norm(F.col("text")), " ")
-    n = F.size(toks)
+    t = d.select("lang", F.split(_norm(F.col("text")), " ").alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
     shingles = F.transform(
         F.sequence(F.lit(1), n - 2),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            F.element_at(tk, i),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
         ),
     )
-    sh = d.select(
+    sh = t.select(
         "lang",
         F.greatest(n - 2, F.lit(0)).alias("total"),
         F.when(n >= 3, F.size(F.array_distinct(shingles)))

@@ -569,7 +569,11 @@ def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (packing efficiency vs content loss; the complement of
     sequence_pack_stats, which assumes the length is already chosen).
     Token counts use the same whitespace-token definition as
-    ``text_token_count``.
+    ``text_token_count`` — mirrored, not imported: hoisting a shared
+    token-count helper would change that certified module's text
+    mid-round and pull its ops into the full recheck window (window
+    policy a); unification belongs to a round where the text family
+    rotates in anyway (tests pin the definitions stay in lockstep).
 
     Scale shape: tokens are a row-local expression; the candidate
     lengths expand IN-ROW (``explode`` of a 4-element literal array —

@@ -816,7 +816,7 @@ _SELF_REP_FLAG = 0.01
             FROM documents)
     ),
     rr AS (
-      SELECT lang, ROUND(1.0 - uniq * 1.0 / total, 6) AS rep
+      SELECT lang, {round_cmp_sql("1.0 - uniq * 1.0 / total", 6)} AS rep
       FROM sh WHERE total > 0
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -842,8 +842,16 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — no explode, no shuffle of shingle rows, unlike the
     cross-doc dedup family which must shuffle the inverted index); the
     per-language audit is one partial-aggregated shuffle of |lang|
-    groups. The flag threshold compares the ROUNDED rate (6dp, both
-    engines) so boundary docs can't flip on FP noise.
+    groups. The flag threshold compares the rate rounded via the
+    round_cmp PAIR (6dp, identical IEEE tie-break both engines — plain
+    ROUND diverges HALF_UP vs half-even exactly at thresholds like
+    this one) so boundary docs can't flip between engines.
+
+    The shingle construction intentionally mirrors (not imports)
+    ``dedup._shingle_index``: sharing the helper would change that
+    certified module's text mid-round, pulling the whole cross-doc
+    dedup family into the full recheck window (window policy a);
+    unification belongs to a round where those ops rotate in anyway.
 
     PROJECT the token array BEFORE the per-element lambdas: an
     ``element_at`` whose child is the raw ``split(normalize(text))``
@@ -858,8 +866,16 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("lang", F.split(_norm(F.col("text")), " ").alias("toks"))
     tk = F.col("toks")
     n = F.size(tk)
+    # guard the SEQUENCE, not just the consumer: F.sequence(1, 0) is a
+    # DESCENDING [1, 0], not empty, so an unguarded start list would
+    # let element_at(toks, 0) blow up on 2-token docs the moment any
+    # refactor lifts `shingles` out of a lazily-evaluated CASE branch
+    # (same guard style as dedup._shingle_index)
+    starts = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), n - 2),
+        starts,
         lambda i: F.concat_ws(
             " ",
             F.element_at(tk, i),
@@ -870,11 +886,9 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = t.select(
         "lang",
         F.greatest(n - 2, F.lit(0)).alias("total"),
-        F.when(n >= 3, F.size(F.array_distinct(shingles)))
-        .otherwise(F.lit(0))
-        .alias("uniq"),
+        F.size(F.array_distinct(shingles)).alias("uniq"),
     )
-    rep = F.round(F.lit(1.0) - F.col("uniq") * F.lit(1.0) / F.col("total"), 6)
+    rep = round_cmp(F.lit(1.0) - F.col("uniq") * F.lit(1.0) / F.col("total"), 6)
     return (
         sh.filter(F.col("total") > 0)
         .select("lang", rep.alias("rep"))

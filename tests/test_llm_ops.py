@@ -435,16 +435,23 @@ def test_truncation_loss_curve_is_monotone_and_consistent(spark):
         truncation_loss_curve(spark, SF_CORRECT).collect(), key=lambda r: r["max_len"]
     )
     assert [r["max_len"] for r in rows] == list(_TRUNC_LENS)
-    d = load(spark, SF_CORRECT, "documents")
-    t = F.col("text")
-    n_tok = (
-        F.when(F.length(F.trim(t)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
-        .cast("long")
+    # LOCKSTEP pin: totals recomputed from text_token_count's OUTPUT,
+    # so the curve's mirrored token definition cannot silently drift
+    # from the one the token op certifies (both modules keep private
+    # copies by design — window discipline; this test is the tie)
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        text_token_count,
     )
-    n_docs, total = d.select(n_tok.alias("n")).agg(
-        F.count(F.lit(1)), F.sum("n")
-    ).first()
+
+    n_docs, total, mx = (
+        text_token_count(spark, SF_CORRECT)
+        .agg(
+            F.count(F.lit(1)),
+            F.sum("n_ws_tokens"),
+            F.max("n_ws_tokens"),
+        )
+        .first()
+    )
     kept_prev, loss_prev = -1, 2.0
     for r in rows:
         assert r["n_docs"] == n_docs
@@ -453,6 +460,10 @@ def test_truncation_loss_curve_is_monotone_and_consistent(spark):
         assert r["kept_tokens"] >= kept_prev and r["loss_frac"] <= loss_prev, r
         kept_prev, loss_prev = r["kept_tokens"], r["loss_frac"]
         assert (r["n_docs_truncated"] == 0) == (r["kept_tokens"] == total), r
+    if mx <= rows[-1]["max_len"]:
+        # no doc exceeds the largest candidate length → nothing is cut
+        # and the curve's token total must equal the token op's exactly
+        assert rows[-1]["kept_tokens"] == total and rows[-1]["loss_frac"] == 0.0
 
 
 def test_doc_self_repetition_bounds_and_population(spark):

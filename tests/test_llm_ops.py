@@ -486,3 +486,51 @@ def test_doc_self_repetition_bounds_and_population(spark):
     d = load(spark, SF_CORRECT, "documents")
     eligible = d.filter(F.size(F.split(_norm(F.col("text")), " ")) >= 3).count()
     assert sum(r["n_docs"] for r in rows) == eligible
+
+
+def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
+    """doc_self_repetition MIRRORS dedup._shingle_index's word-3-gram
+    definition rather than importing it (window discipline — see the op
+    docstring); this test is the tie that keeps the two definitions in
+    lockstep: per doc, the op's DISTINCT shingle count must equal the
+    inverted index's row count (cap disabled so hot-shingle suppression
+    can't perturb the comparison)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _norm,
+    )
+
+    d = load(spark, SF_CORRECT, "documents")
+    idx_counts = {
+        r["doc_id"]: r["n"]
+        for r in dedup._shingle_index(d, cap=10**9)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the op's in-row uniq expression, replicated doc-level
+    t = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
+    starts = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tk, i),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+        ),
+    )
+    op_counts = {
+        r["doc_id"]: r["uniq"]
+        for r in t.select(
+            "doc_id", F.size(F.array_distinct(shingles)).alias("uniq")
+        ).collect()
+        if r["uniq"] > 0
+    }
+    assert op_counts == idx_counts

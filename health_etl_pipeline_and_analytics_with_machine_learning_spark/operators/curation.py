@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import load, query, round_cmp, round_cmp_sql
-from .text import _NORM_SQL, _norm
+from .text import _NORM_SQL, WS_TOKEN_COUNT_SQL, _norm, ws_token_count
 
 
 @query(
@@ -35,8 +35,7 @@ from .text import _NORM_SQL, _norm
              length(text) AS n_chars,
              md5({_NORM_SQL}) AS fp,
              len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+             {WS_TOKEN_COUNT_SQL} AS n_tokens
       FROM documents
     ),
     quality AS (
@@ -61,9 +60,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → fingerprint-dedup → per-(lang, source) stats."""
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
-    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    n_tokens = ws_token_count()
     scored = d.select(
         "doc_id",
         "lang",

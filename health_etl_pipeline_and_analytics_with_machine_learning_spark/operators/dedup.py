@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import load, query, spread
-from .text import _NORM_SQL, _norm
+from .text import _NORM_SQL, _norm, word3_shingles, word3_shingles_sql
 
 
 @query(
@@ -68,9 +68,7 @@ SHINGLE_DF_CAP = 64
 _SHINGLES_RAW_SQL = f"""
       SELECT doc_id, lang, sh FROM (
         SELECT doc_id, lang,
-               unnest(list_transform(
-                 generate_series(1, greatest(len(toks) - 2, 0)),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+               unnest({word3_shingles_sql("toks")}) AS sh
         FROM (SELECT doc_id, lang,
                      regexp_split_to_array({_NORM_SQL}, ' ') AS toks
               FROM documents)
@@ -103,34 +101,23 @@ def _shingle_index(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     Σ freq(shingle)² with freq ≤ cap, instead of letting one
     stop-phrase go quadratic.
 
-    The token array is materialized in its own projection BEFORE the
-    shingle lambda: inlining the split into the lambda makes every
-    ``element_at`` re-run the regex normalization + split (~3× per
-    shingle — measured 19 s → 0.9 s at sf0.1 for this one change).
-    Catalyst's CollapseProject keeps the split un-inlined because the
-    consumer references it more than once.
+    The shingle array comes from the SHARED ``text.word3_shingles``
+    pair (hoisted r9 — the same definition ``doc_self_repetition``
+    consumes). The token array is materialized in its own projection
+    BEFORE the helper's shingle lambda: inlining the split into the
+    lambda makes every ``element_at`` re-run the regex normalization +
+    split (~3× per shingle — measured 19 s → 0.9 s at sf0.1 for this
+    one change). Catalyst's CollapseProject keeps the split un-inlined
+    because the consumer references it more than once.
     """
     tok_tbl = d.select(
         "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
     )
-    t = F.col("toks")
-    # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — docs with
-    # fewer than 3 tokens must short-circuit to an empty shingle list
-    starts = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
     sh = (
         tok_tbl.select(
             "doc_id",
             "lang",
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-                    ),
-                )
-            ).alias("sh"),
+            F.explode(word3_shingles(F.col("toks"))).alias("sh"),
         )
         .distinct()
     )

@@ -399,20 +399,14 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed training-sequence capacity (tokens) for concat-and-chunk packing
 _SEQ_CAP = 2048
 
-#: whitespace-token count, shared with text.text_token_count (n_ws_tokens)
-_TOK_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-)
+#: whitespace-token count — the SHARED text.ws_token_count pair
+#: (hoisted r9; this module previously carried a mirrored copy)
+from .text import WS_TOKEN_COUNT_SQL as _TOK_SQL  # noqa: E402
+from .text import ws_token_count as _ws_token_count  # noqa: E402
 
 
 def _ws_tokens():
-    t = F.col("text")
-    return (
-        F.when(F.length(F.trim(t)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
-        .cast("long")
-    )
+    return _ws_token_count().cast("long")
 
 
 _PACK_ORACLE = f"""
@@ -547,8 +541,7 @@ _TRUNC_LENS = (64, 128, 256, 512)
     "truncation_loss_curve",
     oracle=f"""
     WITH toks AS (
-      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      SELECT {_TOK_SQL} AS n_tok
       FROM documents
     )
     SELECT CAST(v.L AS BIGINT) AS max_len,
@@ -568,12 +561,10 @@ def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's tokens is lost — the curve that picks a training context
     length (packing efficiency vs content loss; the complement of
     sequence_pack_stats, which assumes the length is already chosen).
-    Token counts use the same whitespace-token definition as
-    ``text_token_count`` — mirrored, not imported: hoisting a shared
-    token-count helper would change that certified module's text
-    mid-round and pull its ops into the full recheck window (window
-    policy a); unification belongs to a round where the text family
-    rotates in anyway (tests pin the definitions stay in lockstep).
+    Token counts come from the SHARED ``text.ws_token_count`` pair
+    (hoisted r9 — the same definition ``text_token_count`` certifies;
+    until then this op carried a mirrored copy patrolled by a lockstep
+    test).
 
     Scale shape: tokens are a row-local expression; the candidate
     lengths expand IN-ROW (``explode`` of a 4-element literal array —
@@ -581,12 +572,7 @@ def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of |lengths| groups. No funnel anywhere; 100 TB cost is one
     scan plus a 4-row aggregate."""
     d = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_tok = (
-        F.when(F.length(F.trim(t)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
-        .cast("long")
-    )
+    n_tok = _ws_tokens()
     rows = d.select(
         n_tok.alias("n_tok"),
         F.explode(F.array(*[F.lit(L) for L in _TRUNC_LENS])).alias("max_len"),

@@ -33,6 +33,68 @@ def _norm(col):
 
 _NORM_SQL = "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ | $', '', 'g'))"
 
+#: the SHARED whitespace-token COUNT over the ``text`` column: Spark
+#: expression and its DuckDB twin (hoisted r9 per VERDICT r8 item 1 —
+#: until then text_token_count, text_quality_score, corpus_curation,
+#: the sequence-pack family, and truncation_loss_curve each carried a
+#: mirrored copy patrolled only by lockstep tests). Every token COUNT
+#: over raw text consumes THIS pair — edit here, never inline.
+WS_TOKEN_COUNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def ws_token_count():
+    """Spark twin of :data:`WS_TOKEN_COUNT_SQL`: whitespace-token count
+    of the ``text`` column (0 for empty/whitespace-only text, where a
+    bare split would report 1). Row-local, codegen'd."""
+    t = F.col("text")
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+
+
+def word3_shingles(toks):
+    """Word-3-gram shingle ARRAY over a token-array column — the ONE
+    Spark-side shingle definition (hoisted r9; previously mirrored by
+    ``dedup._shingle_index`` and ``doc_self_repetition``, VERDICT r8
+    item 1). :func:`word3_shingles_sql` is its DuckDB twin.
+
+    ``toks`` MUST be a pre-projected column reference, never the raw
+    ``split(normalize(text))`` expression: each ``element_at`` inside
+    the lambda re-evaluates its child PER ELEMENT, so an inlined split
+    re-runs the regex pipeline ~3·(n−2) times per row (measured 19 s →
+    0.9 s at sf0.1 in the dedup index; 13 s → 0.06 s in
+    doc_self_repetition). The ``F.sequence`` guard is load-bearing:
+    ``sequence(1, 0)`` is a DESCENDING ``[1, 0]``, not empty, so docs
+    under 3 tokens must short-circuit to an empty start list before any
+    ``element_at`` can see an out-of-range index."""
+    n = F.size(toks)
+    starts = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
+def word3_shingles_sql(toks: str) -> str:
+    """DuckDB twin of :func:`word3_shingles` over a token-list column
+    named ``toks``. ``generate_series(1, 0)`` is EMPTY in DuckDB (unlike
+    Spark's descending sequence), so the ``greatest`` guard alone covers
+    the under-3-token case — verified: len 2 → [] → 0 shingles."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    )
+
 # token pattern: word runs or single non-word-non-space chars (BPE-ish
 # pre-tokenization shape)
 _WORDISH = r"\w+|[^\w\s]"
@@ -42,11 +104,10 @@ _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
 
 @query(
     "text_token_count",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+           {WS_TOKEN_COUNT_SQL} AS n_ws_tokens,
            len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_wordish_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
     FROM documents
@@ -54,17 +115,15 @@ _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, BPE-ish regex tokens, and the
-    chars/4 heuristic estimate. Pure projection — no shuffle at all."""
+    """Token counting: whitespace tokens (the shared
+    :func:`ws_token_count` pair), BPE-ish regex tokens, and the chars/4
+    heuristic estimate. Pure projection — no shuffle at all."""
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
-        F.when(F.length(F.trim(t)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
-        .cast("long")
-        .alias("n_ws_tokens"),
+        ws_token_count().cast("long").alias("n_ws_tokens"),
         F.regexp_count(t, F.lit(_WORDISH)).cast("long").alias("n_wordish_tokens"),
         F.ceil(F.length(t) / 4.0).cast("long").alias("n_bpe_est"),
     ).orderBy("doc_id")
@@ -72,15 +131,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT doc_id,
              length(text) AS n_chars,
              len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
              len(regexp_extract_all(text, '[0-9]')) AS n_digit,
              len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             {WS_TOKEN_COUNT_SQL} AS n_tokens,
              len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it|that|for)\\b')) AS n_stop
       FROM documents
     )
@@ -101,9 +159,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
     n_chars = F.length(t)
-    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    n_tokens = ws_token_count()
     n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
     n_digit = F.regexp_count(t, F.lit("[0-9]"))
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
@@ -806,11 +862,7 @@ _SELF_REP_FLAG = 0.01
     WITH sh AS (
       SELECT doc_id, lang,
              greatest(len(toks) - 2, 0) AS total,
-             CASE WHEN len(toks) >= 3 THEN
-               len(list_distinct(list_transform(
-                 generate_series(1, len(toks) - 2),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
-             ELSE 0 END AS uniq
+             len(list_distinct({word3_shingles_sql("toks")})) AS uniq
       FROM (SELECT doc_id, lang,
                    regexp_split_to_array({_NORM_SQL}, ' ') AS toks
             FROM documents)
@@ -847,42 +899,20 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND diverges HALF_UP vs half-even exactly at thresholds like
     this one) so boundary docs can't flip between engines.
 
-    The shingle construction intentionally mirrors (not imports)
-    ``dedup._shingle_index``: sharing the helper would change that
-    certified module's text mid-round, pulling the whole cross-doc
-    dedup family into the full recheck window (window policy a);
-    unification belongs to a round where those ops rotate in anyway.
-
-    PROJECT the token array BEFORE the per-element lambdas: an
-    ``element_at`` whose child is the raw ``split(normalize(text))``
-    EXPRESSION re-evaluates the regex pipeline on every lambda
-    invocation (~3·(n−2) times per row — measured 13 s at sf0.1);
-    binding ``toks`` as a column first makes each access a column
-    reference (0.06 s, result-identical). Corpora with truly huge
-    single documents would switch to explode + per-doc aggregation
-    (same answers, shingle rows shuffled instead of held in one array
-    cell — measured equal-speed here)."""
+    Shingles come from the SHARED :func:`word3_shingles` pair (hoisted
+    r9 — the same definition ``dedup._shingle_index`` consumes; until
+    then the two modules carried mirrored copies patrolled by a
+    lockstep test). The token array is projected as a column BEFORE the
+    helper's per-element lambdas (the lambda-projection rule — see the
+    helper's docstring; measured 13 s → 0.06 s here). Corpora with
+    truly huge single documents would switch to explode + per-doc
+    aggregation (same answers, shingle rows shuffled instead of held
+    in one array cell — measured equal-speed here)."""
     d = load(spark, sf_dir, "documents")
     t = d.select("lang", F.split(_norm(F.col("text")), " ").alias("toks"))
     tk = F.col("toks")
     n = F.size(tk)
-    # guard the SEQUENCE, not just the consumer: F.sequence(1, 0) is a
-    # DESCENDING [1, 0], not empty, so an unguarded start list would
-    # let element_at(toks, 0) blow up on 2-token docs the moment any
-    # refactor lifts `shingles` out of a lazily-evaluated CASE branch
-    # (same guard style as dedup._shingle_index)
-    starts = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(
-        starts,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tk, i),
-            F.element_at(tk, i + 1),
-            F.element_at(tk, i + 2),
-        ),
-    )
+    shingles = word3_shingles(tk)
     sh = t.select(
         "lang",
         F.greatest(n - 2, F.lit(0)).alias("total"),

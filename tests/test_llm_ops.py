@@ -435,10 +435,10 @@ def test_truncation_loss_curve_is_monotone_and_consistent(spark):
         truncation_loss_curve(spark, SF_CORRECT).collect(), key=lambda r: r["max_len"]
     )
     assert [r["max_len"] for r in rows] == list(_TRUNC_LENS)
-    # LOCKSTEP pin: totals recomputed from text_token_count's OUTPUT,
-    # so the curve's mirrored token definition cannot silently drift
-    # from the one the token op certifies (both modules keep private
-    # copies by design — window discipline; this test is the tie)
+    # End-to-end tie: totals recomputed from text_token_count's OUTPUT.
+    # Both ops now consume the SHARED text.ws_token_count pair (hoisted
+    # r9), so this pins the shared definition's two consumers agree —
+    # a regression here means the helper itself broke, not drift
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         text_token_count,
     )
@@ -489,17 +489,19 @@ def test_doc_self_repetition_bounds_and_population(spark):
 
 
 def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
-    """doc_self_repetition MIRRORS dedup._shingle_index's word-3-gram
-    definition rather than importing it (window discipline — see the op
-    docstring); this test is the tie that keeps the two definitions in
-    lockstep: per doc, the op's DISTINCT shingle count must equal the
-    inverted index's row count (cap disabled so hot-shingle suppression
-    can't perturb the comparison)."""
+    """doc_self_repetition and dedup._shingle_index both consume the
+    SHARED text.word3_shingles helper (hoisted r9 — previously mirrored
+    copies this test patrolled for drift). The tie it pins now: the
+    index's DISTINCT-explode path over the helper must agree per doc
+    with the in-row array_distinct path over the same helper (cap
+    disabled so hot-shingle suppression can't perturb the comparison) —
+    a break means the helper or one consumption path regressed."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
         load,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         _norm,
+        word3_shingles,
     )
 
     d = load(spark, SF_CORRECT, "documents")
@@ -512,24 +514,11 @@ def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
     }
     # the op's in-row uniq expression, replicated doc-level
     t = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
-    tk = F.col("toks")
-    n = F.size(tk)
-    starts = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(
-        starts,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tk, i),
-            F.element_at(tk, i + 1),
-            F.element_at(tk, i + 2),
-        ),
-    )
     op_counts = {
         r["doc_id"]: r["uniq"]
         for r in t.select(
-            "doc_id", F.size(F.array_distinct(shingles)).alias("uniq")
+            "doc_id",
+            F.size(F.array_distinct(word3_shingles(F.col("toks")))).alias("uniq"),
         ).collect()
         if r["uniq"] > 0
     }

@@ -514,8 +514,9 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keyed by doc_id. Zipf skew lands on the LM build's
     partial agg (where hot tokens collapse map-side), never on a pair
     join. At 100 TB the vocab still broadcasts (natural-language vocab
-    plateaus in the millions); an n-gram LM swaps the unigram count for
-    a hashed n-gram count with the same plan.
+    plateaus in the millions); for n-grams, whose key space does NOT
+    plateau, :func:`bigram_cross_entropy_hashed` is the certified
+    fixed-width-hash variant of the same plan.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select(
@@ -767,10 +768,11 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bigram_cross_entropy",
-    oracle=f"""
-    WITH tok AS (
+#: the SHARED bigram-occurrence stream (doc_id, w1, w2) over the
+#: alpha-tokenized text — DuckDB CTE fragment; :func:`_bigram_pairs` is
+#: its Spark twin. Consumed by bigram_cross_entropy and its
+#: feature-hashed scale twin — edit here, never inline.
+_BIGRAM_PAIRS_SQL = f"""tok AS (
       SELECT doc_id,
              {ALPHA_TOKENIZE_SQL} AS a
       FROM documents
@@ -779,7 +781,34 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS bg
       FROM tok WHERE len(a) >= 2
     ),
-    pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big),
+    pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM big)"""
+
+
+def _bigram_pairs(d: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_BIGRAM_PAIRS_SQL`: one row per bigram
+    OCCURRENCE (doc_id, w1, w2). Construction is NARROW — the token
+    array is zipped with its own tail inside the row (no window, no
+    self-join); the array is projected as a column before the zip_with
+    lambda per the lambda-projection rule."""
+    toks = d.select(
+        "doc_id",
+        F.expr(ALPHA_TOKENIZE_EXPR).alias("a"),
+    ).filter(F.size("a") >= 2)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                " (x, y) -> named_struct('w1', x, 'w2', y))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+@query(
+    "bigram_cross_entropy",
+    oracle=f"""
+    WITH {_BIGRAM_PAIRS_SQL},
     c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
     c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
     lm AS (SELECT c2.w1, c2.w2, c2.n2 * 1.0 / c1.n1 AS p
@@ -807,28 +836,16 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop out on both sides). Catches word-salad that unigram statistics
     cannot: rare TRANSITIONS score high even when every token is common.
 
-    Scale shape: bigram construction is NARROW — the token array is
-    zipped with its own tail inside the row, no window, no self-join;
-    the conditional LM is two partial-agg'd counts joined on w₁; scoring
-    joins the bigram stream against the broadcast LM. At 100 TB the
-    bigram vocab outgrows broadcast range — the production swap is
-    feature-hashing the bigram to a fixed-width id (same plan, bounded
-    key space), exactly as the docstring of the unigram op promises.
+    Scale shape: bigram construction is NARROW (the shared
+    :func:`_bigram_pairs` stream); the conditional LM is two
+    partial-agg'd counts joined on w₁; scoring joins the bigram stream
+    against the broadcast LM. At 100 TB the bigram vocab outgrows
+    broadcast range — :func:`bigram_cross_entropy_hashed` is the
+    certified production twin that feature-hashes the bigram to a
+    fixed-width id (same plan, bounded key space).
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.expr(ALPHA_TOKENIZE_EXPR).alias("a"),
-    ).filter(F.size("a") >= 2)
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
-                " (x, y) -> named_struct('w1', x, 'w2', y))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _bigram_pairs(d)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     lm = c2.join(c1, "w1").select("w1", "w2", (F.col("n2") / F.col("n1")).alias("p"))
@@ -836,6 +853,121 @@ def bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(lm), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.avg(-F.log("p")).alias("xent"))
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_cmp(F.avg("xent")).alias("avg_xent"),
+            F.round(F.min("xent"), 4).alias("min_xent"),
+            F.round(F.max("xent"), 4).alias("max_xent"),
+        )
+        .orderBy("source")
+    )
+
+
+#: feature-hash widths for the hashed bigram LM: context (w₁) and
+#: bigram buckets. The LM is AT MOST _HASH_B1 + _HASH_B2 rows at ANY
+#: corpus size — that's the whole point: broadcast range is engineered,
+#: not vocabulary-dependent.
+_HASH_B1 = 1 << 16
+_HASH_B2 = 1 << 18
+
+
+@query(
+    "bigram_cross_entropy_hashed",
+    oracle=f"""
+    WITH {_BIGRAM_PAIRS_SQL},
+    hp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w1 || chr(31) || w2), 1, 8))::BIGINT % {_HASH_B2} AS hb,
+             ('0x' || substr(md5(w1), 1, 8))::BIGINT % {_HASH_B1} AS h1
+      FROM pairs
+    ),
+    c2 AS (SELECT hb, COUNT(*) AS n2 FROM hp GROUP BY hb),
+    c1 AS (SELECT h1, COUNT(*) AS n1 FROM hp GROUP BY h1),
+    per_doc AS (
+      SELECT hp.doc_id, AVG(-ln(c2.n2 * 1.0 / c1.n1)) AS xent
+      FROM hp JOIN c2 USING (hb) JOIN c1 USING (h1)
+      GROUP BY hp.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           {round_cmp_sql("AVG(pd.xent)")} AS avg_xent,
+           ROUND(MIN(pd.xent), 4) AS min_xent,
+           ROUND(MAX(pd.xent), 4) AS max_xent
+    FROM per_doc pd JOIN documents d ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def bigram_cross_entropy_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bigram cross-entropy — the certified 100 TB twin
+    of :func:`bigram_cross_entropy` (VERDICT r8 item 4: the broadcast
+    bigram LM was the one named scale-killer without a certified scale
+    path). The hashing trick replaces unbounded vocabulary keys with
+    fixed-width md5 buckets: the bigram hashes to one of {_HASH_B2}
+    ids, its context word to one of {_HASH_B1}, and the LM estimate is
+    p̂(w₂|w₁) = c(h(w₁w₂)) / c(h(w₁)) — so the LM is AT MOST
+    {_HASH_B1} + {_HASH_B2} rows no matter how large the corpus, and
+    the broadcast that breaks the exact op at scale becomes a hard
+    engineering bound. Same output shape as the exact op so fidelity is
+    directly measurable (tests pin hashed-vs-exact divergence; at small
+    vocab the two agree closely, and estimates converge as the widths
+    grow).
+
+    Collision semantics, stated honestly: bucket collisions MERGE
+    counts, so p̂ is noisy and can exceed 1 when a bigram bucket
+    aggregates more mass than its context bucket (the per-bigram −ln p̂
+    term then dips negative). That is the standard hashing-trick
+    trade-off — bounded memory for bounded, unbiased-enough noise — and
+    it vanishes as widths grow; the exact op remains registered as the
+    parity tier.
+
+    Scale shape: identical to the exact op except every LM key is a
+    fixed-width integer: narrow bigram construction (shared
+    :func:`_bigram_pairs`), two bounded partial-agg'd counts, broadcast
+    joins on int keys (cheaper to hash and ship than string pairs), one
+    per-doc aggregation. Zipf skew still collapses map-side. The md5
+    bucket expressions are engine-identical (same pattern the minhash
+    and hash-split ops certify), which is what lets DuckDB replay the
+    entire hashed pipeline."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _bigram_pairs(d)
+    hp = pairs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.col("w1"), F.lit("\x1f"), F.col("w2")),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _HASH_B2
+        ).alias("hb"),
+        (
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("w1"), "UTF-8")), 1, 8), 16, 10
+            ).cast("long")
+            % _HASH_B1
+        ).alias("h1"),
+    )
+    c2 = hp.groupBy("hb").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = hp.groupBy("h1").agg(F.count(F.lit(1)).alias("n1"))
+    per_doc = (
+        hp.join(F.broadcast(c2), "hb")
+        .join(F.broadcast(c1), "h1")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("n2") / F.col("n1"))).alias("xent"))
     )
     return (
         per_doc.join(d.select("doc_id", "source"), "doc_id")

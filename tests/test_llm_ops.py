@@ -15,6 +15,9 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators imp
     multimodal,
     similarity,
 )
+from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+    round_cmp,
+)
 
 from conftest import SF_CORRECT, SF_SMOKE
 
@@ -360,7 +363,10 @@ def test_split_leakage_audit_is_consistent_with_split_and_neardup(spark):
     )
     e2 = e.withColumn("tr", tr)
     a, b = e2.filter(F.col("tr")).alias("a"), e2.filter(~F.col("tr")).alias("b")
-    cos = F.round(
+    # the op gates on the round_cmp-pinned cosine (ADVICE r8) — the
+    # independent recompute must pin identically or a half-boundary
+    # pair could legitimately diverge from the audit
+    cos = round_cmp(
         similarity._dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
     best = {
@@ -375,6 +381,46 @@ def test_split_leakage_audit_is_consistent_with_split_and_neardup(spark):
     for r in rows:
         if r["n_leak_pairs"]:
             assert r["max_cosine"] == best[r["label"]], r
+
+
+def test_split_leakage_lsh_is_recall_bounded_subset_of_exact(spark):
+    """The LSH-blocked leakage audit (engineered bucket bound) reports a
+    SUBSET of the brute-force cross-split flagged pairs — grouped by the
+    test-side label and WITHOUT the exact audit's same-label
+    restriction — with measured recall that must not silently collapse:
+    per label, lsh count ≤ brute-force count and lsh max_cosine ≤
+    brute-force max; in total, recall ≥ 50% (measured ≈84% at sf0.01 —
+    deterministic planes, deterministic corpus, so this is stable)."""
+    rows = {r["label"]: r for r in similarity.split_leakage_lsh(spark, SF_CORRECT).collect()}
+    assert rows
+
+    tr = (
+        F.substring(F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8")), 1, 2)
+        < similarity._LEAK_SPLIT_HEX
+    )
+    e2 = similarity._emb(spark, SF_CORRECT).withColumn("tr", tr)
+    a, b = e2.filter(F.col("tr")).alias("a"), e2.filter(~F.col("tr")).alias("b")
+    cos = round_cmp(
+        similarity._dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    exact = {
+        r["label"]: (r["n"], r["m"])
+        for r in a.join(b, F.lit(True))
+        .select(F.col("b.label").alias("label"), cos.alias("c"))
+        .filter(F.col("c") >= similarity._LEAK_COSINE)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("m"))
+        .collect()
+    }
+    got = lost = 0
+    for lbl, r in rows.items():
+        n_ex, m_ex = exact.get(lbl, (0, -1.0))
+        assert r["n_leak_pairs"] <= n_ex, (lbl, r, n_ex)
+        assert r["max_cosine"] <= m_ex or r["max_cosine"] == -1.0, (lbl, r, m_ex)
+        got += r["n_leak_pairs"]
+        lost += n_ex - r["n_leak_pairs"]
+    assert got + lost > 0, "synthetic corpus should contain cross-split leaks"
+    assert got >= 0.5 * (got + lost), f"LSH audit recall collapsed: {got}/{got + lost}"
 
 
 def test_source_quantile_normalize_hits_global_extremes(spark):
@@ -417,6 +463,26 @@ def test_source_quantile_normalize_hits_global_extremes(spark):
         assert r["min_norm"] == float(lo), r
         if r["source"] in untied_max:
             assert r["max_norm"] == float(hi), r
+
+
+def test_hashed_bigram_xent_tracks_exact(spark):
+    """The feature-hashed bigram LM is the exact op's bounded-memory
+    twin: at this corpus's vocabulary the collision rate is tiny, so
+    per-source avg_xent must track the exact op closely (measured max
+    divergence ≈0.008 on values ≈3.4 at sf0.01; the 0.05 bar fails only
+    if the hash plumbing itself breaks). Shapes must match exactly —
+    the two ops score the same per-doc population."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        bigram_cross_entropy,
+        bigram_cross_entropy_hashed,
+    )
+
+    ex = {r["source"]: r for r in bigram_cross_entropy(spark, SF_CORRECT).collect()}
+    hs = {r["source"]: r for r in bigram_cross_entropy_hashed(spark, SF_CORRECT).collect()}
+    assert set(ex) == set(hs) and ex
+    for s in ex:
+        assert ex[s]["n_docs"] == hs[s]["n_docs"], s
+        assert abs(ex[s]["avg_xent"] - hs[s]["avg_xent"]) < 0.05, (s, ex[s], hs[s])
 
 
 def test_truncation_loss_curve_is_monotone_and_consistent(spark):

@@ -39,14 +39,12 @@ region counts, and bucket selection runs only over the FINITE window
 (so an infinite outlier can't produce an infinite bucket width).
 Nulls are ignored.
 
-Interpolation matches pandas ``quantile``, DuckDB ``quantile_cont`` and
-Spark ``percentile``: 0-based position pos = (n-1)·p, then Spark's own
-symmetric form lower·(1−frac) + higher·frac on ALL flanks (the
-algebraically-equal one-sided v0 + frac·(v1−v0) drifts under
-cancellation and NaNs on infinite flanks) — so results are
+Rank extraction and interpolation are the SHARED invariant-6 math
+(``functions.rank_math`` — one definition for this engine, the grouped
+in-plan engine, and the quantile-normalize op), so results are
 bit-comparable with the oracle (pinned by tests/test_quantiles.py
 against the built-in exact percentile; see BASELINE.md "Certification
-invariants" item 6).
+invariants" item 6 and the rank_math module docstring).
 """
 
 from __future__ import annotations
@@ -58,6 +56,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .rank_math import interp, rank_spec
 
 #: histogram resolution per refinement level; driver memory is O(this)
 N_BUCKETS = 8192
@@ -205,14 +205,9 @@ def exact_quantiles_multi(
             if n == 0:
                 sp.append((0, 0, 0.0))
                 continue
-            # 0-based position FIRST, like Spark's Percentile: adding 1
-            # before extracting the fraction can round it away (ulp at
-            # 2.0 is 4.4e-16, so 1 + 0.9999999999999999 == 2.0 exactly
-            # — Hypothesis counterexample pinned in tests/test_quantiles)
-            pos = (n - 1) * float(p)
-            k0 = 1 + int(pos)
-            frac = pos - int(pos)
-            k1 = min(k0 + 1, n)
+            # the shared invariant-6 rank math (functions.rank_math):
+            # 0-based position FIRST, then the 1-based flanking shift
+            k0, k1, frac = rank_spec(n, p)
             sp.append((k0, k1, frac))
             ks.add(k0)
             # the upper flank is only read when interpolation happens —
@@ -354,23 +349,17 @@ def exact_quantiles_multi(
             if n == 0:
                 res.append(float("nan"))
                 continue
-            # frac == 0 means rank k0 IS the target — return it directly
-            # instead of evaluating v0 + 0·(v1 − v0), which would let a
-            # k1 in the NaN region poison a real rank (matches the
-            # built-in percentile's lower==higher short-circuit)
+            # frac == 0 short-circuits BEFORE _value_at(k1): rank k0 IS
+            # the target, AND the upper flank was deliberately never
+            # resolved for integral positions (see the `ks.add` above) —
+            # rank_math.interp's own guard cannot give that back
             v0 = _value_at(k0)
             if frac == 0.0:
                 res.append(v0)
                 continue
-            v1 = _value_at(k1)
-            # Spark's percentile interpolates lower·(1−frac) +
-            # higher·frac on EVERY flank; the algebraically-equal
-            # v0 + frac·(v1−v0) drifts past the last ulp under
-            # cancellation (mixed-magnitude flanks: 0.0 / −1e9 with
-            # frac≈1 gives −1.192e-07 vs Spark's −1.1102e-07) and is
-            # NaN outright when a flank is ±inf — use Spark's form
-            # unconditionally (BASELINE.md certification invariant 6)
-            res.append(v0 * (1.0 - frac) + v1 * frac)
+            # the shared symmetric interpolation (invariant 6 — see
+            # functions.rank_math for the cancellation/±inf rationale)
+            res.append(interp(v0, _value_at(k1), frac))
         out[c] = res
     return out
 

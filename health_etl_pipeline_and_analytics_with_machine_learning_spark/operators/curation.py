@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.rank_math import interp_col, rank_spec_col
 from .registry import load, query, round_cmp, round_cmp_sql
 from .text import _NORM_SQL, WS_TOKEN_COUNT_SQL, _norm, ws_token_count
 
@@ -464,19 +465,16 @@ def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("raw"),
         F.percent_rank().over(w).alias("pr"),
     )
-    pos = F.lit(float(n - 1)) * F.col("pr")
-    k0 = (F.floor(pos) + F.lit(1)).cast("long")
-    frac = pos - F.floor(pos)
-    k1 = F.least(k0 + F.lit(1), F.lit(n).cast("long"))
+    # the SHARED invariant-6 rank math (functions.rank_math): n is the
+    # known global count, p is the within-source percent_rank column
+    k0, k1, frac = rank_spec_col(n, F.col("pr"))
     k = p.select(
         "source", "raw", k0.alias("k0"), frac.alias("frac"), k1.alias("k1")
     )
     j = k.join(g.select(F.col("r").alias("k0"), F.col("v").alias("v0")), "k0").join(
         g.select(F.col("r").alias("k1"), F.col("v").alias("v1")), "k1"
     )
-    norm = F.when(F.col("frac") == F.lit(0.0), F.col("v0")).otherwise(
-        F.col("v0") * (F.lit(1.0) - F.col("frac")) + F.col("v1") * F.col("frac")
-    )
+    norm = interp_col(F.col("v0"), F.col("v1"), F.col("frac"))
     return (
         j.withColumn("norm", norm)
         .groupBy("source")

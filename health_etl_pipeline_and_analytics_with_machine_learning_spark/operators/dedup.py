@@ -466,7 +466,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enumerations must not pay the materialization). Measured at
     # sf0.1: 1.80 → 1.64 s, result-identical through the final
     # .limit(100) (deterministic orderBy tiebreak keys make the limit
-    # checkpoint-safe).
+    # checkpoint-safe). CAVEAT (single-node bench optimization, not a
+    # resilience feature): localCheckpoint stores blocks non-reliably
+    # on executors — on executor loss the truncated lineage can't
+    # recompute and the job fails — and it pins the pre-AQE plan; a
+    # fault-tolerant cluster deployment would swap in reliable
+    # checkpoint(), a persisted table, or drop the cut.
     bands = bands.localCheckpoint(eager=False)
 
     bucket_sizes = bands.groupBy("band_id", "band_hash").agg(

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.rank_math import interp_col, rank_spec_col
 from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
 DP = ROUND_DP
@@ -112,20 +113,16 @@ def grouped_exact_quantiles(
         (hi - F.col("__cnt") + 1).alias("__lo"),
     )
 
-    # flank-and-interpolate, one conditional aggregate per probe: the
-    # 0-based position pos = (n-1)p comes FIRST, then the 1-based shift
-    # (certification invariant 6: 1 + (n-1)p rounds the fractional part
-    # away in IEEE doubles when (n-1)p sits just below an integer — the
-    # r7 Hypothesis find in the selection engine, same class here); the
-    # group's value at positions k and min(k+1, n) is
+    # flank-and-interpolate, one conditional aggregate per probe, with
+    # the SHARED invariant-6 rank math (functions.rank_math — 0-based
+    # position first, symmetric interpolation, frac==0 short-circuit);
+    # the group's value at positions k and min(k+1, n) is
     # max(v WHERE lo<=k<=hi) — exactly one distinct value covers any
     # position, so max() is just "the" value.
     n = F.col("__n")
     aggs, finals = [], []
     for i, p in enumerate(probs):
-        posc = (n - 1).cast("double") * F.lit(float(p))
-        k_lo = (F.floor(posc) + F.lit(1)).cast("long")
-        k_hi = F.least(k_lo + 1, n)
+        k_lo, k_hi, _ = rank_spec_col(n, float(p))
         aggs.append(
             F.max(F.when((F.col("__lo") <= k_lo) & (F.col("__hi") >= k_lo), F.col("__v"))).alias(f"__vlo_{i}")
         )
@@ -134,21 +131,9 @@ def grouped_exact_quantiles(
         )
     grouped = pos.groupBy(*keys, "__n").agg(*aggs)
     for i, p in enumerate(probs):
-        posf = (F.col("__n") - 1).cast("double") * F.lit(float(p))
-        frac = posf - F.floor(posf)
-        # symmetric interpolation on all flanks (invariant 6): the
-        # one-sided vlo + frac·(vhi−vlo) drifts under cancellation and
-        # NaNs when a flank is infinite. frac == 0 short-circuits to
-        # the lower flank (the builtin's lower==higher case) so an
-        # upper flank that is ±inf/NaN can't poison an integral rank
-        # via 0·inf
+        _, _, frac = rank_spec_col(F.col("__n"), float(p))
         finals.append(
-            F.when(frac == F.lit(0.0), F.col(f"__vlo_{i}"))
-            .otherwise(
-                F.col(f"__vlo_{i}") * (F.lit(1.0) - frac)
-                + F.col(f"__vhi_{i}") * frac
-            )
-            .alias(f"q_{i}")
+            interp_col(F.col(f"__vlo_{i}"), F.col(f"__vhi_{i}"), frac).alias(f"q_{i}")
         )
     return grouped.select(*keys, F.col("__n").alias("n"), *finals)
 

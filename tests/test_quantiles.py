@@ -376,3 +376,67 @@ def test_multi_column_batch_property(xs, ys, px, py):
         for a, b in zip(multi[c], builtin):
             tol = 1e-9 * max(1.0, abs(b))
             assert abs(a - b) <= tol, (c, probs, multi[c], builtin)
+
+
+_RANK_CASES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**12),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        st.one_of(
+            st.sampled_from([0.0, -0.0, 1.0, -1e9, float("inf"), float("-inf")]),
+            st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+        ),
+        st.one_of(
+            st.sampled_from(
+                [0.0, 1.0, -1e9, float("inf"), float("-inf"), float("nan")]
+            ),
+            st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_RANK_CASES)
+@example(cases=[(2, 0.9999999999999999, 0.0, -1e9)])
+@example(cases=[(5, 0.5, 0.0, float("nan"))])  # frac==0 must not read v1
+def test_rank_math_column_forms_match_python_forms(cases):
+    """The lockstep patrol for the consolidated invariant-6 module
+    (functions.rank_math): the Catalyst Column dialect, evaluated by
+    Spark, must agree BIT-FOR-BIT with the Python dialect the selection
+    engine runs driver-side — ranks exactly, frac and interpolation as
+    identical IEEE doubles (the expression shapes mirror the Python ops
+    op-for-op, so equality is exact, not approximate)."""
+    import math
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.rank_math import (
+        interp,
+        interp_col,
+        rank_spec,
+        rank_spec_col,
+    )
+
+    df = _spark.createDataFrame(cases, "n long, p double, v0 double, v1 double")
+    k_lo, k_hi, frac = rank_spec_col(F.col("n"), F.col("p"))
+    got = df.select(
+        "n",
+        "p",
+        "v0",
+        "v1",
+        k_lo.alias("k_lo"),
+        k_hi.alias("k_hi"),
+        frac.alias("frac"),
+        interp_col(F.col("v0"), F.col("v1"), frac).alias("q"),
+    ).collect()
+    assert len(got) == len(cases)
+    for r in got:
+        k0, k1, fr = rank_spec(r["n"], r["p"])
+        assert (r["k_lo"], r["k_hi"]) == (k0, k1), r
+        assert r["frac"] == fr, r
+        want = interp(r["v0"], r["v1"], fr)
+        if math.isnan(want):
+            assert math.isnan(r["q"]), r
+        else:
+            assert r["q"] == want, r

@@ -63,6 +63,45 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    # the full cleaning ETL at sf-equivalent volume (VERDICT r8 item 7:
+    # the 24-column expression chain was pinned for correctness on the
+    # fixed 10k-row reference file but never benched at scale). The
+    # dirty CSV is generated once per machine (seed-deterministic,
+    # cached — generation is NOT in the timed window); the timed action
+    # is the honest end-to-end job: ingest (encoding fallback + NA
+    # tokens) → clean → write parquet, on the scale record-id path.
+    # Reference baseline: 0.45 s at 10k rows → ~27 s scaled to 600k
+    # (BASELINE.md "Cleaning pipeline at volume").
+    try:
+        import shutil
+        import tempfile
+
+        from scripts.gen_health_raw import ensure_csv
+        from health_etl_pipeline_and_analytics_with_machine_learning_spark.pipeline import (
+            clean_health_dataset,
+        )
+
+        n_rows = max(10_000, int(6_000_000 * (sf or 0.1)))
+        csv_path = ensure_csv(n_rows)
+        out_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
+
+        def _run_pipeline() -> None:
+            clean_health_dataset(
+                spark, csv_path, record_id_mode="scaled"
+            ).write.mode("overwrite").parquet(os.path.join(out_dir, "clean"))
+
+        _run_pipeline()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run_pipeline()
+            best = min(best, time.perf_counter() - t0)
+        timings["pipeline_clean"] = round(best, 4)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    except Exception as exc:  # pragma: no cover - report, don't die
+        timings["pipeline_clean"] = -1.0
+        print(f"bench error in pipeline_clean: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     payload = {
         "queries": timings,

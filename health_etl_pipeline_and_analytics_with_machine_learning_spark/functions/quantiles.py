@@ -29,8 +29,11 @@ Here no stage ever moves more than ``N_BUCKETS`` rows per map task:
    100 TB), so both collect size and driver memory stay bounded.
 
 Multi-column batching (``exact_quantiles_multi``) runs stages 1/2/4
-for ALL requested columns in single passes (struct-array explode), so
-e.g. four medians cost three jobs total, not twelve.
+for ALL requested columns in single passes, so e.g. four medians cost
+three jobs total, not twelve. The histogram/boundary passes ride Arrow
+batches with numpy ``bincount``/``unique`` partials (``_multi_pass`` —
+the r1–r8 struct-array explode paid row-count × column-count
+intermediate rows per pass, 10× the scan cost at 25 columns).
 
 NaN and ±Infinity follow IEEE/Spark sort order (−inf < finite < +inf
 < NaN): all four regions count toward n; ranks landing in the −inf,
@@ -80,6 +83,85 @@ def _bucket_expr(v, lo: float, width: float):
 
 def _bucket_of(v: float, lo: float, width: float) -> int:
     return min(N_BUCKETS - 1, int(math.floor((v - lo) / width * N_BUCKETS)))
+
+
+def _multi_pass(
+    df: DataFrame,
+    specs: list[tuple[str, float, float]],
+    needed: dict[str, list[int]] | None,
+):
+    """The multi-column histogram / boundary-value transport: Arrow
+    batches + numpy ``bincount``/``unique`` partials per task, merged by
+    a tiny (column, key) aggregation.
+
+    The r1–r8 transport was ``explode(array(<struct per column>))`` into
+    a JVM hash aggregate — row-count × column-count intermediate rows,
+    which at 25 profiled columns × 600k rows meant 15M exploded rows
+    PER PASS and made the two passes 10× the cost of the underlying scan
+    (measured 4.9 s vs a 1.1 s scan; the 24-column ETL sweep paid it
+    twice). The numpy path does the same bucket math on the same float64
+    values inside one scan — per-element ops are IEEE-identical to the
+    JVM expression (``(v − lo) / width · B`` then ``floor`` then the
+    B−1 clamp, exactly :func:`_bucket_of`), so the histogram is
+    bit-equal, and the property suite that pins the engine against the
+    builtin percentile covers it.
+
+    ``needed`` is None for the HISTOGRAM pass (emit (c, b, cnt) bucket
+    partials) or a {col: [bucket...]} map for the BOUNDARY pass (emit
+    (c, v, cnt) value partials for just those buckets — expected
+    n/N_BUCKETS values per bucket). Each task's output is bounded by
+    N_BUCKETS (histogram) / the boundary buckets' distinct values —
+    the driver collect stays O(N_BUCKETS)-ish either way."""
+    import numpy as np
+
+    aliases = [(f"__q_{i}", c, lo, width) for i, (c, lo, width) in enumerate(specs)]
+    sub = df.select(
+        *[F.col(c).cast("double").alias(a) for a, c, _, _ in aliases]
+    )
+    B = N_BUCKETS
+    need_arrs = (
+        {c: np.asarray(bs, dtype=np.int64) for c, bs in needed.items()}
+        if needed is not None
+        else None
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for a, c, lo, width in aliases:
+                arr = pdf[a].to_numpy(dtype="float64", na_value=np.nan)
+                m = np.isfinite(arr)
+                if not m.any():
+                    continue
+                vals = arr[m]
+                b = np.minimum(
+                    B - 1, np.floor((vals - lo) / width * B)
+                ).astype(np.int64)
+                if need_arrs is None:
+                    cnt = np.bincount(b)
+                    nz = np.flatnonzero(cnt)
+                    out.append(
+                        pd.DataFrame(
+                            {"c": c, "k": nz.astype("float64"), "cnt": cnt[nz]}
+                        )
+                    )
+                else:
+                    sel = np.isin(b, need_arrs[c])
+                    if not sel.any():
+                        continue
+                    u, n = np.unique(vals[sel], return_counts=True)
+                    out.append(pd.DataFrame({"c": c, "k": u, "cnt": n}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return (
+        sub.mapInPandas(gen, "c string, k double, cnt long")
+        .groupBy("c", "k")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
 
 
 def _walk(rows, base: int, ks: Sequence[int], out: dict[int, float]) -> None:
@@ -224,35 +306,22 @@ def exact_quantiles_multi(
         else:
             need[c] = []
 
-    # one histogram job for every column that needs selection
-    hist_structs = []
-    for c in cols:
-        if not need[c]:
-            continue
-        v = F.col(c).cast("double")
-        fin = (
-            v.isNotNull() & ~F.isnan(v) & (v != F.lit(inf)) & (v != F.lit(-inf))
-        )
-        lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
-        b = _bucket_expr(v, lo, hi - lo)
-        hist_structs.append(
-            F.struct(F.lit(c).alias("c"), F.when(fin, b).alias("b"))
-        )
+    # one histogram job for every column that needs selection (Arrow
+    # bincount partials — see _multi_pass for the measured rationale)
+    hist_specs = [
+        (c, st[f"__lo_{c}"], st[f"__hi_{c}"] - st[f"__lo_{c}"])
+        for c in cols
+        if need[c]
+    ]
     hist: dict[tuple[str, int], int] = {}
-    if hist_structs:
-        for r in (
-            df.select(F.explode(F.array(*hist_structs)).alias("s"))
-            .filter(F.col("s.b").isNotNull())
-            .groupBy(F.col("s.c").alias("c"), F.col("s.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        ):
-            hist[(r["c"], r["b"])] = r["cnt"]
+    if hist_specs:
+        for r in _multi_pass(df, hist_specs, None):
+            hist[(r["c"], int(r["k"]))] = r["cnt"]
 
     # locate buckets; batch the well-behaved ones into ONE boundary job,
     # recurse per skewed bucket via _kth_smallest
     resolved: dict[str, dict[int, float]] = {c: {} for c in cols}
-    boundary_structs = []
+    boundary_need: dict[str, list[int]] = {}
     walk_plan: list[tuple[str, int, int, list[int]]] = []  # (col, bucket, start, ks)
     for c in cols:
         if not need[c]:
@@ -286,36 +355,26 @@ def exact_quantiles_multi(
                     _kth_smallest(sub, kk, sst["l"], sst["h"], base=start)
                 )
         if col_buckets:
-            # ONE struct per COLUMN, not per (column, bucket): the
-            # boundary job explodes this array over every row, so its
-            # width is the job's row multiplier — a 6-prob profile over
-            # 4 columns needs ~30 buckets, and per-bucket structs made
-            # the explode 30× the table (measured 6.5 s at sf0.1 vs
-            # ~1.9 s with per-column membership filters). The
-            # driver-side walk regroups values by bucket via _bucket_of
-            # anyway, so only membership must be decided JVM-side.
-            boundary_structs.append(
-                F.struct(
-                    F.lit(c).alias("c"),
-                    F.when(
-                        fin & _bucket_expr(v, lo, width).isin(col_buckets), v
-                    ).alias("v"),
-                )
-            )
-    if boundary_structs:
-        rows = (
-            df.select(F.explode(F.array(*boundary_structs)).alias("s"))
-            .filter(F.col("s.v").isNotNull())
-            .groupBy(F.col("s.c").alias("c"), F.col("s.v").alias("v"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy("c", "v")
-            .collect()
+            boundary_need[c] = col_buckets
+    if boundary_need:
+        # one boundary job for every column at once (the Arrow value
+        # pass — bucket membership is decided task-side on the same
+        # float64 bucket math; the driver-side walk regroups values by
+        # bucket via _bucket_of exactly as before)
+        bspecs = [
+            (c, st[f"__lo_{c}"], st[f"__hi_{c}"] - st[f"__lo_{c}"])
+            for c in cols
+            if c in boundary_need
+        ]
+        rows = sorted(
+            _multi_pass(df, bspecs, boundary_need),
+            key=lambda r: (r["c"], r["k"]),
         )
         per_cb: dict[tuple[str, int], list[tuple[float, int]]] = defaultdict(list)
         for r in rows:
             c = r["c"]
             lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
-            per_cb[(c, _bucket_of(r["v"], lo, hi - lo))].append((r["v"], r["cnt"]))
+            per_cb[(c, _bucket_of(r["k"], lo, hi - lo))].append((r["k"], r["cnt"]))
         for c, j, start, kk in walk_plan:
             _walk(per_cb[(c, j)], start, kk, resolved[c])
 

@@ -28,90 +28,89 @@ from .registry import REGISTRY as _R
 #: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
 #: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
 #: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r8 window (EXACTLY 50 ids — ADVICE r7 flagged the r7 list at 54,
-#: four past the window): this round's changed-text ops, then the
-#: ENTIRE r4 cohort (41 ops whose latest driver rows date to round 4 —
-#: the oldest remaining, staleness 4), then the oldest r5-cohort ops in
-#: the leftover slots. After r8 lands green, max staleness is 3 rounds
-#: (the remaining 32 r5-cohort ops — r9's natural window core).
+#: r9 window (EXACTLY 50 ids): this round's changed-text ops (23 —
+#: three families: the shingle/token helper unification, the leakage/
+#: cross-entropy additions with their neighbors, and every consumer of
+#: the consolidated+Arrow-transport quantile engine), then the r5
+#: cohort oldest-first (27 of its 32 fit; the alphabetically-last 5
+#: slip to r10 and lead its window).
 _RECHECK_FIRST = [
-    # — changed-text tier: fresh driver rows REQUIRED (window policy a).
-    #   median_fill/iqr_clip consume the quantile engine's r8 bug fix
-    #   (0-based rank extraction + symmetric interpolation, VERDICT r7
-    #   item 1) and median_fill's rounding moved into a Spark F.round;
-    #   dedup_minhash_lsh gained the lazy bands localCheckpoint —
+    # — changed-text tier (window policy a: changed impl/oracle text ⇒
+    #   slot, no exceptions).
+    #   (1) VERDICT r8 item 1 — ws_token_count / word3_shingles hoisted
+    #   into text.py; every former mirror now imports the shared pair —
+    "text_token_count",
+    "text_quality_score",
+    "doc_self_repetition",
+    "corpus_curation",
+    "truncation_loss_curve",
+    "sequence_pack_stats",
+    "sequence_pack_scaled",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    #   (2) VERDICT r8 items 3-4 + ADVICE — split_leakage_lsh is NEW
+    #   (leakage audit blocked on the engineered LSH bucket key);
+    #   bigram_cross_entropy_hashed is NEW (fixed-width feature-hashed
+    #   LM, the certified 100 TB twin); split_leakage_check's threshold
+    #   cosine moved to the round_cmp pair; similarity_lsh_bucketed and
+    #   dedup_minhash_lsh carry the localCheckpoint caveat; the exact
+    #   bigram op consumes the hoisted _bigram_pairs and unigram's
+    #   docstring now names the hashed twin —
+    "split_leakage_lsh",
+    "bigram_cross_entropy_hashed",
+    "split_leakage_check",
+    "similarity_lsh_bucketed",
+    "dedup_minhash_lsh",
+    "bigram_cross_entropy",
+    "unigram_cross_entropy",
+    #   (3) VERDICT r8 item 6 — the invariant-6 rank math consolidated
+    #   into functions/rank_math.py (both dialects, lockstep-tested) and
+    #   the selection engine's histogram/boundary transport moved to
+    #   Arrow bincount partials: every engine consumer re-certifies —
     "median_fill",
     "iqr_clip",
-    "dedup_minhash_lsh",
-    #   quantile_profile is NEW this round: the engine certified
-    #   directly at 4 cols × 6 probs (incl. the boundary prob class the
-    #   r8 fix addressed), not only through its two consumers;
-    #   split_leakage_check is NEW too (cross-split near-dup audit —
-    #   hash split × blocked embedding cosine) —
-    #   source_quantile_normalize is NEW as well (cross-source score
-    #   calibration onto the global quantile scale — invariant-6 math
-    #   over the funnel-free global rank table) —
-    #   truncation_loss_curve and doc_self_repetition round out the r8
-    #   curation additions (context-length audit; intra-doc shingle
-    #   repetition) —
     "quantile_profile",
-    "split_leakage_check",
-    "source_quantile_normalize",
-    "truncation_loss_curve",
-    "doc_self_repetition",
-    # — r4-cohort tier (oldest-first, policy b): every live op whose
-    #   latest driver row dates to round 4 —
-    "asof_join_attribution",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_exact",
-    "eq_filter_group_agg",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "filter_group2_avg2_count_sort",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "global_sort_rowid",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "group_avg_sum2_topk",
-    "group_quantiles",
-    "group_quantiles_scaled",
-    "iqr_clip_scaled",
-    "json_props_extract",
-    "mad_outlier_detect",
     "median_fill_scaled",
-    "overview_scalars",
-    "pivot_event_counts",
-    "project_dropna",
-    "range_filter_agg",
-    "running_distinct_users",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "sequence_pack_scaled",
-    "sequence_pack_stats",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
-    "stratified_hash_sample",
-    "trend_group_avg_sort",
-    "two_level_agg",
-    "user_event_paths",
-    "value_counts_topk",
-    "vocab_oov_rate",
-    "window_group_median_fill",
-    "window_lag_value_delta",
-    "zscore_normalize",
-    # — r5-cohort tier: oldest-first remainder (alphabetical within the
-    #   equal-staleness tie; similarity_lsh_bucketed leads as this
-    #   round's shared-subtree audit target) —
-    "similarity_lsh_bucketed",
-    # r6/r7-green residents rotated out this round (unchanged text,
-    # local differential still covers them every test session); the
-    # remaining r5 cohort (32 ops, staleness 3 — cdc_latest_compaction,
-    # assoc_rules_lift, benford_law_check, bpe_pair_counts, and
-    # brand_copurchase_triangles ceded their slots to the five new r8
-    # ops) is r9's natural window core.
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+    "source_quantile_normalize",
+    # — r5-cohort tier (policy b: oldest-first, alphabetical within the
+    #   equal-staleness tie; 27 slots remain) —
+    "assoc_rules_lift",
+    "benford_law_check",
+    "bpe_pair_counts",
+    "brand_copurchase_triangles",
+    "cdc_latest_compaction",
+    "countmin_estimate",
+    "cusum_changepoint",
+    "dedup_semantic_cluster",
+    "ewma_smoothing",
+    "heavy_hitters_twopass",
+    "incremental_agg_update",
+    "inverted_index_topk",
+    "kmv_distinct_sketch",
+    "kmv_join_cardinality",
+    "largest_remainder_alloc",
+    "mann_kendall_trend",
+    "merge_upsert_counts",
+    "mode_per_group",
+    "pagerank_nation_trade",
+    "path_regex_match",
+    "rolling_correlation",
+    "scd2_dimension_update",
+    "sessionization",
+    "simhash_near_pairs",
+    "similarity_ivf_topk",
+    "skyline_pareto",
+    "snapshot_diff",
+    # — r10 window core (planned now so rotation stays mechanical):
+    #   FIRST the 5 r5-cohort ops that didn't fit this round —
+    #   source_vocab_overlap, text_simhash, token_pmi_topk,
+    #   weighted_sample_topk, zorder_interleave (staleness 4 by r10,
+    #   the oldest anywhere) — then r10's changed-text ops, then the
+    #   46-op r6 cohort oldest-first (tpch_*, the stats family,
+    #   bloom/entity-resolution, c4_heuristic_filter, ...); whatever
+    #   misses leads r11 with the r7 cohort behind it.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

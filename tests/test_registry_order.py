@@ -3,10 +3,10 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-8
+verification contract, not cosmetics. These tests pin the round-9
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — the full r4 cohort plus the oldest r5-cohort remainder.
+first.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -21,86 +21,81 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: changed-text tier — fresh driver rows REQUIRED: median_fill/iqr_clip
-#: consume the r8 quantile-engine fix (0-based rank extraction +
-#: symmetric interpolation; VERDICT r7 item 1) and median_fill's final
-#: rounding moved from Python round() into a Spark F.round expression;
-#: dedup_minhash_lsh gained the lazy `bands` localCheckpoint;
-#: five NEW r8 ops hold changed-text slots: quantile_profile (the
-#: engine certified directly at 4 cols × 6 probs), split_leakage_check
-#: (cross-split near-dup audit), source_quantile_normalize
-#: (cross-source calibration onto the global quantile scale),
-#: truncation_loss_curve (context-length audit), and
-#: doc_self_repetition (intra-doc shingle repetition) — funded by five
-#: r5-cohort residents ceding their refresh slots
-ROUND8_CHANGED_IDS = [
+#: changed-text tier — fresh driver rows REQUIRED. Three r9 families:
+#: (1) the shingle/token helper unification (VERDICT r8 item 1 —
+#: text.ws_token_count / word3_shingles hoisted, all former mirrors now
+#: import them); (2) the leakage/cross-entropy work (items 3-4 +
+#: ADVICE: NEW split_leakage_lsh and bigram_cross_entropy_hashed;
+#: round_cmp threshold in split_leakage_check; localCheckpoint caveats;
+#: the exact bigram op on the hoisted pair builder); (3) the quantile
+#: consolidation (item 6 — functions/rank_math.py carries invariant 6
+#: once, and the selection engine's histogram/boundary transport moved
+#: to Arrow bincount partials) pulling in every engine consumer.
+ROUND9_CHANGED_IDS = [
+    "text_token_count",
+    "text_quality_score",
+    "doc_self_repetition",
+    "corpus_curation",
+    "truncation_loss_curve",
+    "sequence_pack_stats",
+    "sequence_pack_scaled",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "split_leakage_lsh",
+    "bigram_cross_entropy_hashed",
+    "split_leakage_check",
+    "similarity_lsh_bucketed",
+    "dedup_minhash_lsh",
+    "bigram_cross_entropy",
+    "unigram_cross_entropy",
     "median_fill",
     "iqr_clip",
-    "dedup_minhash_lsh",
     "quantile_profile",
-    "split_leakage_check",
-    "source_quantile_normalize",
-    "truncation_loss_curve",
-    "doc_self_repetition",
-]
-
-#: oldest-first refresh: every live op whose latest driver row dates to
-#: round 4 (staleness 4 entering r8 — the oldest cohort remaining)
-ROUND8_R4_COHORT_IDS = [
-    "asof_join_attribution",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_exact",
-    "eq_filter_group_agg",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "filter_group2_avg2_count_sort",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "global_sort_rowid",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "group_avg_sum2_topk",
-    "group_quantiles",
-    "group_quantiles_scaled",
-    "iqr_clip_scaled",
-    "json_props_extract",
-    "mad_outlier_detect",
     "median_fill_scaled",
-    "overview_scalars",
-    "pivot_event_counts",
-    "project_dropna",
-    "range_filter_agg",
-    "running_distinct_users",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "sequence_pack_scaled",
-    "sequence_pack_stats",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
-    "stratified_hash_sample",
-    "trend_group_avg_sort",
-    "two_level_agg",
-    "user_event_paths",
-    "value_counts_topk",
-    "vocab_oov_rate",
-    "window_group_median_fill",
-    "window_lag_value_delta",
-    "zscore_normalize",
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+    "source_quantile_normalize",
 ]
 
-#: the leftover slots go to the oldest r5-cohort ops (alphabetical
-#: within the equal-staleness tie; similarity_lsh_bucketed leads as the
-#: round's shared-subtree audit target)
-ROUND8_R5_COHORT_IDS = [
-    "similarity_lsh_bucketed",
+#: oldest-first refresh: the r5 cohort (staleness 3 entering r9 — the
+#: oldest anywhere). 27 of its 32 fit; the alphabetically-last five
+#: (source_vocab_overlap, text_simhash, token_pmi_topk,
+#: weighted_sample_topk, zorder_interleave) slip to r10 and lead its
+#: window.
+ROUND9_R5_COHORT_IDS = [
+    "assoc_rules_lift",
+    "benford_law_check",
+    "bpe_pair_counts",
+    "brand_copurchase_triangles",
+    "cdc_latest_compaction",
+    "countmin_estimate",
+    "cusum_changepoint",
+    "dedup_semantic_cluster",
+    "ewma_smoothing",
+    "heavy_hitters_twopass",
+    "incremental_agg_update",
+    "inverted_index_topk",
+    "kmv_distinct_sketch",
+    "kmv_join_cardinality",
+    "largest_remainder_alloc",
+    "mann_kendall_trend",
+    "merge_upsert_counts",
+    "mode_per_group",
+    "pagerank_nation_trade",
+    "path_regex_match",
+    "rolling_correlation",
+    "scd2_dimension_update",
+    "sessionization",
+    "simhash_near_pairs",
+    "similarity_ivf_topk",
+    "skyline_pareto",
+    "snapshot_diff",
 ]
 
 
-def test_r8_window_is_exactly_the_planned_fifty():
+def test_r9_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = ROUND8_CHANGED_IDS + ROUND8_R4_COHORT_IDS + ROUND8_R5_COHORT_IDS
+    planned = ROUND9_CHANGED_IDS + ROUND9_R5_COHORT_IDS
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
@@ -114,9 +109,9 @@ def test_recheck_list_fits_the_window():
     assert len(ops._RECHECK_FIRST) <= WINDOW
 
 
-def test_no_registry_entry_left_unchecked_after_r8():
-    """Every registry id either has a driver row from r1–r7 or sits in
-    the r8 window — no op can reach the judge without certification."""
+def test_no_registry_entry_left_unchecked_after_r9():
+    """Every registry id either has a driver row from r1–r8 or sits in
+    the r9 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -126,12 +121,13 @@ def test_no_registry_entry_left_unchecked_after_r8():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r8 slot: {never}"
+    assert not never, f"ids with no driver row and no r9 slot: {never}"
 
 
-def test_r8_window_covers_every_pre_r5_certification():
-    """The oldest-first policy invariant: after r8 lands green, no op's
-    latest driver certification is older than round 5."""
+def test_r9_window_covers_every_pre_r5_certification():
+    """The oldest-first policy invariant: after r9 lands green, no op's
+    latest driver certification is older than round 5 (the five r5 ops
+    that slipped keep their r5 rows and lead the r10 window)."""
     import glob
     import json
     import os
@@ -143,7 +139,7 @@ def test_r8_window_covers_every_pre_r5_certification():
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
     stale = [n for n in REGISTRY if latest.get(n, 0) <= 4 and n not in prefix]
-    assert not stale, f"pre-r5 certifications left outside the r8 window: {stale}"
+    assert not stale, f"pre-r5 certifications left outside the r9 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

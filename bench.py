@@ -84,20 +84,22 @@ def main() -> None:
         n_rows = max(10_000, int(6_000_000 * (sf or 0.1)))
         csv_path = ensure_csv(n_rows)
         out_dir = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
 
-        def _run_pipeline() -> None:
-            clean_health_dataset(
-                spark, csv_path, record_id_mode="scaled"
-            ).write.mode("overwrite").parquet(os.path.join(out_dir, "clean"))
+            def _run_pipeline() -> None:
+                clean_health_dataset(
+                    spark, csv_path, record_id_mode="scaled"
+                ).write.mode("overwrite").parquet(os.path.join(out_dir, "clean"))
 
-        _run_pipeline()  # warm-up
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _run_pipeline()
-            best = min(best, time.perf_counter() - t0)
-        timings["pipeline_clean"] = round(best, 4)
-        shutil.rmtree(out_dir, ignore_errors=True)
+            _run_pipeline()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _run_pipeline()
+                best = min(best, time.perf_counter() - t0)
+            timings["pipeline_clean"] = round(best, 4)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
     except Exception as exc:  # pragma: no cover - report, don't die
         timings["pipeline_clean"] = -1.0
         print(f"bench error in pipeline_clean: {exc}", file=sys.stderr)

@@ -193,10 +193,14 @@ def stage_rowwise(df: DataFrame, country_corrections: dict | None = None) -> Dat
 
 def stage_year(df: DataFrame) -> DataFrame:
     """2c: fillna(median) → astype(int) (truncates) → keep 1900–2100.
-    Median computed over the pre-fill column (reference ordering)."""
+    Median computed over the pre-fill column (reference ordering), on
+    the selection engine like every other eager statistic (a builtin
+    F.median here was the one funnel left after the r9 conversion —
+    flagged by the round's code review against BASELINE.md's
+    zero-funnel claim)."""
     if "Year" not in df.columns:
         return df
-    (ymed,) = _scalar(df, F.median(_c("Year")))
+    (ymed,) = _global_quantiles(df, {"Year": [0.5]})["Year"]
     out = df.withColumn(
         "Year", F.coalesce(_c("Year"), F.lit(ymed).cast("double")).cast("int")
     )

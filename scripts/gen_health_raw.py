@@ -80,8 +80,9 @@ _TREATMENT = ["Medication", "Therapy", "Vaccination", "Surgery", "medication", "
 
 
 def _nullify(rng, vals: np.ndarray, rate: float) -> np.ndarray:
-    """Blank out ~rate of the cells; a third of the blanks become a
-    random NA token instead of empty (both must null at ingest)."""
+    """Null out ~rate of the cells: each masked cell draws uniformly
+    from the 11-entry NA-token list (one of which is the empty string),
+    so every token the ingest must recognize appears at volume."""
     out = vals.astype(object)
     mask = rng.random(len(vals)) < rate
     toks = rng.choice(_NA_TOKENS, size=int(mask.sum()))
@@ -129,7 +130,8 @@ def generate(path: str, n_rows: int, seed: int = 20260815) -> str:
     ages[0][rng.random(n) < 0.002] = 370.0  # verified out-of-range value
 
     cost = _f(rng, 10, 5000, n)
-    cost[rng.random(n) < 0.003] = np.round(rng.uniform(1e5, 1e6), 2)  # clip outliers
+    out_mask = rng.random(n) < 0.003  # IQR-clip outlier population (varied)
+    cost[out_mask] = np.round(rng.uniform(1e5, 1e6, int(out_mask.sum())), 2)
 
     cols = {
         "Row_num": np.arange(1, n + 1).astype(float),
@@ -181,10 +183,16 @@ def generate(path: str, n_rows: int, seed: int = 20260815) -> str:
     return path
 
 
+#: bump when the recipe changes — the cache key includes it, so stale
+#: files from an older recipe can never satisfy a newer bench run
+_RECIPE_VERSION = 2
+
+
 def ensure_csv(n_rows: int, cache_dir: str = "/tmp/spark_graft_fixtures") -> str:
-    """Generate once per (machine, n_rows); reuse afterwards."""
+    """Generate once per (machine, recipe version, n_rows); reuse
+    afterwards."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"health_raw_{n_rows}.csv")
+    path = os.path.join(cache_dir, f"health_raw_v{_RECIPE_VERSION}_{n_rows}.csv")
     if not os.path.exists(path):
         generate(path, n_rows)
     return path

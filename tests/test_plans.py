@@ -122,12 +122,30 @@ def test_rollup_is_single_pass_expand(spark):
 
 def test_neardup_joins_are_equi_not_cartesian(spark):
     # every near-dup candidate join must be an equi-join on a blocking
-    # key (label / shingle / band) — the difference between Σfreq² and n²
-    for name in ("embedding_neardup_topk", "dedup_ngram_jaccard", "simhash_near_pairs", "dedup_minhash_lsh", "split_leakage_check"):
+    # key (label / shingle / band / LSH bucket) — the difference
+    # between Σfreq² and n²
+    for name in (
+        "embedding_neardup_topk",
+        "dedup_ngram_jaccard",
+        "simhash_near_pairs",
+        "dedup_minhash_lsh",
+        "split_leakage_check",
+        "split_leakage_lsh",
+    ):
         strategies = join_strategies(q(name, spark))
         assert "CartesianProduct" not in strategies, name
         assert "BroadcastNestedLoopJoin" not in strategies, name
         assert strategies, f"{name} lost its join"
+
+
+def test_hashed_bigram_lm_joins_are_broadcast(spark):
+    # the whole point of the feature-hashed LM: both count tables are
+    # bounded by the fixed hash widths, so the scoring joins must stay
+    # broadcast at any corpus size — a shuffle join here means the
+    # bound was lost in a refactor
+    strategies = join_strategies(q("bigram_cross_entropy_hashed", spark))
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
 
 
 def test_neardup_hot_bucket_caps_are_broadcast(spark):

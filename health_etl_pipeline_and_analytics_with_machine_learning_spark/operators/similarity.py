@@ -886,9 +886,18 @@ def split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bucketing is the same narrow expression scan as the
     ANN op; the candidate join shuffles on (table, bucket-key); pair
     dedup across the {_LSH_TABLES} tables is one aggregation keyed on
-    the pair id. The shared bucket subtree feeds both join sides, so it
-    is lineage-cut once (same measured localCheckpoint win and the same
-    single-node caveat as similarity_lsh_bucketed — see that op)."""
+    the pair id and carries ONLY the two ids — the 64-dim vectors are
+    joined back AFTER dedup from the corpus table (r9 bench finding:
+    carrying both vectors through the dedup shuffle moved ~420 MB for
+    408k candidate pairs at sf0.1; skinny dedup + re-attach measured
+    5.7 → 3.4 s, and the remaining cost is simply #candidates × the
+    ~6 µs/pair cosine every pair op here pays — this near-isotropic
+    synthetic corpus lets the coarse buckets prune only ~39% of the
+    cross-split pairs, where clustered production embeddings prune
+    most). The
+    shared bucket subtree feeds both join sides, so it is lineage-cut
+    once (same measured localCheckpoint win and the same single-node
+    caveat as similarity_lsh_bucketed — see that op)."""
     e = _emb(spark, sf_dir).withColumn(
         "tr",
         F.substring(
@@ -900,28 +909,37 @@ def split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tr").cast("int")).cast("long").alias("n_train"),
         F.sum((~F.col("tr")).cast("int")).cast("long").alias("n_test"),
     )
-    vb = _lsh_buckets(e, extra=("label", "tr")).localCheckpoint(eager=False)
+    vb = _lsh_buckets(e, extra=("tr",)).localCheckpoint(eager=False)
     a = vb.filter(F.col("tr")).select(
-        "t",
-        "bkey",
+        "t", "bkey", F.col("vec_id").alias("train_id")
+    )
+    b = vb.filter(~F.col("tr")).select(
+        "t", "bkey", F.col("vec_id").alias("test_id")
+    )
+    pairs = (
+        a.join(b, ["t", "bkey"])
+        .select("train_id", "test_id")
+        .dropDuplicates(["train_id", "test_id"])
+    )
+    ea = e.select(
         F.col("vec_id").alias("train_id"),
         F.col("v").alias("av"),
         F.col("nrm").alias("anrm"),
     )
-    b = vb.filter(~F.col("tr")).select(
-        "t",
-        "bkey",
-        F.col("vec_id").alias("test_id"),
-        "label",
-        "v",
-        "nrm",
+    eb = e.select(
+        F.col("vec_id").alias("test_id"), "label", "v", "nrm"
     )
     cos = round_cmp(
         _dot(F.col("av"), F.col("v")) / (F.col("anrm") * F.col("nrm")), 6
     )
+    # no broadcast hint on the re-attach: locally AQE broadcasts the
+    # 2000-row corpus side on its own; at 100 TB the corpus is NOT
+    # broadcast range and the same plan degrades to a shuffle-on-id
+    # join of skinny pair rows against the corpus — the correct shape
+    # at both scales, picked at runtime
     leaks = (
-        a.join(b, ["t", "bkey"])
-        .dropDuplicates(["train_id", "test_id"])
+        pairs.join(ea, "train_id")
+        .join(eb, "test_id")
         .select("label", cos.alias("c"))
         .filter(F.col("c") >= _LEAK_COSINE)
         .groupBy("label")

@@ -39,20 +39,24 @@ _NORM_SQL = "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ | $
 #: the sequence-pack family, and truncation_loss_curve each carried a
 #: mirrored copy patrolled only by lockstep tests). Every token COUNT
 #: over raw text consumes THIS pair — edit here, never inline.
-WS_TOKEN_COUNT_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-)
+#:
+#: Definition: the number of non-whitespace runs (``\S+`` matches).
+#: The hoist's original trim-guard-plus-split form miscounted one edge
+#: the unification's new dialect-parity test surfaced (r9): SQL
+#: ``trim`` strips SPACES only, so tab/newline-only text dodged the
+#: emptiness guard and split to 2 phantom tokens — consistently on
+#: both engines, so oracles stayed green while the count lied. The
+#: run-count form needs no guard at all: 0 for empty/whitespace-only,
+#: identical to the old form everywhere else.
+WS_TOKEN_COUNT_SQL = "len(regexp_extract_all(text, '\\S+'))"
 
 
 def ws_token_count():
     """Spark twin of :data:`WS_TOKEN_COUNT_SQL`: whitespace-token count
-    of the ``text`` column (0 for empty/whitespace-only text, where a
-    bare split would report 1). Row-local, codegen'd."""
-    t = F.col("text")
-    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
-    )
+    of the ``text`` column — the number of ``\\S+`` runs (0 for empty
+    or whitespace-only text, any whitespace class). Row-local,
+    codegen'd."""
+    return F.regexp_count(F.col("text"), F.lit(r"\S+"))
 
 
 def word3_shingles(toks):

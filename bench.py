@@ -47,7 +47,28 @@ def main() -> None:
         "similarity_ivf_topk",
         "set_ops_bag_semantics",
         "term_frequency_topk",
+        # the selection-engine consumers ride Arrow since r9 (the
+        # _multi_pass bincount transport) — same load sensitivity
+        "median_fill",
+        "iqr_clip",
+        "quantile_profile",
     }
+
+    def _sentinel() -> float:
+        """min-of-2 tpch_q1 — the drift reference BASELINE.md's bench
+        methodology uses. Bracketing the run (start + end) lets any
+        artifact reader separate multiplicative box drift from real
+        per-op movement without a second run."""
+        rq = registry.REGISTRY["tpch_q1"]
+        rq.fn(spark, sf_dir).collect()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rq.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    sentinel_start = _sentinel()
 
     timings: dict[str, float] = {}
     for name, rq in sorted(registry.REGISTRY.items()):
@@ -112,6 +133,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cpus": cpus,
+        "sentinel_start": sentinel_start,
+        "sentinel_end": _sentinel(),
     }
     # queries FIRST, summary fields LAST, compact separators: harness
     # logs that keep only the tail of a long line still capture the

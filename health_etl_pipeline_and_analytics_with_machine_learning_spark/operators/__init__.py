@@ -28,12 +28,13 @@ from .registry import REGISTRY as _R
 #: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
 #: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
 #: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r9 window (EXACTLY 50 ids): this round's changed-text ops (23 —
+#: r9 window (EXACTLY 50 ids): this round's changed-text ops (24 —
 #: three families: the shingle/token helper unification, the leakage/
 #: cross-entropy additions with their neighbors, and every consumer of
 #: the consolidated+Arrow-transport quantile engine), then the r5
-#: cohort oldest-first (27 of its 32 fit; the alphabetically-last 5
-#: slip to r10 and lead its window).
+#: cohort oldest-first (26 of its 32 fit after the late
+#: text_repetition_flags slot; the alphabetically-last 6 slip to r10
+#: and lead its window).
 _RECHECK_FIRST = [
     # — changed-text tier (window policy a: changed impl/oracle text ⇒
     #   slot, no exceptions).
@@ -48,6 +49,13 @@ _RECHECK_FIRST = [
     "sequence_pack_scaled",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    #   late-r9 token-definition fixes: the shared pair moved to \S+
+    #   run-counting after the new dialect-parity edge tests caught the
+    #   space-only trim guard (tab-only text → 2 phantom tokens on BOTH
+    #   engines), and text_repetition_flags carried the same
+    #   trim-then-split form in its word ARRAY (phantom empty-string
+    #   words depressing ttr / inflating top_word_share) —
+    "text_repetition_flags",
     #   (2) VERDICT r8 items 3-4 + ADVICE — split_leakage_lsh is NEW
     #   (leakage audit blocked on the engineered LSH bucket key);
     #   bigram_cross_entropy_hashed is NEW (fixed-width feature-hashed
@@ -75,7 +83,7 @@ _RECHECK_FIRST = [
     "group_quantiles_scaled",
     "source_quantile_normalize",
     # — r5-cohort tier (policy b: oldest-first, alphabetical within the
-    #   equal-staleness tie; 27 slots remain) —
+    #   equal-staleness tie; 26 slots remain) —
     "assoc_rules_lift",
     "benford_law_check",
     "bpe_pair_counts",
@@ -102,11 +110,11 @@ _RECHECK_FIRST = [
     "simhash_near_pairs",
     "similarity_ivf_topk",
     "skyline_pareto",
-    "snapshot_diff",
     # — r10 window core (planned now so rotation stays mechanical):
-    #   FIRST the 5 r5-cohort ops that didn't fit this round —
-    #   source_vocab_overlap, text_simhash, token_pmi_topk,
-    #   weighted_sample_topk, zorder_interleave (staleness 4 by r10,
+    #   FIRST the 6 r5-cohort ops that didn't fit this round —
+    #   snapshot_diff, source_vocab_overlap, text_simhash,
+    #   token_pmi_topk, weighted_sample_topk, zorder_interleave
+    #   (staleness 4 by r10,
     #   the oldest anywhere) — then r10's changed-text ops, then the
     #   46-op r6 cohort oldest-first (tpch_*, the stats family,
     #   bloom/entity-resolution, c4_heuristic_filter, ...); whatever

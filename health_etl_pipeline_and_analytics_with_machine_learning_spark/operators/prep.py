@@ -212,10 +212,10 @@ _TOP_WORD_SHARE = 0.10
     oracle=f"""
     WITH words AS (
       SELECT doc_id, lang,
-             regexp_split_to_array(trim(text), '\\s+') AS w
+             regexp_extract_all(text, '\\S+') AS w
       FROM documents
-      WHERE length(trim(text)) > 0
     ),
+    words2 AS (SELECT * FROM words WHERE len(w) > 0),
     scored AS (
       SELECT doc_id, lang,
              len(w) AS n_words,
@@ -223,7 +223,7 @@ _TOP_WORD_SHARE = 0.10
              list_max(list_transform(list_distinct(w),
                       x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w)
                AS top_word_share
-      FROM words
+      FROM words2
     )
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -249,9 +249,17 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     |corpus tokens| rows; this shape shuffles nothing until the final
     per-lang rollup, which is what you want at 100 TB for bounded-size
     documents.
+
+    Words are the ``\\S+`` runs (r9 — same fix as the shared
+    ws_token_count pair): the previous trim-then-split form let
+    edge tabs/newlines produce phantom EMPTY-STRING words on BOTH
+    engines — consistently oracle-green, but they depressed ttr,
+    inflated top_word_share, and let a tab-only document through the
+    space-only trim guard to be flagged as repetitive.
     """
-    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    d = load(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    d = d.filter(F.size(w) > 0)
     scored = d.select(
         "lang",
         F.size(w).alias("n_words"),

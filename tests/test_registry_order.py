@@ -30,7 +30,9 @@ WINDOW = 50
 #: the exact bigram op on the hoisted pair builder); (3) the quantile
 #: consolidation (item 6 — functions/rank_math.py carries invariant 6
 #: once, and the selection engine's histogram/boundary transport moved
-#: to Arrow bincount partials) pulling in every engine consumer.
+#: to Arrow bincount partials) pulling in every engine consumer;
+#: plus the late token-definition fixes (\S+ run-counting in the
+#: shared pair and in text_repetition_flags's word array).
 ROUND9_CHANGED_IDS = [
     "text_token_count",
     "text_quality_score",
@@ -41,6 +43,7 @@ ROUND9_CHANGED_IDS = [
     "sequence_pack_scaled",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
+    "text_repetition_flags",
     "split_leakage_lsh",
     "bigram_cross_entropy_hashed",
     "split_leakage_check",
@@ -58,8 +61,8 @@ ROUND9_CHANGED_IDS = [
 ]
 
 #: oldest-first refresh: the r5 cohort (staleness 3 entering r9 — the
-#: oldest anywhere). 27 of its 32 fit; the alphabetically-last five
-#: (source_vocab_overlap, text_simhash, token_pmi_topk,
+#: oldest anywhere). 26 of its 32 fit; the alphabetically-last six
+#: (snapshot_diff, source_vocab_overlap, text_simhash, token_pmi_topk,
 #: weighted_sample_topk, zorder_interleave) slip to r10 and lead its
 #: window.
 ROUND9_R5_COHORT_IDS = [
@@ -89,7 +92,6 @@ ROUND9_R5_COHORT_IDS = [
     "simhash_near_pairs",
     "similarity_ivf_topk",
     "skyline_pareto",
-    "snapshot_diff",
 ]
 
 
@@ -126,7 +128,7 @@ def test_no_registry_entry_left_unchecked_after_r9():
 
 def test_r9_window_covers_every_pre_r5_certification():
     """The oldest-first policy invariant: after r9 lands green, no op's
-    latest driver certification is older than round 5 (the five r5 ops
+    latest driver certification is older than round 5 (the six r5 ops
     that slipped keep their r5 rows and lead the r10 window)."""
     import glob
     import json

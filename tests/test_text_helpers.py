@@ -122,3 +122,32 @@ def test_bigram_pairs_dialects_agree_on_edges(spark, ducked):
     docs_with_pairs = {d for d, _, _ in got}
     assert 3 not in docs_with_pairs  # single token → no bigrams
     assert 4 in docs_with_pairs
+
+
+def test_alpha_tokenize_dialects_agree_on_edges(spark, ducked):
+    """The ALPHA_TOKENIZE pair (lowercase, split on non-[a-z] runs,
+    drop empties) feeds tfidf / cross-entropy / vocab ops — pin its two
+    dialects over the same edge corpus (empty text, punctuation-only,
+    mixed case, digits inside words)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        ALPHA_TOKENIZE_EXPR,
+        ALPHA_TOKENIZE_SQL,
+    )
+
+    got = {
+        r["doc_id"]: list(r["a"])
+        for r in _spark_docs(spark)
+        .select("doc_id", F.expr(ALPHA_TOKENIZE_EXPR).alias("a"))
+        .collect()
+    }
+    want = dict(
+        ducked.execute(
+            f"SELECT doc_id, {ALPHA_TOKENIZE_SQL} FROM documents"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == list(want[k]), (k, EDGE_TEXTS[k], got[k], want[k])
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[9] == ["mixed", "case", "tokens", "here"]
+    assert got[10] == ["punct", "only", "tokens"]

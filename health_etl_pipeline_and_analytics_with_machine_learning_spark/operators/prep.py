@@ -258,9 +258,17 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-only trim guard to be flagged as repetitive.
     """
     d = load(spark, sf_dir, "documents")
-    w = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-    d = d.filter(F.size(w) > 0)
-    scored = d.select(
+    # PROJECT the word array before the per-element lambdas (the
+    # lambda-projection rule — word3_shingles docstring has the
+    # measured numbers): an `w` whose child is the raw
+    # regexp_extract_all EXPRESSION would re-run the regex once per
+    # distinct word per row inside transform/filter
+    words = d.select(
+        "lang",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0).alias("w"),
+    ).filter(F.size("w") > 0)
+    w = F.col("w")
+    scored = words.select(
         "lang",
         F.size(w).alias("n_words"),
         (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"),

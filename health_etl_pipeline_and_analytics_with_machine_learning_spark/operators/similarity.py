@@ -909,7 +909,16 @@ def split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tr").cast("int")).cast("long").alias("n_train"),
         F.sum((~F.col("tr")).cast("int")).cast("long").alias("n_test"),
     )
-    vb = _lsh_buckets(e, extra=("tr",)).localCheckpoint(eager=False)
+    # slim the bucket rows BEFORE the lineage cut: localCheckpoint
+    # materializes full rows (no column pruning through an RDD
+    # checkpoint), and after the skinny-pair refactor the vectors are
+    # dead downstream of vb — without the select, the checkpoint would
+    # store the 64-dim vector + norm × _LSH_TABLES rows per vec
+    vb = (
+        _lsh_buckets(e, extra=("tr",))
+        .select("vec_id", "tr", "t", "bkey")
+        .localCheckpoint(eager=False)
+    )
     a = vb.filter(F.col("tr")).select(
         "t", "bkey", F.col("vec_id").alias("train_id")
     )

@@ -41,13 +41,15 @@ _NORM_SQL = "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ | $
 #: over raw text consumes THIS pair — edit here, never inline.
 #:
 #: Definition: the number of non-whitespace runs (``\S+`` matches).
-#: The hoist's original trim-guard-plus-split form miscounted one edge
+#: The hoist's original trim-guard-plus-split form miscounted edges
 #: the unification's new dialect-parity test surfaced (r9): SQL
-#: ``trim`` strips SPACES only, so tab/newline-only text dodged the
-#: emptiness guard and split to 2 phantom tokens — consistently on
+#: ``trim`` strips SPACES only, so ANY leading/trailing tab/newline
+#: survived the trim and split into a phantom empty-string token —
+#: tab-only text counted 2, ``"\tfoo"`` counted 2 — consistently on
 #: both engines, so oracles stayed green while the count lied. The
 #: run-count form needs no guard at all: 0 for empty/whitespace-only,
-#: identical to the old form everywhere else.
+#: one per actual word when edge whitespace is non-space, identical to
+#: the old form for texts whose edges are spaces or non-whitespace.
 WS_TOKEN_COUNT_SQL = "len(regexp_extract_all(text, '\\S+'))"
 
 

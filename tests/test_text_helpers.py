@@ -41,6 +41,10 @@ EDGE_TEXTS = [
     "punct, only! tokens?",
     "x " * 50,  # long uniform doc
     "word",
+    "\ttab before",  # 13: non-space EDGE whitespace next to real content —
+    "newline after\n",  # 14: the case where the old trim-split form
+    "\t \n",  # 15: counted phantom tokens (and 2 for this tab-only one)
+    "ab3cd ef9 42",  # 16: digits split alpha tokens, all-digit words drop
 ]
 
 
@@ -78,6 +82,10 @@ def test_ws_token_count_dialects_agree_on_edges(spark, ducked):
     # bare split would report 1
     assert want[0] == 0 and want[1] == 0 and want[2] == 0
     assert want[3] == 1 and want[5] == 3
+    # the r9 fix: non-space edge whitespace must neither add phantom
+    # tokens next to real content nor count on whitespace-only text
+    # (the old trim-split form reported 3, 3, and 2 here)
+    assert want[13] == 2 and want[14] == 2 and want[15] == 0
 
 
 def test_word3_shingles_dialects_agree_on_edges(spark, ducked):
@@ -151,3 +159,5 @@ def test_alpha_tokenize_dialects_agree_on_edges(spark, ducked):
     assert got[0] == [] and got[1] == [] and got[2] == []
     assert got[9] == ["mixed", "case", "tokens", "here"]
     assert got[10] == ["punct", "only", "tokens"]
+    # digits split alpha runs and all-digit words vanish entirely
+    assert got[16] == ["ab", "cd", "ef"]

@@ -1,0 +1,74 @@
+"""Structural pins for the ETL's zero-funnel contract and the dirty
+fixture generator.
+
+BASELINE.md "Cleaning pipeline at volume (r9)" claims the benched plan
+carries ZERO single-task value buffers — every eager median/quantile
+rides the distributed-selection engine. stage_year disproved the first
+version of that claim (the round's code review caught a leftover
+builtin F.median), so the contract gets a source-level pin: the
+builtin exact percentile/median aggregates may not appear in
+pipeline.py at all. Crude but effective — the defect class is "someone
+adds one eager stat the quick way", and that is exactly a text match.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "health_etl_pipeline_and_analytics_with_machine_learning_spark"
+
+
+def test_pipeline_has_no_builtin_percentile_funnel():
+    """GLOBAL stats must ride the engine. GROUP medians (the two
+    groupBy(...).agg(F.median...) fills) are the documented bounded
+    form — the buffer is one group's values, and operators/scaled.py
+    holds the certified extreme-scale grouped twin — so the pin targets
+    the funnel shapes: a builtin median/percentile inside an ungrouped
+    eager aggregate (the `_scalar(...)` wrapper) or a raw percentile
+    SQL expression."""
+    src = open(os.path.join(REPO, PKG, "pipeline.py")).read()
+    funnels = re.findall(r"_scalar\([^)]*(?:median|percentile)", src)
+    funnels += re.findall(r"F\.expr\(f?\"percentile", src)
+    assert not funnels, (
+        f"pipeline.py grew an ungrouped builtin percentile/median ({funnels}); "
+        "global eager statistics must ride _global_quantiles — see "
+        "BASELINE.md 'Cleaning pipeline at volume (r9)'"
+    )
+    # every builtin median that remains is a grouped fill
+    for ln in src.splitlines():
+        if "F.median(" in ln:
+            assert "groupBy" in ln or "__gm_" in ln, ln
+    # ...and the engine wrapper is actually used
+    assert src.count("_global_quantiles(") >= 4  # year, missing, iqr, sweep
+
+
+def test_health_raw_generator_is_deterministic_and_dirty(tmp_path):
+    gen = pytest.importorskip("scripts.gen_health_raw")
+
+    p1 = gen.generate(str(tmp_path / "a.csv"), 500)
+    p2 = gen.generate(str(tmp_path / "b.csv"), 500)
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2, "same seed + n must be byte-identical"
+
+    # latin-1 with the non-UTF-8 byte that forces the encoding fallback
+    assert b"\xa5" in b1
+    with pytest.raises(UnicodeDecodeError):
+        b1.decode("utf-8")
+    text = b1.decode("latin-1")
+    lines = text.splitlines()
+    header = lines[0].split(",")
+    assert header == gen.HEADER and len(header) == 30
+    # n rows + 1 exact duplicate + 2 trailing all-NULL rows
+    assert len(lines) == 1 + 500 + 3
+    assert lines[-1].count(",") == 29 and set(lines[-1]) == {","}
+    # the duplicate row is byte-identical to row 1
+    assert lines[501] == lines[1]
+    # documented dirt actually present: apostrophe-prefixed numerics,
+    # corrupt names, NA tokens
+    assert any(",'" in ln for ln in lines[1:100])
+    assert any(tok in text for tok in ("It@l", "HIV/A!DS", "M?dium"))
+    assert any(tok in text for tok in ("~none~", "N/A", "NaN"))

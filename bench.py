@@ -70,8 +70,19 @@ def main() -> None:
 
     sentinel_start = _sentinel()
 
+    # mid-run sentinel (VERDICT r9 item 3): the r9 driver artifact's
+    # brackets read 0.80 s → 0.38 s, which invalidated the WHOLE
+    # artifact because two points can't localize when the box phase
+    # flipped. A third reading at the midpoint splits the run into two
+    # halves, each adjudicable on its own bracket pair.
+    sentinel_mid = None
+    items = sorted(registry.REGISTRY.items())
+    midpoint = len(items) // 2
+
     timings: dict[str, float] = {}
-    for name, rq in sorted(registry.REGISTRY.items()):
+    for i, (name, rq) in enumerate(items):
+        if i == midpoint:
+            sentinel_mid = _sentinel()
         try:
             rq.fn(spark, sf_dir).collect()  # warm-up: caches, JIT, file footers
             best = float("inf")
@@ -134,7 +145,13 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "sentinel_start": sentinel_start,
+        "sentinel_mid": sentinel_mid,
         "sentinel_end": _sentinel(),
+        # ADVICE r9: the headline total includes the pipeline_clean
+        # end-to-end ETL entry since r9 (~26 s at sf0.1) — totals from
+        # BENCH_r01–r08 artifacts are NOT directly comparable without
+        # reading the per-query map
+        "note": "total includes pipeline_clean since r9",
     }
     # queries FIRST, summary fields LAST, compact separators: harness
     # logs that keep only the tail of a long line still capture the

@@ -36,89 +36,79 @@ from .registry import REGISTRY as _R
 #: text_repetition_flags slot; the alphabetically-last 6 slip to r10
 #: and lead its window).
 _RECHECK_FIRST = [
-    # — changed-text tier (window policy a: changed impl/oracle text ⇒
-    #   slot, no exceptions).
-    #   (1) VERDICT r8 item 1 — ws_token_count / word3_shingles hoisted
-    #   into text.py; every former mirror now imports the shared pair —
-    "text_token_count",
-    "text_quality_score",
-    "doc_self_repetition",
-    "corpus_curation",
-    "truncation_loss_curve",
-    "sequence_pack_stats",
-    "sequence_pack_scaled",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    #   late-r9 token-definition fixes: the shared pair moved to \S+
-    #   run-counting after the new dialect-parity edge tests caught the
-    #   space-only trim guard (tab-only text → 2 phantom tokens on BOTH
-    #   engines), and text_repetition_flags carried the same
-    #   trim-then-split form in its word ARRAY (phantom empty-string
-    #   words depressing ttr / inflating top_word_share) —
-    "text_repetition_flags",
-    #   (2) VERDICT r8 items 3-4 + ADVICE — split_leakage_lsh is NEW
-    #   (leakage audit blocked on the engineered LSH bucket key);
-    #   bigram_cross_entropy_hashed is NEW (fixed-width feature-hashed
-    #   LM, the certified 100 TB twin); split_leakage_check's threshold
-    #   cosine moved to the round_cmp pair; similarity_lsh_bucketed and
-    #   dedup_minhash_lsh carry the localCheckpoint caveat; the exact
-    #   bigram op consumes the hoisted _bigram_pairs and unigram's
-    #   docstring now names the hashed twin —
-    "split_leakage_lsh",
-    "bigram_cross_entropy_hashed",
-    "split_leakage_check",
-    "similarity_lsh_bucketed",
-    "dedup_minhash_lsh",
-    "bigram_cross_entropy",
-    "unigram_cross_entropy",
-    #   (3) VERDICT r8 item 6 — the invariant-6 rank math consolidated
-    #   into functions/rank_math.py (both dialects, lockstep-tested) and
-    #   the selection engine's histogram/boundary transport moved to
-    #   Arrow bincount partials: every engine consumer re-certifies —
+    # r10 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r9 rotation comment and VERDICT r9 items 1-2:
+    # — staleness tier FIRST (policy b, hoisted above the changed tier
+    #   this round per VERDICT r9 item 1: these six r5 rows are the
+    #   oldest driver certifications anywhere, staleness 4) —
+    "snapshot_diff",
+    "source_vocab_overlap",
+    "text_simhash",
+    "token_pmi_topk",
+    "weighted_sample_topk",
+    "zorder_interleave",
+    # — changed-text tier (policy a: changed impl/oracle text ⇒ slot,
+    #   no exceptions): split_leakage_ngram is NEW (VERDICT r9 item 4
+    #   — the text-level cross-split shingle-hash contamination audit
+    #   completing the leakage family); the three selection-engine
+    #   consumers re-certify because rank_math.rank_spec (the Python
+    #   dialect only) moved from int() truncation to math.floor + a
+    #   p∈[0,1] assert (ADVICE r9) — provably identical on the valid
+    #   domain (pos ≥ 0) and lockstep-pinned, but changed text is
+    #   changed text —
+    "split_leakage_ngram",
     "median_fill",
     "iqr_clip",
     "quantile_profile",
-    "median_fill_scaled",
-    "iqr_clip_scaled",
-    "group_quantiles_scaled",
-    "source_quantile_normalize",
-    # — r5-cohort tier (policy b: oldest-first, alphabetical within the
-    #   equal-staleness tie; 26 slots remain) —
-    "assoc_rules_lift",
-    "benford_law_check",
-    "bpe_pair_counts",
-    "brand_copurchase_triangles",
-    "cdc_latest_compaction",
-    "countmin_estimate",
-    "cusum_changepoint",
-    "dedup_semantic_cluster",
-    "ewma_smoothing",
-    "heavy_hitters_twopass",
-    "incremental_agg_update",
-    "inverted_index_topk",
-    "kmv_distinct_sketch",
-    "kmv_join_cardinality",
-    "largest_remainder_alloc",
-    "mann_kendall_trend",
-    "merge_upsert_counts",
-    "mode_per_group",
-    "pagerank_nation_trade",
-    "path_regex_match",
-    "rolling_correlation",
-    "scd2_dimension_update",
-    "sessionization",
-    "simhash_near_pairs",
-    "similarity_ivf_topk",
-    "skyline_pareto",
-    # — r10 window core (planned now so rotation stays mechanical):
-    #   FIRST the 6 r5-cohort ops that didn't fit this round —
-    #   snapshot_diff, source_vocab_overlap, text_simhash,
-    #   token_pmi_topk, weighted_sample_topk, zorder_interleave
-    #   (staleness 4 by r10,
-    #   the oldest anywhere) — then r10's changed-text ops, then the
-    #   46-op r6 cohort oldest-first (tpch_*, the stats family,
-    #   bloom/entity-resolution, c4_heuristic_filter, ...); whatever
-    #   misses leads r11 with the r7 cohort behind it.
+    # — r6-cohort tier (policy b: oldest-first, alphabetical within
+    #   the equal-staleness tie; 40 of its 45 fit) —
+    "abtest_proportions_ztest",
+    "attribution_position_based",
+    "bloom_filter_semi_join",
+    "bootstrap_mean_ci",
+    "c4_heuristic_filter",
+    "chi_square_independence",
+    "column_profile",
+    "cume_dist_price_bands",
+    "encoding_run_stats",
+    "entity_resolution_blocked",
+    "fd_discovery",
+    "gaps_islands_streaks",
+    "grouping_sets_agg",
+    "histogram_fixed_width",
+    "interval_concurrency_peak",
+    "km_survival_estimate",
+    "ntile_quartiles",
+    "range_interval_window",
+    "rank_auc_mann_whitney",
+    "seasonal_baseline_anomaly",
+    "shannon_entropy_profile",
+    "skew_diagnosis_gini",
+    "source_jsd_pairs",
+    "spearman_rank_corr",
+    "star_join_revenue",
+    "supplier_revenue_rank",
+    "term_frequency_topk",
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    "time_weighted_avg",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    # — r11 window core (planned now so rotation stays mechanical):
+    #   FIRST the r6-cohort remainder that did not fit (tpch_q3,
+    #   tpch_q5, tpch_q6, tpch_q7, tpch_q8),
+    #   then r11 changed-text ops, then the 41-op r7 cohort
+    #   oldest-first (anti_join_inactive_customers, the multimodal
+    #   decode family, the streaming six, ...); whatever misses leads
+    #   r12 with the r8 cohort behind it.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

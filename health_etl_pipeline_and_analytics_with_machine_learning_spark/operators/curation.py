@@ -487,3 +487,151 @@ def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: cross-split n-gram contamination geometry: the SAME deterministic
+#: ~80/20 md5 split the embedding-space audits use (imported, never
+#: copied — the audit is only meaningful against the exact split
+#: training uses) and the SAME corpus-wide shingle document-frequency
+#: cap as the dedup inverted index (a stop-phrase shingle shared by
+#: thousands of docs "contaminates" everything while discriminating
+#: nothing — capping keeps the audit about literal reuse, and at 100 TB
+#: keeps any one shingle-hash join key's fan-in bounded).
+from .dedup import SHINGLE_DF_CAP as _LEAKN_CAP  # noqa: E402
+from .prep import _SPLIT_HEX as _LEAKN_SPLIT_HEX  # noqa: E402
+from .text import word3_shingles, word3_shingles_sql  # noqa: E402
+
+_LEAKN_SH_SQL = f"""
+      SELECT DISTINCT doc_id, md5(g) AS h FROM (
+        SELECT doc_id, unnest({word3_shingles_sql("toks")}) AS g
+        FROM (SELECT doc_id,
+                     regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+              FROM documents)
+      )
+"""
+
+
+@query(
+    "split_leakage_ngram",
+    oracle=f"""
+    WITH sh0 AS ({_LEAKN_SH_SQL}),
+    sh AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh0
+      ) WHERE df <= {_LEAKN_CAP}
+    ),
+    split AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{_LEAKN_SPLIT_HEX}'
+                  THEN 1 ELSE 0 END AS tr
+      FROM documents
+    ),
+    tr_sh AS (
+      SELECT DISTINCT h FROM sh JOIN split USING (doc_id) WHERE tr = 1
+    ),
+    per_doc AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN split USING (doc_id) JOIN tr_sh ON sh.h = tr_sh.h
+      WHERE split.tr = 0
+      GROUP BY sh.doc_id
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_leaked,
+           ROUND(COUNT(p.doc_id) * 1.0 / COUNT(*), 6) AS leaked_share,
+           CAST(COALESCE(MAX(p.n_shared), 0) AS BIGINT) AS max_shared
+    FROM split s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+    WHERE s.tr = 0
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def split_leakage_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-level cross-split contamination audit: test-split documents
+    that share a word-3-gram shingle with ANY train-split document —
+    the standard n-gram decontamination check LLM pipelines run before
+    trusting held-out metrics (VERDICT r9 item 4; production corpora
+    use the same machinery at n = 13). Completes the leakage family:
+    :func:`~..similarity.split_leakage_check` and ``split_leakage_lsh``
+    audit EMBEDDING space; this one audits literal text reuse, and
+    :func:`contamination_ngram_check` audits against an external
+    benchmark slice rather than across the training split.
+
+    Composes three certified primitives, imported rather than re-stated:
+    the md5 hash split (``hash_train_test_split``, keyed on doc_id
+    here), the shared ``text.word3_shingles`` pair, and the dedup
+    index's corpus-wide hot-shingle DF cap (> {_LEAKN_CAP!r}
+    occurrences ⇒ dropped on BOTH engines, so shares are computed over
+    the same capped shingle universe).
+
+    Output: one audit row per SOURCE of the test-side document — test
+    count, number of leaked test docs (≥ 1 shared capped shingle with
+    train), their share, and the worst offender's distinct shared-
+    shingle count (0 when the source is clean; integer gates, so no
+    round_cmp tie-break exposure anywhere).
+
+    Scale shape: NO pair materialization at all — the train side
+    collapses to its DISTINCT shingle-hash set before the cross-split
+    equi-join (a left-semi on the 32-hex md5 shingle hash, constant-
+    width keys regardless of shingle text), so the join moves
+    |test shingles| + |distinct train shingles| rows, never
+    Σ df_train·df_test pairs. The DF cap rides a COUNT window
+    partitioned by the hash — the same key the semi-join shuffles on,
+    so Catalyst reuses the exchange (same measured device as
+    ``dedup._shingle_index``). Everything downstream of the semi-join
+    is doc-bounded: a per-test-doc count, then a per-source partial
+    aggregate."""
+    return _leakage_ngram_audit(load(spark, sf_dir, "documents"))
+
+
+def _leakage_ngram_audit(d: DataFrame, cap: int = _LEAKN_CAP) -> DataFrame:
+    """DataFrame-level core of :func:`split_leakage_ngram` (split out so
+    the planted-contamination tests in tests/test_llm_ops.py can run it
+    over handcrafted corpora). ``d`` needs ``doc_id``/``text``/
+    ``source`` columns."""
+    is_tr = (
+        F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+        )
+        < _LEAKN_SPLIT_HEX
+    )
+    toks = d.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    sh0 = (
+        toks.select(
+            "doc_id", F.explode(word3_shingles(F.col("toks"))).alias("g")
+        )
+        .select("doc_id", F.md5(F.encode(F.col("g"), "UTF-8")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("h")
+    sh = (
+        sh0.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= cap)
+        .select("doc_id", "h", is_tr.alias("tr"))
+    )
+    tr_sh = sh.filter(F.col("tr")).select("h").distinct()
+    per_doc = (
+        sh.filter(~F.col("tr"))
+        .join(tr_sh, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    test_docs = d.filter(~is_tr).select("doc_id", "source")
+    return (
+        test_docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+            F.count("n_shared").cast("long").alias("n_leaked"),
+            F.round(F.count("n_shared") / F.count(F.lit(1)), 6).alias(
+                "leaked_share"
+            ),
+            F.coalesce(F.max("n_shared"), F.lit(0).cast("long")).alias(
+                "max_shared"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -146,7 +146,15 @@ def _global_quantiles(
     18-median builtin agg cost 9.1 s at 600k rows; the engine's three
     distributed passes cost ~2 s). NaN results (empty column, or a
     NaN-majority column) are mapped to None = "no fill value", matching
-    the builtin's null-on-empty."""
+    the builtin's null-on-empty.
+
+    INTENTIONAL behavior change vs the pre-r9 builtin path (ADVICE r9):
+    when a column's median is NaN (NaN-majority column), the old
+    ``F.median`` fill wrote that NaN into the nulls; mapping it to None
+    leaves nulls null instead — no row gains a NaN it didn't have, and
+    downstream IS-NULL accounting stays truthful (this is also pandas'
+    behavior: ``fillna(nan)`` is a no-op). Pinned by
+    tests/test_pipeline_structure.py::test_nan_median_means_no_fill."""
     res = exact_quantiles_multi(df, col_probs)
     import math
 
@@ -465,7 +473,26 @@ def clean_health_dataset(
     """ETL entry point: ingest (encoding fallback + NA tokens) → clean →
     optionally write parquet (the engine's 'silver' table; the reference
     wrote CSV — parquet is the scale-correct canonical sink; CSV export
-    remains available via df.write.csv)."""
+    remains available via df.write.csv).
+
+    Executor-side requirements: the eager statistics ride the
+    selection engine's Arrow transport (functions.quantiles._multi_pass,
+    mapInPandas since r9), so every EXECUTOR Python env needs
+    pandas + pyarrow + numpy — previously this path was pure JVM
+    expressions (ADVICE r9). Checked eagerly here so a cluster missing
+    them fails at entry with a clear message, not mid-job inside
+    stage_year/stage_missing."""
+    try:
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "clean_health_dataset requires pandas, pyarrow and numpy on "
+            "every executor since r9 (the exact-quantile engine's Arrow "
+            "bincount transport — functions/quantiles.py). Install them "
+            "in the cluster Python environment."
+        ) from exc
     raw = read_csv_raw(spark, csv_path)
     cleaned = clean_health_dataframe(
         raw, record_id_mode=record_id_mode, country_corrections=country_corrections

@@ -188,13 +188,30 @@ def generate(path: str, n_rows: int, seed: int = 20260815) -> str:
 _RECIPE_VERSION = 2
 
 
-def ensure_csv(n_rows: int, cache_dir: str = "/tmp/spark_graft_fixtures") -> str:
-    """Generate once per (machine, recipe version, n_rows); reuse
-    afterwards."""
+#: cache lives UNDER THE REPO (gitignored), not in the shared
+#: world-writable /tmp (ADVICE r9: a foreign or tampered /tmp file with
+#: the right name would silently feed the benchmark). Row-count
+#: validation below guards the remaining failure mode (a cache file
+#: truncated by something other than our own tmp+rename writes).
+_DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache"
+)
+
+
+def ensure_csv(n_rows: int, cache_dir: str = _DEFAULT_CACHE_DIR) -> str:
+    """Generate once per (repo, recipe version, n_rows); reuse
+    afterwards. A cached file is trusted only if its line count matches
+    the recipe (header + n_rows + 1 dup + 2 null rows) — anything else
+    is regenerated."""
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"health_raw_v{_RECIPE_VERSION}_{n_rows}.csv")
-    if not os.path.exists(path):
-        generate(path, n_rows)
+    expected_lines = 1 + n_rows + 3
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            n_lines = sum(1 for _ in f)
+        if n_lines == expected_lines:
+            return path
+    generate(path, n_rows)
     return path
 
 

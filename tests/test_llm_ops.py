@@ -589,3 +589,74 @@ def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
         if r["uniq"] > 0
     }
     assert op_counts == idx_counts
+
+
+def test_split_leakage_ngram_flags_planted_cross_split_overlap(spark):
+    """VERDICT r9 item 4: the text-level cross-split audit must flag a
+    test doc that shares a word-3-gram with a train doc, leave clean /
+    shingle-less test docs unflagged, and ignore a hot shingle shared
+    by more docs than the DF cap (it discriminates nothing)."""
+    import hashlib
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        curation,
+    )
+
+    def is_train(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < curation._LEAKN_SPLIT_HEX
+
+    train_ids = [i for i in range(400) if is_train(i)]
+    test_ids = [i for i in range(400) if not is_train(i)]
+    n_hot = curation._LEAKN_CAP + 4
+    assert len(train_ids) >= 2 and len(test_ids) >= n_hot + 3
+
+    leaked, clean, tiny, hot_only = test_ids[0], test_ids[1], test_ids[2], test_ids[3]
+    rows = [
+        # train doc whose 3-gram "alpha beta gamma" the leaked test doc reuses
+        (train_ids[0], "web", "alpha beta gamma delta epsilon"),
+        # leaked test doc: shares exactly the planted shingle
+        (leaked, "web", "prefix alpha beta gamma suffix"),
+        # clean test doc: unique shingles only
+        (clean, "web", "one two three four five"),
+        # under-3-token test doc: no shingles at all
+        (tiny, "web", "  short\ttext  "),
+        # hot-only test doc: its ONLY shared shingle is the stop phrase
+        (hot_only, "web", "zz yy xx"),
+    ] + [
+        # the stop phrase "zz yy xx" rides > cap docs (train side) with
+        # unique tails, pushing its corpus DF past the cap
+        (t, "web", f"zz yy xx filler{k} pad{k}")
+        for k, t in enumerate(train_ids[1 : 1 + n_hot])
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in curation._leakage_ngram_audit(d).collect()}
+    web = out["web"]
+    assert web["n_test_docs"] == 4
+    # only the planted-overlap doc is leaked: the clean, the tiny, and
+    # the hot-only docs must not count
+    assert web["n_leaked"] == 1
+    assert web["max_shared"] == 1
+    assert abs(web["leaked_share"] - 0.25) < 1e-9
+
+
+def test_split_leakage_ngram_counts_distinct_shared_shingles(spark):
+    """max_shared counts DISTINCT shared shingles per worst test doc."""
+    import hashlib
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        curation,
+    )
+
+    def is_train(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < curation._LEAKN_SPLIT_HEX
+
+    tr = next(i for i in range(400) if is_train(i))
+    te = next(i for i in range(400) if not is_train(i))
+    # the test doc reuses a 4-token span → shares TWO distinct 3-grams
+    rows = [
+        (tr, "s", "alpha beta gamma delta tail"),
+        (te, "s", "head alpha beta gamma delta"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    (row,) = curation._leakage_ngram_audit(d).collect()
+    assert row["n_leaked"] == 1 and row["max_shared"] == 2

@@ -72,3 +72,27 @@ def test_health_raw_generator_is_deterministic_and_dirty(tmp_path):
     assert any(",'" in ln for ln in lines[1:100])
     assert any(tok in text for tok in ("It@l", "HIV/A!DS", "M?dium"))
     assert any(tok in text for tok in ("~none~", "N/A", "NaN"))
+
+
+def test_nan_median_means_no_fill(spark):
+    """ADVICE r9: pin the NaN-median edge case as an INTENTIONAL
+    behavior change. A NaN-majority column's exact median is NaN; the
+    engine wrapper maps it to None = "no fill", so nulls stay null
+    (matching pandas, where fillna(NaN) is a no-op) instead of being
+    overwritten with NaN as the old builtin F.median path did."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.pipeline import (
+        _global_quantiles,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(nan,), (nan,), (nan,), (1.0,), (None,)], ["x"]
+    )
+    meds = _global_quantiles(df, {"x": [0.5]})
+    assert meds["x"] == [None]
+    # and the downstream fill contract: coalesce with a None literal is
+    # the no-op fill, so the null row stays null
+    filled = df.withColumn("x", F.coalesce("x", F.lit(meds["x"][0])))
+    assert [r["x"] for r in filled.collect()].count(None) == 1

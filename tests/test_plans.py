@@ -795,3 +795,20 @@ def test_km_survival_windows_run_on_duration_table(spark):
     plan = formatted_plan(df)
     assert "Window" in plan
     assert partial_agg_functions(df)
+
+
+def test_split_leakage_ngram_is_equi_semi_join_no_pairs(spark):
+    """VERDICT r9 item 4 plan pin: the cross-split shingle audit must be
+    an EQUI join on the shingle hash (semi against the distinct train
+    shingle set — no train×test pair materialization), never a nested
+    loop; and the hot-shingle DF cap's window must not add an exchange
+    beyond the join's own hash-partitioning (exchange reuse on `h`)."""
+    df = q("split_leakage_ngram", spark)
+    plan = formatted_plan(df)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js and "BroadcastNestedLoopJoin" not in js
+    assert "LeftSemi" in plan
+    # window (cap) + semi-join + per-doc agg + per-source agg + sort +
+    # the left join back onto test docs — a bounded exchange count keeps
+    # a refactor from quietly inserting a pair-materializing shuffle
+    assert count_exchanges(df) <= 7, count_exchanges(df)

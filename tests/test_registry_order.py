@@ -3,10 +3,11 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-9
+verification contract, not cosmetics. These tests pin the round-10
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first.
+first — with the six staleness-4 r5 slips hoisted to the very head this
+round per VERDICT r9 item 1.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -21,83 +22,87 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: changed-text tier — fresh driver rows REQUIRED. Three r9 families:
-#: (1) the shingle/token helper unification (VERDICT r8 item 1 —
-#: text.ws_token_count / word3_shingles hoisted, all former mirrors now
-#: import them); (2) the leakage/cross-entropy work (items 3-4 +
-#: ADVICE: NEW split_leakage_lsh and bigram_cross_entropy_hashed;
-#: round_cmp threshold in split_leakage_check; localCheckpoint caveats;
-#: the exact bigram op on the hoisted pair builder); (3) the quantile
-#: consolidation (item 6 — functions/rank_math.py carries invariant 6
-#: once, and the selection engine's histogram/boundary transport moved
-#: to Arrow bincount partials) pulling in every engine consumer;
-#: plus the late token-definition fixes (\S+ run-counting in the
-#: shared pair and in text_repetition_flags's word array).
-ROUND9_CHANGED_IDS = [
-    "text_token_count",
-    "text_quality_score",
-    "doc_self_repetition",
-    "corpus_curation",
-    "truncation_loss_curve",
-    "sequence_pack_stats",
-    "sequence_pack_scaled",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "text_repetition_flags",
-    "split_leakage_lsh",
-    "bigram_cross_entropy_hashed",
-    "split_leakage_check",
-    "similarity_lsh_bucketed",
-    "dedup_minhash_lsh",
-    "bigram_cross_entropy",
-    "unigram_cross_entropy",
+#: staleness tier — the six r5-cohort ops that slipped the r9 window.
+#: Their r5 driver rows are the oldest certifications anywhere
+#: (staleness 4 entering r10), and r5→r6 proved the driver environment
+#: catches what local runs don't — so they lead the window, ahead even
+#: of the changed tier.
+ROUND10_STALE_IDS = [
+    "snapshot_diff",
+    "source_vocab_overlap",
+    "text_simhash",
+    "token_pmi_topk",
+    "weighted_sample_topk",
+    "zorder_interleave",
+]
+
+#: changed-text tier — fresh driver rows REQUIRED.
+#: split_leakage_ngram is NEW this round (VERDICT r9 item 4): the
+#: text-level cross-split shingle-hash contamination audit composing
+#: the md5 doc_id split, the shared text.word3_shingles pair, and the
+#: dedup index's hot-shingle DF cap.
+ROUND10_CHANGED_IDS = [
+    "split_leakage_ngram",
+    # selection-engine consumers: rank_math.rank_spec (Python dialect)
+    # moved int() → math.floor + p∈[0,1] assert (ADVICE r9); identical
+    # on the valid domain and lockstep-pinned, but policy (a) admits no
+    # exceptions
     "median_fill",
     "iqr_clip",
     "quantile_profile",
-    "median_fill_scaled",
-    "iqr_clip_scaled",
-    "group_quantiles_scaled",
-    "source_quantile_normalize",
 ]
 
-#: oldest-first refresh: the r5 cohort (staleness 3 entering r9 — the
-#: oldest anywhere). 26 of its 32 fit; the alphabetically-last six
-#: (snapshot_diff, source_vocab_overlap, text_simhash, token_pmi_topk,
-#: weighted_sample_topk, zorder_interleave) slip to r10 and lead its
-#: window.
-ROUND9_R5_COHORT_IDS = [
-    "assoc_rules_lift",
-    "benford_law_check",
-    "bpe_pair_counts",
-    "brand_copurchase_triangles",
-    "cdc_latest_compaction",
-    "countmin_estimate",
-    "cusum_changepoint",
-    "dedup_semantic_cluster",
-    "ewma_smoothing",
-    "heavy_hitters_twopass",
-    "incremental_agg_update",
-    "inverted_index_topk",
-    "kmv_distinct_sketch",
-    "kmv_join_cardinality",
-    "largest_remainder_alloc",
-    "mann_kendall_trend",
-    "merge_upsert_counts",
-    "mode_per_group",
-    "pagerank_nation_trade",
-    "path_regex_match",
-    "rolling_correlation",
-    "scd2_dimension_update",
-    "sessionization",
-    "simhash_near_pairs",
-    "similarity_ivf_topk",
-    "skyline_pareto",
+#: oldest-first refresh: the r6 cohort (staleness 3 entering r10 — the
+#: oldest behind the hoisted r5 six). 40 of its 45 fit; the
+#: alphabetically-last five (tpch_q3, tpch_q5, tpch_q6, tpch_q7,
+#: tpch_q8) slip to r11 and lead its window.
+ROUND10_R6_COHORT_IDS = [
+    "abtest_proportions_ztest",
+    "attribution_position_based",
+    "bloom_filter_semi_join",
+    "bootstrap_mean_ci",
+    "c4_heuristic_filter",
+    "chi_square_independence",
+    "column_profile",
+    "cume_dist_price_bands",
+    "encoding_run_stats",
+    "entity_resolution_blocked",
+    "fd_discovery",
+    "gaps_islands_streaks",
+    "grouping_sets_agg",
+    "histogram_fixed_width",
+    "interval_concurrency_peak",
+    "km_survival_estimate",
+    "ntile_quartiles",
+    "range_interval_window",
+    "rank_auc_mann_whitney",
+    "seasonal_baseline_anomaly",
+    "shannon_entropy_profile",
+    "skew_diagnosis_gini",
+    "source_jsd_pairs",
+    "spearman_rank_corr",
+    "star_join_revenue",
+    "supplier_revenue_rank",
+    "term_frequency_topk",
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    "time_weighted_avg",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 
-def test_r9_window_is_exactly_the_planned_fifty():
+def test_r10_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = ROUND9_CHANGED_IDS + ROUND9_R5_COHORT_IDS
+    planned = ROUND10_STALE_IDS + ROUND10_CHANGED_IDS + ROUND10_R6_COHORT_IDS
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
@@ -111,9 +116,9 @@ def test_recheck_list_fits_the_window():
     assert len(ops._RECHECK_FIRST) <= WINDOW
 
 
-def test_no_registry_entry_left_unchecked_after_r9():
-    """Every registry id either has a driver row from r1–r8 or sits in
-    the r9 window — no op can reach the judge without certification."""
+def test_no_registry_entry_left_unchecked_after_r10():
+    """Every registry id either has a driver row from r1–r9 or sits in
+    the r10 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -123,13 +128,14 @@ def test_no_registry_entry_left_unchecked_after_r9():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r9 slot: {never}"
+    assert not never, f"ids with no driver row and no r10 slot: {never}"
 
 
-def test_r9_window_covers_every_pre_r5_certification():
-    """The oldest-first policy invariant: after r9 lands green, no op's
-    latest driver certification is older than round 5 (the six r5 ops
-    that slipped keep their r5 rows and lead the r10 window)."""
+def test_r10_window_covers_every_pre_r6_certification():
+    """The oldest-first policy invariant: after r10 lands green, no
+    op's latest driver certification is older than round 6 (the five r6
+    ops that slipped — tpch_q3/q5/q6/q7/q8 — keep their r6 rows and
+    lead the r11 window)."""
     import glob
     import json
     import os
@@ -140,8 +146,8 @@ def test_r9_window_covers_every_pre_r5_certification():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    stale = [n for n in REGISTRY if latest.get(n, 0) <= 4 and n not in prefix]
-    assert not stale, f"pre-r5 certifications left outside the r9 window: {stale}"
+    stale = [n for n in REGISTRY if latest.get(n, 0) <= 5 and n not in prefix]
+    assert not stale, f"pre-r6 certifications left outside the r10 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

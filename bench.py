@@ -56,11 +56,28 @@ def main() -> None:
 
     def _sentinel() -> float:
         """min-of-2 tpch_q1 — the drift reference BASELINE.md's bench
-        methodology uses. Bracketing the run (start + end) lets any
-        artifact reader separate multiplicative box drift from real
-        per-op movement without a second run."""
+        methodology uses. Bracketing the run (start + mid + end) lets
+        any artifact reader separate multiplicative box drift from real
+        per-op movement without a second run.
+
+        Warm-up runs until two consecutive laps agree within 15% (max
+        6): the r10 adjudication found every recent artifact's START
+        sentinel reading ~2× its mid/end brackets (r9 driver 0.80→0.38,
+        r9 committed 0.75→0.40, r10 first run 0.79→0.28→0.34) while the
+        per-op halves showed NO matching slowdown — the elevation is
+        the cold JVM (JIT/codegen caches), not box phase, and a single
+        warm-up lap cannot damp it. Stabilized warm-up makes the start
+        bracket comparable to mid/end, so a genuine box-phase flip is
+        no longer masked by a guaranteed-hot first reading."""
         rq = registry.REGISTRY["tpch_q1"]
-        rq.fn(spark, sf_dir).collect()
+        prev = None
+        for _ in range(6):
+            t0 = time.perf_counter()
+            rq.fn(spark, sf_dir).collect()
+            lap = time.perf_counter() - t0
+            if prev is not None and lap <= prev * 1.15 and prev <= lap * 1.15:
+                break
+            prev = lap
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -85,26 +85,29 @@ def _bucket_of(v: float, lo: float, width: float) -> int:
     return min(N_BUCKETS - 1, int(math.floor((v - lo) / width * N_BUCKETS)))
 
 
+#: transport crossover (r10, measured at sf0.1/600k rows): the Arrow
+#: path pays a fixed Python-worker + Arrow-serialization cost PER PASS
+#: that the JVM explode path does not, while the explode path pays
+#: row-count × column-count intermediate rows that Arrow does not. At
+#: 1 column the fixed cost dominated — iqr_clip read 0.64 s (r8, JVM)
+#: → 1.08 s (r9, Arrow-always); at 25 columns the explode rows
+#: dominated — the ETL sweep read 4.9 s (JVM) vs ~1.1 s (Arrow). The
+#: hybrid keeps both certified transports and dispatches on column
+#: count (bucket math is bit-identical on both sides, so the choice is
+#: invisible to results — pinned by the engine property suite).
+JVM_TRANSPORT_MAX_COLS = 8
+
+
 def _multi_pass(
     df: DataFrame,
     specs: list[tuple[str, float, float]],
     needed: dict[str, list[int]] | None,
 ):
-    """The multi-column histogram / boundary-value transport: Arrow
-    batches + numpy ``bincount``/``unique`` partials per task, merged by
-    a tiny (column, key) aggregation.
-
-    The r1–r8 transport was ``explode(array(<struct per column>))`` into
-    a JVM hash aggregate — row-count × column-count intermediate rows,
-    which at 25 profiled columns × 600k rows meant 15M exploded rows
-    PER PASS and made the two passes 10× the cost of the underlying scan
-    (measured 4.9 s vs a 1.1 s scan; the 24-column ETL sweep paid it
-    twice). The numpy path does the same bucket math on the same float64
-    values inside one scan — per-element ops are IEEE-identical to the
-    JVM expression (``(v − lo) / width · B`` then ``floor`` then the
-    B−1 clamp, exactly :func:`_bucket_of`), so the histogram is
-    bit-equal, and the property suite that pins the engine against the
-    builtin percentile covers it.
+    """The multi-column histogram / boundary-value transport. Two
+    bit-identical implementations, dispatched on column count (see
+    :data:`JVM_TRANSPORT_MAX_COLS`): few columns ride the JVM
+    struct-explode (codegen, no Python workers), many columns ride
+    Arrow batches + numpy ``bincount``/``unique`` partials.
 
     ``needed`` is None for the HISTOGRAM pass (emit (c, b, cnt) bucket
     partials) or a {col: [bucket...]} map for the BOUNDARY pass (emit
@@ -112,6 +115,63 @@ def _multi_pass(
     n/N_BUCKETS values per bucket). Each task's output is bounded by
     N_BUCKETS (histogram) / the boundary buckets' distinct values —
     the driver collect stays O(N_BUCKETS)-ish either way."""
+    if len(specs) <= JVM_TRANSPORT_MAX_COLS:
+        return _multi_pass_jvm(df, specs, needed)
+    return _multi_pass_arrow(df, specs, needed)
+
+
+def _multi_pass_jvm(
+    df: DataFrame,
+    specs: list[tuple[str, float, float]],
+    needed: dict[str, list[int]] | None,
+):
+    """JVM transport: ``explode(array(<struct per column>))`` into a
+    hash aggregate — the r1–r8 form, kept for FEW columns where its
+    row-count × column-count intermediate stays cheap and whole-stage
+    codegen beats the Arrow path's fixed per-pass Python-worker cost.
+    Bucket assignment is :func:`_bucket_expr` — the exact JVM twin of
+    the numpy math in :func:`_multi_pass_arrow` (pure IEEE-double ops,
+    always agree)."""
+    inf = float("inf")
+    structs = []
+    for c, lo, width in specs:
+        v = F.col(c).cast("double")
+        fin = (
+            v.isNotNull() & ~F.isnan(v) & (v != F.lit(inf)) & (v != F.lit(-inf))
+        )
+        if needed is None:
+            k = _bucket_expr(v, lo, width).cast("double")
+        else:
+            b = _bucket_expr(v, lo, width)
+            k = F.when(b.isin([int(x) for x in needed[c]]), v)
+        structs.append(
+            F.struct(F.lit(c).alias("c"), F.when(fin, k).alias("k"))
+        )
+    return (
+        df.select(F.explode(F.array(*structs)).alias("s"))
+        .select(F.col("s.c").alias("c"), F.col("s.k").alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("c", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+
+def _multi_pass_arrow(
+    df: DataFrame,
+    specs: list[tuple[str, float, float]],
+    needed: dict[str, list[int]] | None,
+):
+    """Arrow transport: numpy ``bincount``/``unique`` partials per task,
+    merged by a tiny (column, key) aggregation — the r9 form, kept for
+    MANY columns where the explode's row-count × column-count
+    intermediate rows dominate (at 25 profiled columns × 600k rows the
+    two explode passes cost 10× the underlying scan: 4.9 s vs 1.1 s).
+    Per-element ops are IEEE-identical to the JVM expression
+    (``(v − lo) / width · B`` then ``floor`` then the B−1 clamp,
+    exactly :func:`_bucket_of`), so the histogram is bit-equal, and the
+    property suite that pins the engine against the builtin percentile
+    covers it."""
     import numpy as np
 
     aliases = [(f"__q_{i}", c, lo, width) for i, (c, lo, width) in enumerate(specs)]

@@ -762,3 +762,178 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_features, schema=DECODED_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup: aHash over decoded BMP pixels + banded
+# Hamming blocking (VERDICT r9 item 8 — composes the two certified
+# primitives: the byte-level BMP decode above and the simhash banding
+# machinery from operators/dedup.py)
+# --------------------------------------------------------------------------
+
+#: aHash geometry: 60 sample points (house 60-bit signature width, same
+#: as text_simhash, so the banding constants are shared verbatim), each
+#: the nearest-neighbor pixel byte at index ⌊j·n_px/60⌋ of the decoded
+#: scanline stream, thresholded against the image's GLOBAL byte mean.
+#: The compare is integer cross-multiplication (p·n_px > Σpixels) — no
+#: float anywhere, so the two engines cannot disagree on a boundary.
+_PHASH_BITS = 60
+
+
+def _bmp_phash_parse(b: bytes) -> int:
+    """Decode a BMP payload's pixel bytes (padding skipped — the same
+    byte-level walk :func:`_bmp_parse` certifies) and fold them into the
+    60-bit average-hash: bit j is set when the sampled pixel at
+    ⌊j·n_px/60⌋ is strictly brighter than the image mean."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _size, _r1, _r2, off = struct.unpack("<IHHI", b[2:14])
+    _hsz, w, h, _planes, _bpp = struct.unpack("<IiiHH", b[14:30])
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive BMP dimensions")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    px = bytearray()
+    for r in range(h):
+        start = off + r * (row + pad)
+        px += b[start : start + row]
+    n_px = len(px)
+    total = sum(px)
+    sig = 0
+    for j in range(_PHASH_BITS):
+        if px[(j * n_px) // _PHASH_BITS] * n_px > total:
+            sig |= 1 << j
+    return sig
+
+
+def _bmp_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: encode each doc's certified BMP payload and
+    parse it straight back into the perceptual hash — the same
+    write-then-decode seam the roundtrip ops certify, with the hash
+    computed from the DECODED BYTES (the oracle recomputes it from the
+    md5-hex cycle arithmetic instead; neither side sees the other's
+    path)."""
+    for pdf in batches:
+        rows = [
+            (int(doc_id), _bmp_phash_parse(_bmp_encode(int(doc_id), hx)))
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"])
+        ]
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+@query(
+    "image_phash_neardup",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             (1 + doc_id % {_BMP_W_MOD}) * (1 + doc_id % {_BMP_H_MOD}) * 3 AS n_px
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id, hx, n_px,
+             (n_px // 32) * list_aggregate(list_transform(generate_series(1, 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum')
+             + COALESCE(list_aggregate(list_transform(generate_series(1, n_px % 32),
+                                           i -> ord(substr(hx, i, 1))), 'sum'), 0)
+               AS total
+      FROM g
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN ord(substr(hx, ((j * n_px) // {_PHASH_BITS}) % 32 + 1, 1))
+                                * n_px > total
+                      THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS phash
+      FROM tot, (SELECT unnest(generate_series(0, {_PHASH_BITS - 1})) AS j)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, phash, bk,
+             (phash >> (bk * 12)) & 4095 AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 4)) AS bk)
+    ),
+    keep AS (
+      SELECT bk, band_key FROM bands
+      GROUP BY bk, band_key HAVING COUNT(*) <= 64
+    ),
+    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM kb a JOIN kb b
+      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 12
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """,
+    tags=("multimodal",),
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-duplicate detection (VERDICT r9 item 8):
+    aHash-class fingerprints over the decoded BMP corpus, paired by the
+    same multi-band Hamming blocking the text simhash op certifies —
+    dedup extended to the multimodal column family by composing two
+    certified primitives (`multimodal_bmp_decode`'s byte-level parser
+    lineage; `dedup._simhash_bands` + its hot-bucket cap, constants
+    shared so the pigeonhole guarantee carries over verbatim: any pair
+    within Hamming ≤ 4 of 60 bits shares an intact 12-bit band).
+
+    The hash is a nearest-neighbor 60-point resample of the scanline
+    byte stream thresholded at the global pixel mean via integer
+    cross-multiplication (p·n_px > Σpx) — zero floats, so engine
+    tie-breaks cannot exist. Tiny images (n_px < 60) sample pixels
+    repeatedly: their sparse, correlated signatures collapse into a few
+    hot (band, key) buckets, which is exactly what the ≤64 bucket cap
+    drops before the self-join (the cap is load-bearing here, not just
+    at 100 TB).
+
+    Certification is independent: Spark hashes the DECODED payload
+    bytes (encode → parse → sample); DuckDB never sees a byte — it
+    re-derives each sample from the md5-hex cycle arithmetic and the
+    doc_id geometry formulas, then replays the banding in integer SQL.
+
+    Scale shape: hashing is one Arrow-batched mapInPandas (no shuffle);
+    banding explodes ×5 inside codegen; candidates come from equi-joins
+    on (band, key) with the hot-bucket broadcast filter — never a cross
+    product; the Hamming verify is a bit_count on two longs. Identical
+    plan family to `simhash_near_pairs`, which holds at 100 TB for the
+    same reasons (band width is the knob that bounds bucket load)."""
+    from .dedup import _SIMHASH_MAX_BUCKET, _SIMHASH_RADIUS, _simhash_bands
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    sig = src.mapInPandas(_bmp_phash, schema="doc_id long, phash long").select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    # bands feed three consumers (bucket-size pass + both join sides) —
+    # same lazy lineage cut as simhash_near_pairs, same single-node
+    # caveat (localCheckpoint pins partitions to executors; re-derived
+    # under executor loss only pre-AQE — acceptable local trade, see
+    # dedup.py)
+    bands = _simhash_bands(sig).localCheckpoint(eager=False)
+    sizes = bands.groupBy("bk", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_RADIUS)
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )

@@ -660,3 +660,49 @@ def test_split_leakage_ngram_counts_distinct_shared_shingles(spark):
     d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
     (row,) = curation._leakage_ngram_audit(d).collect()
     assert row["n_leaked"] == 1 and row["max_shared"] == 2
+
+
+def test_bmp_phash_matches_closed_form_and_is_payload_invariant(spark):
+    """image_phash_neardup's hash must (a) match an independent Python
+    recomputation from the md5-hex cycle arithmetic (the oracle's
+    derivation — neither path sees the other's bytes), and (b) be a
+    function of the IMAGE alone: two doc_ids with identical text and
+    identical BMP geometry (doc_id difference a multiple of 31·17)
+    produce bit-identical signatures → a Hamming-0 near-dup pair."""
+    import hashlib
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _BMP_H_MOD,
+        _BMP_W_MOD,
+        _PHASH_BITS,
+        _bmp_encode,
+        _bmp_phash_parse,
+    )
+
+    def closed_form(doc_id: int, text: str) -> int:
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = 1 + doc_id % _BMP_W_MOD
+        h = 1 + doc_id % _BMP_H_MOD
+        n_px = w * h * 3
+        total = sum(
+            ord(hx[i % 32]) for i in range(n_px)
+        )
+        sig = 0
+        for j in range(_PHASH_BITS):
+            if ord(hx[((j * n_px) // _PHASH_BITS) % 32]) * n_px > total:
+                sig |= 1 << j
+        return sig
+
+    texts = ["hello world", "", "x", "some longer document text body"]
+    for doc_id in (0, 1, 7, 16, 30, 526, 527):
+        for t in texts:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            got = _bmp_phash_parse(_bmp_encode(doc_id, hx))
+            assert got == closed_form(doc_id, t), (doc_id, t)
+
+    # geometry+text-identical docs → identical signature
+    hx = hashlib.md5(b"same image").hexdigest()
+    period = _BMP_W_MOD * _BMP_H_MOD
+    assert _bmp_phash_parse(_bmp_encode(3, hx)) == _bmp_phash_parse(
+        _bmp_encode(3 + period, hx)
+    )

@@ -131,6 +131,7 @@ def test_neardup_joins_are_equi_not_cartesian(spark):
         "dedup_minhash_lsh",
         "split_leakage_check",
         "split_leakage_lsh",
+        "image_phash_neardup",
     ):
         strategies = join_strategies(q(name, spark))
         assert "CartesianProduct" not in strategies, name
@@ -153,7 +154,11 @@ def test_neardup_hot_bucket_caps_are_broadcast(spark):
     # BROADCAST join against the (small) oversized-bucket list — if a
     # refactor turns it into a shuffle join, the cap costs more than the
     # skew it prevents
-    for name in ("simhash_near_pairs", "dedup_minhash_lsh"):
+    for name in (
+        "simhash_near_pairs",
+        "dedup_minhash_lsh",
+        "image_phash_neardup",
+    ):
         strategies = join_strategies(q(name, spark))
         assert "BroadcastHashJoin" in strategies, name
 

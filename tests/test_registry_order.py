@@ -43,6 +43,9 @@ ROUND10_STALE_IDS = [
 #: dedup index's hot-shingle DF cap.
 ROUND10_CHANGED_IDS = [
     "split_leakage_ngram",
+    # aHash image near-dup over the certified BMP decode + the shared
+    # simhash banding (VERDICT r9 item 8 stretch)
+    "image_phash_neardup",
     # selection-engine consumers: rank_math.rank_spec (Python dialect)
     # moved int() → math.floor + p∈[0,1] assert (ADVICE r9); identical
     # on the valid domain and lockstep-pinned, but policy (a) admits no
@@ -53,9 +56,9 @@ ROUND10_CHANGED_IDS = [
 ]
 
 #: oldest-first refresh: the r6 cohort (staleness 3 entering r10 — the
-#: oldest behind the hoisted r5 six). 40 of its 45 fit; the
-#: alphabetically-last five (tpch_q3, tpch_q5, tpch_q6, tpch_q7,
-#: tpch_q8) slip to r11 and lead its window.
+#: oldest behind the hoisted r5 six). 39 of its 45 fit; the
+#: alphabetically-last six (tpch_q22, tpch_q3, tpch_q5, tpch_q6,
+#: tpch_q7, tpch_q8) slip to r11 and lead its window.
 ROUND10_R6_COHORT_IDS = [
     "abtest_proportions_ztest",
     "attribution_position_based",
@@ -96,7 +99,6 @@ ROUND10_R6_COHORT_IDS = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
-    "tpch_q22",
 ]
 
 
@@ -133,8 +135,8 @@ def test_no_registry_entry_left_unchecked_after_r10():
 
 def test_r10_window_covers_every_pre_r6_certification():
     """The oldest-first policy invariant: after r10 lands green, no
-    op's latest driver certification is older than round 6 (the five r6
-    ops that slipped — tpch_q3/q5/q6/q7/q8 — keep their r6 rows and
+    op's latest driver certification is older than round 6 (the six r6
+    ops that slipped — tpch_q22/q3/q5/q6/q7/q8 — keep their r6 rows and
     lead the r11 window)."""
     import glob
     import json

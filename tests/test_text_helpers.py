@@ -161,3 +161,121 @@ def test_alpha_tokenize_dialects_agree_on_edges(spark, ducked):
     assert got[10] == ["punct", "only", "tokens"]
     # digits split alpha runs and all-digit words vanish entirely
     assert got[16] == ["ab", "cd", "ef"]
+
+
+# --------------------------------------------------------------------------
+# r10 edge audit (VERDICT r9 item 7): exotic-whitespace dialect probes.
+# Java (Spark) \s is the ASCII set [ \t\n\x0B\f\r]; RE2 (DuckDB) \s is
+# [ \t\n\f\r] — NO \x0B; Python re \s adds \x1C-\x1F and all Unicode
+# spaces. Three regimes, probed explicitly below.
+
+#: characters where BOTH engines agree the char is NOT whitespace
+#: (intentional shared decision: whitespace is the ASCII class, not
+#: Python's Unicode-aware \s — a NBSP-joined pair is ONE token in this
+#: engine, documented like the cleaning quirks Q1-Q11)
+NON_SEPARATORS_BOTH = ["\x1c", "\x1d", "\x1e", "\x1f", "\xa0", " ", " ", "　"]
+
+
+def test_non_ascii_whitespace_is_not_a_separator_in_either_dialect(spark):
+    """Both dialects treat Unicode spaces and the ASCII separator block
+    as ordinary characters: 'a<CH>b' is ONE \\S+ run on BOTH engines
+    (Python's re would say two for all of them — the dialects diverge
+    from Python TOGETHER, which is the consistent-and-intended case)."""
+    con = duckdb.connect()
+    texts = [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
+    got = [
+        r["n"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        .select(ws_token_count().cast("long").alias("n"))
+        .collect()
+    ]
+    want = [
+        con.execute(
+            f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert got == [1] * len(texts), got
+    assert want == [1] * len(texts), want
+
+
+def test_vertical_tab_is_the_known_dialect_divergence(spark):
+    """KNOWN, DOCUMENTED divergence — \\x0B (vertical tab) is whitespace
+    to Java's \\s but NOT to RE2's: 'a\\x0Bb' is 2 tokens in Spark, 1 in
+    the DuckDB oracle dialect. Unreachable through the driver corpus
+    (test_corpus_contains_no_divergent_whitespace proves the generated
+    documents carry none of these characters), so every certified row
+    is unaffected; the fix — an explicit shared character class
+    ([\\s\\v] / [^\\s\\v] on the SQL side, Java semantics on both
+    engines) — touches the _NORM_SQL / WS_TOKEN_COUNT_SQL strings that
+    ~20 oracle texts interpolate, so per the window policy it is
+    scheduled as r11's lead changed-text family (see the r11 plan in
+    operators/__init__.py). THIS TEST MUST FLIP when that lands:
+    it asserts the divergence exists, so the fix cannot ship without
+    deleting the pin."""
+    con = duckdb.connect()
+    (spark_n,) = [
+        r["n"]
+        for r in spark.createDataFrame([(0, "a\x0bb")], "doc_id long, text string")
+        .select(ws_token_count().cast("long").alias("n"))
+        .collect()
+    ]
+    duck_n = con.execute(
+        f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
+        ["a\x0bb"],
+    ).fetchone()[0]
+    con.close()
+    assert spark_n == 2  # Java \s contains \x0B
+    assert duck_n == 1  # RE2 \s does not
+
+
+def test_corpus_contains_no_divergent_whitespace():
+    """The deferral guard: the driver-generated documents tables must
+    contain NONE of the characters the dialects disagree on (\\x0B) or
+    agree-but-diverge-from-Python on (\\x1C-\\x1F, Unicode spaces). If
+    the driver ever regenerates the corpus with such characters, this
+    fails BEFORE a driver-row mismatch can."""
+    import os
+
+    con = duckdb.connect()
+    pat = "[\x0b\x1c-\x1f\xa0  -     　]"
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        (n,) = con.execute(
+            "SELECT COUNT(*) FROM read_parquet(?) WHERE regexp_matches(text, ?)",
+            [p, pat],
+        ).fetchone()
+        assert n == 0, f"{sf}: {n} documents carry dialect-divergent whitespace"
+    con.close()
+
+
+def test_norm_dialects_agree_on_edges(spark):
+    """The shared normalizer pair (_norm / _NORM_SQL) — the tokenizer
+    under text_simhash, the dedup shingle index, doc_fingerprint and
+    split_leakage_ngram — must produce the IDENTICAL normalized string
+    on both engines for every edge text (whitespace-only, exotic ASCII
+    runs, agreed non-separators)."""
+    con = duckdb.connect()
+    texts = EDGE_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
+    got = [
+        r["norm"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        .select(_norm(F.col("text")).alias("norm"))
+        .collect()
+    ]
+    want = [
+        con.execute(
+            f"SELECT {_NORM_SQL} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert got == want

@@ -46,12 +46,14 @@ from pyspark.sql import functions as F
 def rank_spec(n: int, p: float) -> tuple[int, int, float]:
     """(k_lo, k_hi, frac) for the p-quantile of n values — 1-based
     flanking ranks plus the interpolation fraction. Requires n ≥ 1 and
-    p in [0, 1] (asserted: ``math.floor`` keeps this dialect identical
-    to :func:`rank_spec_col` even for a drifted caller with p < 0 —
+    p in [0, 1] (``math.floor`` keeps this dialect identical to
+    :func:`rank_spec_col` even for a drifted caller with p < 0 —
     ADVICE r9 flagged that ``int()`` truncation would diverge there —
     but out-of-range p has no quantile meaning, so it is rejected
-    rather than silently extrapolated)."""
-    assert 0.0 <= p <= 1.0, f"quantile probability out of range: {p!r}"
+    rather than silently extrapolated; a real raise, not an assert,
+    so ``python -O`` cannot strip the guard)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"quantile probability out of range: {p!r}")
     pos = (n - 1) * float(p)
     k_lo = 1 + math.floor(pos)
     frac = pos - math.floor(pos)

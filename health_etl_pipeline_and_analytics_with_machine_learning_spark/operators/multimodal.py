@@ -777,6 +777,21 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scanline stream, thresholded against the image's GLOBAL byte mean.
 #: The compare is integer cross-multiplication (p·n_px > Σpixels) — no
 #: float anywhere, so the two engines cannot disagree on a boundary.
+#: The banding constants are IMPORTED and f-string-interpolated into
+#: the oracle below (r10 review find: a frozen copy would silently
+#: diverge from the Spark side — which imports them — on any retune).
+#: Import-order note: this pulls dedup (and its registrations) in
+#: during multimodal's import, ahead of its tier-4 slot; registry
+#: PREFIX order is still fully governed by operators/__init__'s
+#: _RECHECK_FIRST reorder, which is what the driver window reads.
+from .dedup import (  # noqa: E402
+    _SIMHASH_BAND_BITS,
+    _SIMHASH_BAND_MASK,
+    _SIMHASH_BANDS,
+    _SIMHASH_MAX_BUCKET,
+    _SIMHASH_RADIUS,
+)
+
 _PHASH_BITS = 60
 
 
@@ -850,19 +865,19 @@ def _bmp_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ),
     bands AS (
       SELECT doc_id, phash, bk,
-             (phash >> (bk * 12)) & 4095 AS band_key
-      FROM sig, (SELECT unnest(generate_series(0, 4)) AS bk)
+             (phash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
     ),
     keep AS (
       SELECT bk, band_key FROM bands
-      GROUP BY bk, band_key HAVING COUNT(*) <= 64
+      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
     ),
     kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM kb a JOIN kb b
       ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 12
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_SIMHASH_RADIUS}
     ORDER BY hamming, doc_a, doc_b
     LIMIT 50
     """,

@@ -463,6 +463,37 @@ def clean_health_dataframe(
     return out
 
 
+def _probe_executor_python_env(spark: SparkSession) -> None:
+    """Fail fast, with a clear message, when the EXECUTOR Python envs
+    lack the selection engine's Arrow-transport dependencies (pandas /
+    pyarrow / numpy — required by the ETL path since r9). The probe is
+    a minimal mapInPandas job spread over default-parallelism tasks;
+    its success is cached on the SparkSession."""
+    if getattr(spark, "_health_etl_env_probed", False):
+        return
+
+    def _probe(batches):
+        import numpy  # noqa: F401
+        import pandas as _pd
+        import pyarrow  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    try:
+        n = spark.sparkContext.defaultParallelism
+        spark.range(n).repartition(n).mapInPandas(_probe, "id long").count()
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "clean_health_dataset requires pandas, pyarrow and numpy in "
+            "every EXECUTOR Python environment since r9 (the exact-"
+            "quantile engine's Arrow bincount transport — "
+            "functions/quantiles.py). An executor failed the entry "
+            "probe; install them in the cluster Python environment."
+        ) from exc
+    spark._health_etl_env_probed = True
+
+
 def clean_health_dataset(
     spark: SparkSession,
     csv_path: str,
@@ -479,20 +510,17 @@ def clean_health_dataset(
     selection engine's Arrow transport (functions.quantiles._multi_pass,
     mapInPandas since r9), so every EXECUTOR Python env needs
     pandas + pyarrow + numpy — previously this path was pure JVM
-    expressions (ADVICE r9). Checked eagerly here so a cluster missing
-    them fails at entry with a clear message, not mid-job inside
-    stage_year/stage_missing."""
-    try:
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401
-        import pyarrow  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "clean_health_dataset requires pandas, pyarrow and numpy on "
-            "every executor since r9 (the exact-quantile engine's Arrow "
-            "bincount transport — functions/quantiles.py). Install them "
-            "in the cluster Python environment."
-        ) from exc
+    expressions (ADVICE r9). Probed eagerly here — on the EXECUTORS,
+    via a tiny mapInPandas job, since driver and executor Python envs
+    commonly differ on YARN/K8s (r10 review find: a driver-only import
+    check passes exactly where the failure happens) — so a cluster
+    missing them fails at entry with a clear message, not mid-job
+    inside stage_year/stage_missing. The probe result is cached on the
+    SparkSession, so repeated pipeline calls in one session pay it
+    once; it reaches however many executors pick up its tasks (one per
+    default-parallelism slot) — representative, not exhaustive, which
+    is the best any entry-time check can do."""
+    _probe_executor_python_env(spark)
     raw = read_csv_raw(spark, csv_path)
     cleaned = clean_health_dataframe(
         raw, record_id_mode=record_id_mode, country_corrections=country_corrections

@@ -440,3 +440,95 @@ def test_rank_math_column_forms_match_python_forms(cases):
             assert math.isnan(r["q"]), r
         else:
             assert r["q"] == want, r
+
+
+# --------------------------------------------------------------------------
+# r10: the hybrid transport (JVM explode ≤ JVM_TRANSPORT_MAX_COLS
+# columns, Arrow above). The registry consumers and the suites above
+# all use ≤4 columns and therefore exercise only the JVM branch (r10
+# review find) — these tests force BOTH branches and pin bit-equality
+# between them, including the -0.0 aggregation-key normalization.
+
+
+def _both_transports(df, col_probs):
+    import health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles as Q
+
+    saved = Q.JVM_TRANSPORT_MAX_COLS
+    try:
+        Q.JVM_TRANSPORT_MAX_COLS = 10**9
+        jvm = Q.exact_quantiles_multi(df, col_probs)
+        Q.JVM_TRANSPORT_MAX_COLS = -1
+        arrow = Q.exact_quantiles_multi(df, col_probs)
+    finally:
+        Q.JVM_TRANSPORT_MAX_COLS = saved
+    return jvm, arrow
+
+
+def _bits(x: float) -> str:
+    import struct
+
+    return struct.pack("<d", x).hex()
+
+
+def test_transports_bit_identical_on_edge_values(spark):
+    """JVM and Arrow transports must return BIT-identical results —
+    including the sign of zero (np.unique keeps the first of a sorted
+    equal run, so an un-normalized Arrow pass could return -0.0 where
+    the JVM groupBy's key normalization returns 0.0, making a returned
+    value's bit pattern depend on COLUMN COUNT)."""
+    rows = [
+        (-0.0, 5.0),
+        (-0.0, -1e9),
+        (0.0, 0.0),
+        (-0.0, float("inf")),
+        (1.0, None),
+        (-1.5, float("-inf")),
+        (-0.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    probs = {"x": [0.0, 0.25, 0.5, 1.0], "y": [0.1, 0.5, 0.9]}
+    jvm, arrow = _both_transports(df, probs)
+    for c in probs:
+        for a, b in zip(jvm[c], arrow[c]):
+            assert _bits(a) == _bits(b), (c, jvm[c], arrow[c])
+    # and the zero quantiles must come back POSITIVE zero on both
+    assert _bits(jvm["x"][1]) == _bits(0.0)
+
+
+def test_arrow_transport_matches_builtin_percentile(spark):
+    """The Arrow branch pinned directly against the builtin exact
+    percentile — the suites above run ≤4 columns and stay on the JVM
+    branch, so without this the live >8-column path (the ETL sweep)
+    would have no builtin anchor."""
+    import health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles as Q
+
+    li = load(spark, SF_CORRECT, "lineitem")
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9999999999999999, 1.0]
+    saved = Q.JVM_TRANSPORT_MAX_COLS
+    try:
+        Q.JVM_TRANSPORT_MAX_COLS = -1
+        mine = Q.exact_quantiles_multi(
+            li, {"l_extendedprice": probs, "l_quantity": probs, "l_discount": probs}
+        )
+    finally:
+        Q.JVM_TRANSPORT_MAX_COLS = saved
+    for c in ("l_extendedprice", "l_quantity", "l_discount"):
+        builtin = li.agg(
+            F.expr(f"percentile({c}, array({','.join(repr(p) for p in probs)}))")
+        ).collect()[0][0]
+        for a, b in zip(mine[c], builtin):
+            tol = 1e-9 * max(1.0, abs(b))
+            assert abs(a - b) <= tol, (c, mine[c], builtin)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_VALUES, _PROBS)
+@example(values=[-0.0, 0.0, -0.0], probs=[0.5])
+@example(values=[0.0, -1e9], probs=[0.9999999999999999])
+def test_transports_bit_identical_property(values, probs):
+    """Hypothesis patrol over the dual-transport contract: for ANY
+    input, switching transports may not change a single result bit."""
+    df = _spark.createDataFrame([(v,) for v in values], "x double")
+    jvm, arrow = _both_transports(df, {"x": probs})
+    for a, b in zip(jvm["x"], arrow["x"]):
+        assert _bits(a) == _bits(b), (values, probs, jvm, arrow)

@@ -57,14 +57,20 @@ _RECHECK_FIRST = [
     #   domain (pos ≥ 0) and lockstep-pinned, but changed text is
     #   changed text —
     #   image_phash_neardup is NEW (VERDICT r9 item 8 stretch — aHash
-    #   over decoded BMP pixels + the shared simhash banding) —
+    #   over decoded BMP pixels + the shared simhash banding);
+    #   audio_fingerprint_neardup is NEW (late r10 — the audio twin:
+    #   WAV frame-energy-delta fingerprint into the same banding,
+    #   closing the multimodal near-dup family over its third
+    #   modality) —
     "split_leakage_ngram",
     "image_phash_neardup",
+    "audio_fingerprint_neardup",
     "median_fill",
     "iqr_clip",
     "quantile_profile",
     # — r6-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 39 of its 45 fit) —
+    #   the equal-staleness tie; 38 of its 45 fit after the late
+    #   audio op took a changed-tier slot) —
     "abtest_proportions_ztest",
     "attribution_position_based",
     "bloom_filter_semi_join",
@@ -103,10 +109,9 @@ _RECHECK_FIRST = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q19",
     # — r11 window core (planned now so rotation stays mechanical):
-    #   FIRST the r6-cohort remainder that did not fit (tpch_q22,
-    #   tpch_q3, tpch_q5, tpch_q6, tpch_q7, tpch_q8),
+    #   FIRST the r6-cohort remainder that did not fit (tpch_q19,
+    #   tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7, tpch_q8),
     #   then r11 changed-text ops, then the 41-op r7 cohort
     #   oldest-first (anti_join_inactive_customers, the multimodal
     #   decode family, the streaming six, ...); whatever misses leads

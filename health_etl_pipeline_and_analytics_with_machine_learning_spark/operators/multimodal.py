@@ -952,3 +952,174 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint near-dup: frame-energy-delta signature over decoded
+# WAV PCM + the same banded Hamming blocking — the AUDIO twin of
+# image_phash_neardup, completing the multimodal near-dup family
+# (text simhash / image aHash / audio fingerprint all share one
+# 60-bit banding contract).
+# --------------------------------------------------------------------------
+
+#: fingerprint geometry: 61 equal-span frames over the PCM stream
+#: (frame of sample i is ⌊i·61/n⌋; every frame is nonempty because
+#: n ≥ 100 > 61 by the WAV geometry), INTEGER per-frame energy Σ|s|,
+#: and bit j of the 60-bit signature set when E[j+1] > E[j] — the
+#: energy-DELTA sign, the Chromaprint/Shazam-class temporal feature
+#: (robust to global gain, unlike the image op's mean threshold).
+#: Strict integer > on integer sums: the engines cannot disagree on a
+#: boundary, no rounding pair needed.
+_AUDIO_FRAMES = _PHASH_BITS + 1
+
+
+def _wav_fingerprint_parse(b: bytes) -> int:
+    """Decode a WAV payload's PCM samples (the same byte-level header
+    walk :func:`_wav_parse` certifies) and fold them into the 60-bit
+    energy-delta fingerprint."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    data_id, data_len = struct.unpack("<4sI", b[36:44])
+    if data_id != b"data":
+        raise ValueError("unexpected data chunk")
+    n = data_len // 2
+    if n < _AUDIO_FRAMES:
+        raise ValueError("too few samples to frame")
+    s = np.frombuffer(b, dtype="<i2", offset=_WAV_HDR, count=n).astype(np.int64)
+    fr = (np.arange(n, dtype=np.int64) * _AUDIO_FRAMES) // n
+    # bincount accumulates in float64 — exact here (|s| ≤ 32768, frame
+    # length ≤ 9 ⇒ energies < 2^19 ≪ 2^53), then back to int64 so the
+    # delta compare is the integer compare the oracle replays
+    fe = np.bincount(fr, weights=np.abs(s), minlength=_AUDIO_FRAMES).astype(np.int64)
+    bits = (fe[1:] > fe[:-1]).astype(np.int64)
+    return int((bits << np.arange(_PHASH_BITS, dtype=np.int64)).sum())
+
+
+def _wav_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: encode each doc's certified WAV payload and
+    parse it straight back into the fingerprint — hash computed from
+    the DECODED BYTES; the oracle re-derives each sample from the
+    md5-hex cycle arithmetic instead (neither side sees the other's
+    path)."""
+    for pdf in batches:
+        rows = [
+            (int(doc_id), _wav_fingerprint_parse(_wav_encode(int(doc_id), hx)))
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"])
+        ]
+        yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+
+@query(
+    "audio_fingerprint_neardup",
+    oracle=f"""
+    WITH geo AS (
+      SELECT doc_id, md5(text) AS hx, 100 + doc_id % {_WAV_N_MOD} AS n
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n, i,
+             abs(ord(substr(hx, (2*i) % 32 + 1, 1))
+                 + 256 * ord(substr(hx, (2*i+1) % 32 + 1, 1)) - 32768) AS e,
+             CAST((i * {_AUDIO_FRAMES}) // n AS INT) AS fr
+      FROM geo, unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    fe AS (
+      SELECT doc_id, fr, SUM(e) AS energy FROM samp GROUP BY doc_id, fr
+    ),
+    sig AS (
+      SELECT lo.doc_id,
+             CAST(SUM(CASE WHEN hi.energy > lo.energy
+                      THEN (1::BIGINT << lo.fr) ELSE 0 END) AS BIGINT) AS afp
+      FROM fe lo JOIN fe hi
+        ON lo.doc_id = hi.doc_id AND hi.fr = lo.fr + 1
+      GROUP BY lo.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, afp, bk,
+             (afp >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
+    ),
+    keep AS (
+      SELECT bk, band_key FROM bands
+      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM kb a JOIN kb b
+      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {_SIMHASH_RADIUS}
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """,
+    tags=("multimodal",),
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-duplicate detection: energy-delta
+    fingerprints over the decoded WAV corpus, paired by the same
+    multi-band Hamming blocking as `text_simhash` and
+    `image_phash_neardup` — the multimodal near-dup family closed over
+    its third modality by composing two certified primitives
+    (`multimodal_wav_decode`'s byte-level parser lineage;
+    `dedup._simhash_bands` + its hot-bucket cap, constants shared so
+    the pigeonhole guarantee carries verbatim: any pair within
+    Hamming ≤ 4 of 60 bits shares an intact 12-bit band).
+
+    The signature is the SIGN OF THE FRAME-ENERGY DELTA (61 equal-span
+    frames, Σ|s| per frame, bit j ⇔ E[j+1] > E[j]) — the temporal
+    feature real audio fingerprinters (Chromaprint, Shazam-class
+    systems) build on, gain-robust where a mean threshold is not. All
+    sums and compares are integer, so the engines cannot disagree on a
+    boundary.
+
+    Certification is independent: Spark hashes the DECODED payload
+    bytes (encode → header walk → np.frombuffer → bincount); DuckDB
+    never sees a byte — it re-derives each PCM sample from the md5-hex
+    cycle arithmetic and the doc_id geometry, then replays framing and
+    banding in integer SQL.
+
+    Scale shape: identical plan family to `image_phash_neardup` —
+    one Arrow-batched mapInPandas (no shuffle) for the hashes, banding
+    explodes ×5 inside codegen, candidates from equi-joins on
+    (band, key) behind the broadcast hot-bucket filter (never a cross
+    product), Hamming verify is a bit_count on two longs. The 16-char
+    md5-cycle waveform makes signatures correlated, so the bucket cap
+    is load-bearing at THIS scale too, exactly like the image op."""
+    from .dedup import _SIMHASH_MAX_BUCKET, _SIMHASH_RADIUS, _simhash_bands
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    sig = src.mapInPandas(_wav_fingerprint, schema="doc_id long, afp long").select(
+        "doc_id", F.col("afp").alias("simhash")
+    )
+    # bands feed three consumers (bucket-size pass + both join sides) —
+    # same lazy lineage cut + single-node caveat as image_phash_neardup
+    bands = _simhash_bands(sig).localCheckpoint(eager=False)
+    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_RADIUS)
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )

@@ -706,3 +706,47 @@ def test_bmp_phash_matches_closed_form_and_is_payload_invariant(spark):
     assert _bmp_phash_parse(_bmp_encode(3, hx)) == _bmp_phash_parse(
         _bmp_encode(3 + period, hx)
     )
+
+
+def test_wav_fingerprint_matches_closed_form_and_is_payload_invariant(spark):
+    """audio_fingerprint_neardup's hash must (a) match an independent
+    Python recomputation from the md5-hex cycle arithmetic (the
+    oracle's derivation — neither path sees the other's bytes), and
+    (b) be a function of the WAVEFORM alone: two doc_ids with the same
+    sample count and identical text (doc_id difference a multiple of
+    _WAV_N_MOD) produce bit-identical signatures → a Hamming-0 pair."""
+    import hashlib
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _AUDIO_FRAMES,
+        _PHASH_BITS,
+        _WAV_N_MOD,
+        _wav_encode,
+        _wav_fingerprint_parse,
+    )
+
+    def closed_form(doc_id: int, text: str) -> int:
+        hx = hashlib.md5(text.encode()).hexdigest()
+        n = 100 + doc_id % _WAV_N_MOD
+        fe = [0] * _AUDIO_FRAMES
+        for i in range(n):
+            s = ord(hx[(2 * i) % 32]) + 256 * ord(hx[(2 * i + 1) % 32]) - 32768
+            fe[(i * _AUDIO_FRAMES) // n] += abs(s)
+        sig = 0
+        for j in range(_PHASH_BITS):
+            if fe[j + 1] > fe[j]:
+                sig |= 1 << j
+        return sig
+
+    texts = ["hello world", "", "x", "some longer document text body"]
+    for doc_id in (0, 1, 7, 16, 99, 399, 400, 1234):
+        for t in texts:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            got = _wav_fingerprint_parse(_wav_encode(doc_id, hx))
+            assert got == closed_form(doc_id, t), (doc_id, t)
+
+    # same sample count + same text → identical signature
+    hx = hashlib.md5(b"same audio").hexdigest()
+    assert _wav_fingerprint_parse(_wav_encode(3, hx)) == _wav_fingerprint_parse(
+        _wav_encode(3 + _WAV_N_MOD, hx)
+    )

@@ -132,6 +132,7 @@ def test_neardup_joins_are_equi_not_cartesian(spark):
         "split_leakage_check",
         "split_leakage_lsh",
         "image_phash_neardup",
+        "audio_fingerprint_neardup",
     ):
         strategies = join_strategies(q(name, spark))
         assert "CartesianProduct" not in strategies, name
@@ -158,6 +159,7 @@ def test_neardup_hot_bucket_caps_are_broadcast(spark):
         "simhash_near_pairs",
         "dedup_minhash_lsh",
         "image_phash_neardup",
+        "audio_fingerprint_neardup",
     ):
         strategies = join_strategies(q(name, spark))
         assert "BroadcastHashJoin" in strategies, name

@@ -46,6 +46,10 @@ ROUND10_CHANGED_IDS = [
     # aHash image near-dup over the certified BMP decode + the shared
     # simhash banding (VERDICT r9 item 8 stretch)
     "image_phash_neardup",
+    # audio twin (late r10): WAV frame-energy-delta fingerprint into
+    # the same banding — multimodal near-dup family closed over its
+    # third modality
+    "audio_fingerprint_neardup",
     # selection-engine consumers: rank_math.rank_spec (Python dialect)
     # moved int() → math.floor + p∈[0,1] assert (ADVICE r9); identical
     # on the valid domain and lockstep-pinned, but policy (a) admits no
@@ -56,9 +60,10 @@ ROUND10_CHANGED_IDS = [
 ]
 
 #: oldest-first refresh: the r6 cohort (staleness 3 entering r10 — the
-#: oldest behind the hoisted r5 six). 39 of its 45 fit; the
-#: alphabetically-last six (tpch_q22, tpch_q3, tpch_q5, tpch_q6,
-#: tpch_q7, tpch_q8) slip to r11 and lead its window.
+#: oldest behind the hoisted r5 six). 38 of its 45 fit after the late
+#: audio op took a changed-tier slot; the alphabetically-last seven
+#: (tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7, tpch_q8)
+#: slip to r11 and lead its window.
 ROUND10_R6_COHORT_IDS = [
     "abtest_proportions_ztest",
     "attribution_position_based",
@@ -98,7 +103,6 @@ ROUND10_R6_COHORT_IDS = [
     "tpch_q15",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q19",
 ]
 
 

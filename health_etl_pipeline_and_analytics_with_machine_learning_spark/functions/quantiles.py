@@ -211,14 +211,15 @@ def _multi_pass_arrow(
                     sel = np.isin(b, need_arrs[c])
                     if not sel.any():
                         continue
-                    # +0.0 maps -0.0 → +0.0 (IEEE), matching the JVM
-                    # transport, whose groupBy normalizes -0.0 in
-                    # aggregation keys — without this the two
-                    # transports could return the same zero quantile
-                    # with different sign bits depending on column
-                    # count (r10 review find; dual-transport lockstep
-                    # test pins it)
-                    u, n = np.unique(vals[sel] + 0.0, return_counts=True)
+                    # -0.0/+0.0 sign bits need no handling here: these
+                    # partials feed the groupBy("c","k") below, whose
+                    # NormalizeFloatingNumbers rule canonicalizes -0.0
+                    # keys to +0.0 — the SAME normalizer the JVM
+                    # transport's groupBy applies, so the transports
+                    # agree on zero's sign regardless of column count
+                    # (verified empirically in the r10 review; the
+                    # dual-transport lockstep tests pin it)
+                    u, n = np.unique(vals[sel], return_counts=True)
                     out.append(pd.DataFrame({"c": c, "k": u, "cnt": n}))
             if out:
                 yield pd.concat(out, ignore_index=True)

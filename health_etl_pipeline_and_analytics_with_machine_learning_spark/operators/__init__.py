@@ -65,12 +65,18 @@ _RECHECK_FIRST = [
     "split_leakage_ngram",
     "image_phash_neardup",
     "audio_fingerprint_neardup",
+    #   simhash_near_pairs re-certifies because the r10 review's
+    #   shared-helper extraction (_banded_hamming_pairs +
+    #   _BANDED_PAIRS_SQL_TAIL in dedup.py) rewrote its Spark body to
+    #   the helper call — oracle string verified byte-identical, but
+    #   changed impl text is changed text —
+    "simhash_near_pairs",
     "median_fill",
     "iqr_clip",
     "quantile_profile",
     # — r6-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 38 of its 45 fit after the late
-    #   audio op took a changed-tier slot) —
+    #   the equal-staleness tie; 37 of its 45 fit after the late audio
+    #   op and the simhash refactor took changed-tier slots) —
     "abtest_proportions_ztest",
     "attribution_position_based",
     "bloom_filter_semi_join",
@@ -108,11 +114,10 @@ _RECHECK_FIRST = [
     "tpch_q14",
     "tpch_q15",
     "tpch_q17",
-    "tpch_q18",
     # — r11 window core (planned now so rotation stays mechanical):
-    #   FIRST the r6-cohort remainder that did not fit (tpch_q19,
-    #   tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7, tpch_q8),
-    #   then r11 changed-text ops, then the 41-op r7 cohort
+    #   FIRST the r6-cohort remainder that did not fit (tpch_q18,
+    #   tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7,
+    #   tpch_q8), then r11 changed-text ops, then the 41-op r7 cohort
     #   oldest-first (anti_join_inactive_customers, the multimodal
     #   decode family, the streaming six, ...); whatever misses leads
     #   r12 with the r8 cohort behind it.

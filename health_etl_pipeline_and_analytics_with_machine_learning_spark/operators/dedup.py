@@ -549,75 +549,17 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
-@query(
-    "simhash_near_pairs",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-      FROM tok WHERE tok <> ''
-    ),
-    bits AS (
-      SELECT doc_id, k, SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
-      GROUP BY doc_id, k
-    ),
-    sig AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, simhash, bk,
-             (simhash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
-      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
-    ),
-    keep AS (
-      SELECT bk, band_key FROM bands
-      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
-    ),
-    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM kb a JOIN kb b
-      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_RADIUS}
-    ORDER BY hamming, doc_a, doc_b
-    LIMIT 50
-    """,
-)
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup with MULTI-BAND candidate generation: the 60-bit
-    fingerprint is cut into 5 disjoint 12-bit bands and a pair is a
-    candidate when ANY band matches — a union of equi-joins (shuffle on
-    (band_id, band_key), no cross product), then the hamming filter
-    verifies. Pigeonhole guarantee: any pair within hamming ≤ 4 shares
-    at least one intact band, and recall stays high out to the radius
-    (12) because the differing bits must land in every band to hide a
-    pair (round-1's single top-15-bit prefix band missed any close pair
-    that happened to differ inside that prefix — flagged, fixed here;
-    recall vs exhaustive pairs is measured in
-    tests/test_simhash_recall.py).
-
-    At 100 TB: candidate volume is governed by band width — 12 bits =
-    4096 buckets per band at this corpus size; widen bands (and add more
-    of them) as the corpus grows so per-bucket membership stays bounded.
-    Natural-language skew (boilerplate fingerprints) is handled the same
-    way as dedup_minhash_lsh: (bk, band_key) buckets past
-    _SIMHASH_MAX_BUCKET are dropped via a broadcast bucket-size filter
-    before the self-join, so no bucket ever goes quadratic.
-    """
-    from .text import text_simhash
-
-    sig = text_simhash(spark, sf_dir)
-    # bands feed three consumers (bucket-size pass + both self-join
-    # sides); a lazy localCheckpoint evaluates the signature expression
-    # stack (md5 per token, 60 bit-sums) once per execution and shares
-    # the materialized partitions — unlike persist(), a fresh call gets
-    # a fresh RDD, so repeated benchmark runs stay honest
+def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → near-dup candidate pairs: THE shared banded
+    tail for all three modalities (`simhash_near_pairs` /
+    `image_phash_neardup` / `audio_fingerprint_neardup`) — edit here,
+    never inline (r10 review find: three verbatim copies would have to
+    move in lockstep on any banding retune). Lazy-checkpointed band
+    explode (bands feed three consumers: the bucket-size pass and both
+    self-join sides; a fresh call gets a fresh RDD so repeated bench
+    runs stay honest — executor-loss/pre-AQE caveat as elsewhere),
+    broadcast hot-bucket cap, (bk, band_key) equi-self-join — never a
+    cross product — then the Hamming verify and top-50 presentation."""
     bands = _simhash_bands(sig).localCheckpoint(eager=False)
     sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands = bands.join(
@@ -643,6 +585,80 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(50)
     )
+
+
+#: the oracle twin of :func:`_banded_hamming_pairs`: appended after a
+#: ``sig(doc_id, simhash)`` CTE (whatever modality computed it), it
+#: replays banding, hot-bucket cap, self-join, Hamming verify, and the
+#: top-50 presentation — the single SQL definition all three modality
+#: oracles interpolate.
+_BANDED_PAIRS_SQL_TAIL = f""",
+    bands AS (
+      SELECT doc_id, simhash, bk,
+             (simhash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
+    ),
+    keep AS (
+      SELECT bk, band_key FROM bands
+      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM kb a JOIN kb b
+      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_RADIUS}
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM tok WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, k, SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
+      GROUP BY doc_id, k
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ){_BANDED_PAIRS_SQL_TAIL}""",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with MULTI-BAND candidate generation: the 60-bit
+    fingerprint is cut into 5 disjoint 12-bit bands and a pair is a
+    candidate when ANY band matches — a union of equi-joins (shuffle on
+    (band_id, band_key), no cross product), then the hamming filter
+    verifies. Pigeonhole guarantee: any pair within hamming ≤ 4 shares
+    at least one intact band, and recall stays high out to the radius
+    (12) because the differing bits must land in every band to hide a
+    pair (round-1's single top-15-bit prefix band missed any close pair
+    that happened to differ inside that prefix — flagged, fixed here;
+    recall vs exhaustive pairs is measured in
+    tests/test_simhash_recall.py).
+
+    At 100 TB: candidate volume is governed by band width — 12 bits =
+    4096 buckets per band at this corpus size; widen bands (and add more
+    of them) as the corpus grows so per-bucket membership stays bounded.
+    Natural-language skew (boilerplate fingerprints) is handled the same
+    way as dedup_minhash_lsh: (bk, band_key) buckets past
+    _SIMHASH_MAX_BUCKET are dropped via a broadcast bucket-size filter
+    before the self-join, so no bucket ever goes quadratic.
+    """
+    from .text import text_simhash
+
+    return _banded_hamming_pairs(text_simhash(spark, sf_dir))
 
 
 #: near-dup edge threshold for component clustering

@@ -777,19 +777,19 @@ def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scanline stream, thresholded against the image's GLOBAL byte mean.
 #: The compare is integer cross-multiplication (p·n_px > Σpixels) — no
 #: float anywhere, so the two engines cannot disagree on a boundary.
-#: The banding constants are IMPORTED and f-string-interpolated into
-#: the oracle below (r10 review find: a frozen copy would silently
-#: diverge from the Spark side — which imports them — on any retune).
+#: The banded pairing tail is IMPORTED whole — the Spark helper
+#: (`_banded_hamming_pairs`) and its oracle twin
+#: (`_BANDED_PAIRS_SQL_TAIL`) are THE single definitions in dedup.py
+#: shared by all three modalities (r10 review finds: first the frozen
+#: constant copies, then the three verbatim pipeline copies, would
+#: silently diverge on any banding retune).
 #: Import-order note: this pulls dedup (and its registrations) in
 #: during multimodal's import, ahead of its tier-4 slot; registry
 #: PREFIX order is still fully governed by operators/__init__'s
 #: _RECHECK_FIRST reorder, which is what the driver window reads.
 from .dedup import (  # noqa: E402
-    _SIMHASH_BAND_BITS,
-    _SIMHASH_BAND_MASK,
-    _SIMHASH_BANDS,
-    _SIMHASH_MAX_BUCKET,
-    _SIMHASH_RADIUS,
+    _BANDED_PAIRS_SQL_TAIL,
+    _banded_hamming_pairs,
 )
 
 _PHASH_BITS = 60
@@ -859,28 +859,10 @@ def _bmp_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       SELECT doc_id,
              CAST(SUM(CASE WHEN ord(substr(hx, ((j * n_px) // {_PHASH_BITS}) % 32 + 1, 1))
                                 * n_px > total
-                      THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS phash
+                      THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       FROM tot, (SELECT unnest(generate_series(0, {_PHASH_BITS - 1})) AS j)
       GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, phash, bk,
-             (phash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
-      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
-    ),
-    keep AS (
-      SELECT bk, band_key FROM bands
-      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
-    ),
-    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-    FROM kb a JOIN kb b
-      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= {_SIMHASH_RADIUS}
-    ORDER BY hamming, doc_a, doc_b
-    LIMIT 50
-    """,
+    ){_BANDED_PAIRS_SQL_TAIL}""",
     tags=("multimodal",),
 )
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,45 +895,12 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; the Hamming verify is a bit_count on two longs. Identical
     plan family to `simhash_near_pairs`, which holds at 100 TB for the
     same reasons (band width is the knob that bounds bucket load)."""
-    from .dedup import _SIMHASH_MAX_BUCKET, _SIMHASH_RADIUS, _simhash_bands
-
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
     sig = src.mapInPandas(_bmp_phash, schema="doc_id long, phash long").select(
         "doc_id", F.col("phash").alias("simhash")
     )
-    # bands feed three consumers (bucket-size pass + both join sides) —
-    # same lazy lineage cut as simhash_near_pairs, same single-node
-    # caveat (localCheckpoint pins partitions to executors; re-derived
-    # under executor loss only pre-AQE — acceptable local trade, see
-    # dedup.py)
-    bands = _simhash_bands(sig).localCheckpoint(eager=False)
-    sizes = bands.groupBy("bk", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    bands = bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
-        ["bk", "band_key"],
-    ).drop("bucket_n")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _SIMHASH_RADIUS)
-        .distinct()
-        .orderBy("hamming", "doc_a", "doc_b")
-        .limit(50)
-    )
+    return _banded_hamming_pairs(sig)
 
 
 # --------------------------------------------------------------------------
@@ -1033,29 +982,11 @@ def _wav_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     sig AS (
       SELECT lo.doc_id,
              CAST(SUM(CASE WHEN hi.energy > lo.energy
-                      THEN (1::BIGINT << lo.fr) ELSE 0 END) AS BIGINT) AS afp
+                      THEN (1::BIGINT << lo.fr) ELSE 0 END) AS BIGINT) AS simhash
       FROM fe lo JOIN fe hi
         ON lo.doc_id = hi.doc_id AND hi.fr = lo.fr + 1
       GROUP BY lo.doc_id
-    ),
-    bands AS (
-      SELECT doc_id, afp, bk,
-             (afp >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
-      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
-    ),
-    keep AS (
-      SELECT bk, band_key FROM bands
-      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
-    ),
-    kb AS (SELECT b.* FROM bands b JOIN keep k USING (bk, band_key))
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
-    FROM kb a JOIN kb b
-      ON a.bk = b.bk AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.afp, b.afp)) <= {_SIMHASH_RADIUS}
-    ORDER BY hamming, doc_a, doc_b
-    LIMIT 50
-    """,
+    ){_BANDED_PAIRS_SQL_TAIL}""",
     tags=("multimodal",),
 )
 def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,37 +1020,9 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     product), Hamming verify is a bit_count on two longs. The 16-char
     md5-cycle waveform makes signatures correlated, so the bucket cap
     is load-bearing at THIS scale too, exactly like the image op."""
-    from .dedup import _SIMHASH_MAX_BUCKET, _SIMHASH_RADIUS, _simhash_bands
-
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
     sig = src.mapInPandas(_wav_fingerprint, schema="doc_id long, afp long").select(
         "doc_id", F.col("afp").alias("simhash")
     )
-    # bands feed three consumers (bucket-size pass + both join sides) —
-    # same lazy lineage cut + single-node caveat as image_phash_neardup
-    bands = _simhash_bands(sig).localCheckpoint(eager=False)
-    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
-    bands = bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
-        ["bk", "band_key"],
-    ).drop("bucket_n")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _SIMHASH_RADIUS)
-        .distinct()
-        .orderBy("hamming", "doc_a", "doc_b")
-        .limit(50)
-    )
+    return _banded_hamming_pairs(sig)

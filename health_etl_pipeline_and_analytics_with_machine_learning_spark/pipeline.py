@@ -481,9 +481,23 @@ def _probe_executor_python_env(spark: SparkSession) -> None:
             yield b
 
     try:
-        n = spark.sparkContext.defaultParallelism
+        # sparkContext raises on Spark Connect sessions — the probe
+        # still works there (range/mapInPandas are Connect-compatible),
+        # it just spreads over a fixed task count instead
+        try:
+            n = spark.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover - Connect-only path
+            n = 8
         spark.range(n).repartition(n).mapInPandas(_probe, "id long").count()
     except Exception as exc:  # pragma: no cover - env-dependent
+        # Rebrand ONLY genuine missing-module failures (executor-side
+        # import errors surface inside the Py4J/PythonException text) —
+        # a preempted executor, a transient shuffle error, etc. must
+        # propagate as themselves, not as bogus install instructions
+        # (r10 review find on the first version of this probe).
+        msg = f"{type(exc).__name__}: {exc}"
+        if "ImportError" not in msg and "ModuleNotFoundError" not in msg:
+            raise
         raise ImportError(
             "clean_health_dataset requires pandas, pyarrow and numpy in "
             "every EXECUTOR Python environment since r9 (the exact-"

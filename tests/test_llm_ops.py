@@ -750,3 +750,43 @@ def test_wav_fingerprint_matches_closed_form_and_is_payload_invariant(spark):
     assert _wav_fingerprint_parse(_wav_encode(3, hx)) == _wav_fingerprint_parse(
         _wav_encode(3 + _WAV_N_MOD, hx)
     )
+
+
+def test_banded_hamming_pairs_recall_and_bucket_cap(spark):
+    """Direct contract test for the shared banded tail
+    (`dedup._banded_hamming_pairs` — THE definition all three modality
+    near-dup ops call): (a) pigeonhole recall — any planted pair within
+    Hamming ≤ 4 shares an intact band and MUST surface; (b) pairs past
+    the radius are excluded; (c) a degenerate hot bucket (> MAX_BUCKET
+    identical signatures) is dropped from candidate generation
+    entirely, which is the documented skew guarantee."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _SIMHASH_MAX_BUCKET,
+        _SIMHASH_RADIUS,
+        _banded_hamming_pairs,
+    )
+
+    base = 0b101101110010101011001010101101010101100110101010101010110101
+    near = base ^ 0b1011  # Hamming 3 ≤ 4: pigeonhole guarantees recall
+    far = base ^ ((1 << 60) - 1)  # Hamming 60: past any radius
+    rows = [(1, base), (2, near), (3, far)]
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _banded_hamming_pairs(
+            spark.createDataFrame(rows, "doc_id long, simhash long")
+        ).collect()
+    }
+    assert out.get((1, 2)) == 3
+    assert (1, 3) not in out and (2, 3) not in out
+    assert _SIMHASH_RADIUS == 12  # oracle twin interpolates the same
+
+    # hot-bucket cap: one signature repeated past the cap fills ALL its
+    # buckets past MAX_BUCKET, so the clones generate zero candidates —
+    # while a distinct small pair in the same frame still surfaces
+    clones = [(i, base) for i in range(10, 10 + _SIMHASH_MAX_BUCKET + 1)]
+    pair = [(500, far), (501, far ^ 0b1)]
+    capped = _banded_hamming_pairs(
+        spark.createDataFrame(clones + pair, "doc_id long, simhash long")
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert got == {(500, 501)}, got

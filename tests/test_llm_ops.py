@@ -790,3 +790,41 @@ def test_banded_hamming_pairs_recall_and_bucket_cap(spark):
     ).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in capped}
     assert got == {(500, 501)}, got
+
+
+def test_wav_fingerprint_closed_form_property():
+    """Hypothesis patrol over the audio fingerprint: for ARBITRARY
+    (doc_id, md5-like hex) inputs, the numpy byte-level parse equals
+    the pure-Python replay of the oracle's cycle arithmetic — the
+    property twin of the fixed-case test above."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _AUDIO_FRAMES,
+        _PHASH_BITS,
+        _WAV_N_MOD,
+        _wav_encode,
+        _wav_fingerprint_parse,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000_000),
+        st.binary(min_size=0, max_size=64),
+    )
+    def check(doc_id, seed):
+        hx = hashlib.md5(seed).hexdigest()
+        n = 100 + doc_id % _WAV_N_MOD
+        fe = [0] * _AUDIO_FRAMES
+        for i in range(n):
+            s = ord(hx[(2 * i) % 32]) + 256 * ord(hx[(2 * i + 1) % 32]) - 32768
+            fe[(i * _AUDIO_FRAMES) // n] += abs(s)
+        want = 0
+        for j in range(_PHASH_BITS):
+            if fe[j + 1] > fe[j]:
+                want |= 1 << j
+        assert _wav_fingerprint_parse(_wav_encode(doc_id, hx)) == want
+
+    check()

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, query
+from .registry import load, query, spread
 
 
 @query(
@@ -896,6 +896,11 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan family to `simhash_near_pairs`, which holds at 100 TB for the
     same reasons (band width is the knob that bounds bucket load)."""
     d = load(spark, sf_dir, "documents")
+    # single-split testdata lands the hash loop on ONE task (the r5
+    # lesson), but the aHash is cheap enough that a spread() fan-out
+    # MEASURED SLOWER here (interleaved min-of-3 at sf0.1: 0.90 single
+    # vs 1.00 spread — the shuffle + Arrow re-batch costs more than the
+    # single-task compute). The heavier audio op below keeps the fan-out.
     src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
     sig = src.mapInPandas(_bmp_phash, schema="doc_id long, phash long").select(
         "doc_id", F.col("phash").alias("simhash")
@@ -1021,7 +1026,17 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-cycle waveform makes signatures correlated, so the bucket cap
     is load-bearing at THIS scale too, exactly like the image op."""
     d = load(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    # single-split testdata lands the PCM encode+decode loop on ONE
+    # task (the r5 lesson); the per-doc Python sample loop is heavy
+    # enough that the bounded fan-out pays (interleaved min-of-3 at
+    # sf0.1: 1.14 single vs 0.95 spread — unlike the cheaper image
+    # aHash above, where it measured slower). At 100 TB the source has
+    # thousands of natural splits and this is a no-op to remove.
+    src = spread(
+        d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx")),
+        "doc_id",
+        n=min(8, spark.sparkContext.defaultParallelism),
+    )
     sig = src.mapInPandas(_wav_fingerprint, schema="doc_id long, afp long").select(
         "doc_id", F.col("afp").alias("simhash")
     )

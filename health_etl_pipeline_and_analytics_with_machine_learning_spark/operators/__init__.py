@@ -71,12 +71,16 @@ _RECHECK_FIRST = [
     #   the helper call — oracle string verified byte-identical, but
     #   changed impl text is changed text —
     "simhash_near_pairs",
+    #   video_frame_sample is NEW (late r10 — real Y4M container decode
+    #   + K-frame nearest-neighbor sampling with integer byte sums and
+    #   a motion proxy: the fourth modality of the multimodal family) —
+    "video_frame_sample",
     "median_fill",
     "iqr_clip",
     "quantile_profile",
     # — r6-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 37 of its 45 fit after the late audio
-    #   op and the simhash refactor took changed-tier slots) —
+    #   the equal-staleness tie; 36 of its 45 fit after the late audio
+    #   + video ops and the simhash refactor took changed-tier slots) —
     "abtest_proportions_ztest",
     "attribution_position_based",
     "bloom_filter_semi_join",
@@ -113,11 +117,12 @@ _RECHECK_FIRST = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
-    "tpch_q17",
     # — r11 window core (planned now so rotation stays mechanical):
-    #   FIRST the r6-cohort remainder that did not fit (tpch_q18,
-    #   tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7,
-    #   tpch_q8), then r11 changed-text ops, then the 41-op r7 cohort
+    #   FIRST the r6-cohort remainder that did not fit (tpch_q17,
+    #   tpch_q18, tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6,
+    #   tpch_q7, tpch_q8 — nine ops), then r11 changed-text ops, then
+    #   the 41-op r7 cohort (9 + 41 = 50: r11 has NO slack — any r11
+    #   changed-text op evicts an r7 resident to r12)
     #   oldest-first (anti_join_inactive_customers, the multimodal
     #   decode family, the streaming six, ...); whatever misses leads
     #   r12 with the r8 cohort behind it.

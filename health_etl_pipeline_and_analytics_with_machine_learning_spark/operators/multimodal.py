@@ -1041,3 +1041,197 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("afp").alias("simhash")
     )
     return _banded_hamming_pairs(sig)
+
+
+# --------------------------------------------------------------------------
+# Video: a real Y4M (YUV4MPEG2) multi-frame container + the FRAME-SAMPLE
+# operation — decode, nearest-neighbor-sample K frames, integer
+# per-frame byte sums and a motion proxy. Completes the multimodal
+# column family over its fourth modality (text / image / audio / video).
+# --------------------------------------------------------------------------
+
+#: Y4M geometry, all doc_id-derived so the oracle can replay it:
+#: W = 4 + doc_id % 13, H = 4 + doc_id % 11, frames = 2 + doc_id % 7,
+#: C444 (three full planes → 3·W·H bytes per frame). Frame f's byte i
+#: is the md5-hex ASCII cycle ROTATED by f·_Y4M_FRAME_OFF — frames
+#: differ deterministically, so the temporal features are non-trivial.
+_Y4M_W_MOD = 13
+_Y4M_H_MOD = 11
+_Y4M_NF_MOD = 7
+_Y4M_FRAME_OFF = 7
+#: frame-sample geometry: K sampled frames, sample j reads frame
+#: ⌊j·n_frames/K⌋ (the same nearest-neighbor resample idiom as the
+#: image aHash) — duplicates when n_frames < K are kept, deterministic.
+_VIDEO_SAMPLES = 4
+
+
+def _y4m_encode(doc_id: int, hex_digest: str) -> bytes:
+    """A real (ffmpeg-openable) YUV4MPEG2 stream: ASCII stream header,
+    then per-frame ``FRAME\\n`` markers + raw C444 planes. Plane bytes
+    come from the md5-hex digest's ASCII codes, cycled with a per-frame
+    rotation — so the oracle can replay every byte without seeing one."""
+    w = 4 + doc_id % _Y4M_W_MOD
+    h = 4 + doc_id % _Y4M_H_MOD
+    nf = 2 + doc_id % _Y4M_NF_MOD
+    src = hex_digest.encode("ascii")  # 32 bytes, pure ASCII
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii"))
+    fb = 3 * w * h
+    for f in range(nf):
+        out += b"FRAME\n"
+        off = f * _Y4M_FRAME_OFF
+        out += bytes(src[(i + off) % 32] for i in range(fb))
+    return bytes(out)
+
+
+def _y4m_frame_sample_parse(
+    b: bytes,
+) -> tuple[int, int, int, int, list[int], int]:
+    """Parse the Y4M headers back (the writer's profile: C444, plain
+    FRAME markers), walk every frame, and compute the frame-sample
+    features: integer byte sums of the K sampled frames plus the
+    motion proxy (sum of |Δ| between consecutive sampled sums)."""
+    nl = b.index(b"\n")
+    parts = b[:nl].decode("ascii").split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a Y4M payload")
+    w = h = None
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C") and p != "C444":
+            raise ValueError("unsupported colorspace")
+    if not w or not h:
+        raise ValueError("missing dimensions")
+    fb = 3 * w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(b):
+        if b[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad frame marker")
+        pos += 6
+        if pos + fb > len(b):
+            raise ValueError("truncated frame")
+        frames.append(b[pos : pos + fb])
+        pos += fb
+    nf = len(frames)
+    if nf == 0:
+        raise ValueError("no frames")
+    sums = [
+        sum(frames[(j * nf) // _VIDEO_SAMPLES]) for j in range(_VIDEO_SAMPLES)
+    ]
+    motion = sum(abs(sums[k + 1] - sums[k]) for k in range(_VIDEO_SAMPLES - 1))
+    return w, h, nf, len(b), sums, motion
+
+
+_VIDEO_SAMPLED = (
+    "doc_id long, width int, height int, n_frames int, n_bytes long, "
+    "s0 long, s1 long, s2 long, s3 long, motion long"
+)
+
+
+def _y4m_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+            w, h, nf, nb, s, motion = _y4m_frame_sample_parse(
+                _y4m_encode(int(doc_id), hx)
+            )
+            rows.append((int(doc_id), w, h, nf, nb, s[0], s[1], s[2], s[3], motion))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_frames",
+                "n_bytes",
+                "s0",
+                "s1",
+                "s2",
+                "s3",
+                "motion",
+            ],
+        )
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS hx,
+             4 + doc_id % {_Y4M_W_MOD} AS w,
+             4 + doc_id % {_Y4M_H_MOD} AS h,
+             2 + doc_id % {_Y4M_NF_MOD} AS nf
+      FROM documents
+    ),
+    geo AS (
+      SELECT *, 3 * w * h AS fb,
+             length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 C444') + 1
+               AS hdr_len
+      FROM g
+    ),
+    samp AS (
+      SELECT doc_id, j, CAST((j * nf) // {_VIDEO_SAMPLES} AS INT) AS fr, hx, fb
+      FROM geo, (SELECT unnest(generate_series(0, {_VIDEO_SAMPLES - 1})) AS j)
+    ),
+    sums AS (
+      SELECT doc_id, j,
+             (fb // 32) * list_aggregate(list_transform(generate_series(1, 32),
+                            i -> ord(substr(hx, i, 1))), 'sum')
+             + COALESCE(list_aggregate(list_transform(generate_series(0, (fb % 32) - 1),
+                            i -> ord(substr(hx, ((i + fr * {_Y4M_FRAME_OFF}) % 32) + 1, 1))),
+                        'sum'), 0) AS fsum
+      FROM samp
+    ),
+    piv AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN j = 0 THEN fsum END) AS BIGINT) AS s0,
+             CAST(MAX(CASE WHEN j = 1 THEN fsum END) AS BIGINT) AS s1,
+             CAST(MAX(CASE WHEN j = 2 THEN fsum END) AS BIGINT) AS s2,
+             CAST(MAX(CASE WHEN j = 3 THEN fsum END) AS BIGINT) AS s3
+      FROM sums GROUP BY doc_id
+    )
+    SELECT geo.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(hdr_len + nf * (6 + fb) AS BIGINT) AS n_bytes,
+           s0, s1, s2, s3,
+           CAST(abs(s1 - s0) + abs(s2 - s1) + abs(s3 - s2) AS BIGINT) AS motion
+    FROM geo JOIN piv USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO decode + FRAME-SAMPLE — the fourth modality of the
+    multimodal column family, and the frame-sampling operation a
+    training-data pipeline runs on video blobs before feature
+    extraction. Every document gets a real Y4M (YUV4MPEG2) payload —
+    ASCII stream header, ``FRAME`` markers, raw C444 planes, openable
+    by any player — which the op decodes byte-level and samples at
+    4 nearest-neighbor frame positions (⌊j·n_frames/K⌋, the same
+    resample idiom as the image aHash), emitting integer per-sample
+    byte sums and the inter-sample motion proxy Σ|Δ| (the
+    scene-change / static-clip signal). All sums and deltas are
+    integers: the engines cannot disagree on a boundary.
+
+    Certification is independent, like every op in this family: Spark
+    walks the CONTAINER BYTES (encode → header parse → frame walk →
+    byte sums); DuckDB never sees a byte — it replays each frame's
+    rotated md5-hex cycle arithmetic (full 32-cycles are
+    rotation-invariant; only the partial tail needs the per-frame
+    offset) and the doc_id geometry formulas.
+
+    Scale shape: one Arrow-batched mapInPandas over the corpus,
+    embarrassingly parallel, no shuffle but the presentation sort —
+    identical plan family to `multimodal_wav_decode`. Real videos are
+    orders of magnitude larger per blob; the plan is blob-count
+    parallel, and per-blob cost lives inside the batched UDF where a
+    real decoder (PyAV/ffmpeg) would slot in behind the same schema
+    without touching the plan."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    return src.mapInPandas(_y4m_frame_sample, schema=_VIDEO_SAMPLED).orderBy(
+        "doc_id"
+    )

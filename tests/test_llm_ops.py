@@ -828,3 +828,73 @@ def test_wav_fingerprint_closed_form_property():
         assert _wav_fingerprint_parse(_wav_encode(doc_id, hx)) == want
 
     check()
+
+
+def test_y4m_frame_sample_matches_closed_form():
+    """video_frame_sample's parse must match an independent Python
+    recomputation from the md5-hex rotated-cycle arithmetic (the
+    oracle's derivation — neither path sees the other's bytes), for
+    fixed doc_ids AND under a Hypothesis patrol."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _VIDEO_SAMPLES,
+        _Y4M_FRAME_OFF,
+        _Y4M_H_MOD,
+        _Y4M_NF_MOD,
+        _Y4M_W_MOD,
+        _y4m_encode,
+        _y4m_frame_sample_parse,
+    )
+
+    def closed_form(doc_id, text):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = 4 + doc_id % _Y4M_W_MOD
+        h = 4 + doc_id % _Y4M_H_MOD
+        nf = 2 + doc_id % _Y4M_NF_MOD
+        fb = 3 * w * h
+        hdr = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n")
+        sums = []
+        for j in range(_VIDEO_SAMPLES):
+            fr = (j * nf) // _VIDEO_SAMPLES
+            sums.append(
+                sum(ord(hx[(i + fr * _Y4M_FRAME_OFF) % 32]) for i in range(fb))
+            )
+        motion = sum(
+            abs(sums[k + 1] - sums[k]) for k in range(_VIDEO_SAMPLES - 1)
+        )
+        return (w, h, nf, hdr + nf * (6 + fb), sums, motion)
+
+    for doc_id in (0, 1, 7, 12, 13, 142, 1000, 1001):
+        for t in ("hello", "", "x", "longer video document body"):
+            hx = hashlib.md5(t.encode()).hexdigest()
+            got = _y4m_frame_sample_parse(_y4m_encode(doc_id, hx))
+            assert got == closed_form(doc_id, t), (doc_id, t)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000_000),
+        st.binary(min_size=0, max_size=64),
+    )
+    def check(doc_id, seed):
+        hx = hashlib.md5(seed).hexdigest()
+        got = _y4m_frame_sample_parse(_y4m_encode(doc_id, hx))
+        # replay the closed form against the hex string directly
+        class T:  # tiny adapter: closed_form hashes .encode() of text
+            pass
+        w = 4 + doc_id % _Y4M_W_MOD
+        h = 4 + doc_id % _Y4M_H_MOD
+        nf = 2 + doc_id % _Y4M_NF_MOD
+        fb = 3 * w * h
+        hdr = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n")
+        sums = [
+            sum(ord(hx[(i + ((j * nf) // _VIDEO_SAMPLES) * _Y4M_FRAME_OFF) % 32])
+                for i in range(fb))
+            for j in range(_VIDEO_SAMPLES)
+        ]
+        motion = sum(abs(sums[k + 1] - sums[k]) for k in range(_VIDEO_SAMPLES - 1))
+        assert got == (w, h, nf, hdr + nf * (6 + fb), sums, motion)
+
+    check()

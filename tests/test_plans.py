@@ -819,3 +819,15 @@ def test_split_leakage_ngram_is_equi_semi_join_no_pairs(spark):
     # the left join back onto test docs — a bounded exchange count keeps
     # a refactor from quietly inserting a pair-materializing shuffle
     assert count_exchanges(df) <= 7, count_exchanges(df)
+
+
+def test_video_frame_sample_is_shuffle_free_map(spark):
+    # Y4M encode → parse → frame-sample rides one Arrow-batched
+    # mapInPandas; the only exchange is the presentation sort, and the
+    # scan prunes to (doc_id, text)
+    df = q("video_frame_sample", spark)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert count_exchanges(df) <= 1, plan
+    (cols,) = read_schemas(df)
+    assert cols == ["doc_id", "text"]

@@ -53,6 +53,9 @@ ROUND10_CHANGED_IDS = [
     # shared-helper extraction (r10 review): Spark body rewritten to
     # _banded_hamming_pairs; oracle byte-identical, policy (a) anyway
     "simhash_near_pairs",
+    # real Y4M container decode + K-frame sampling (late r10): the
+    # fourth multimodal modality
+    "video_frame_sample",
     # selection-engine consumers: rank_math.rank_spec (Python dialect)
     # moved int() → math.floor + p∈[0,1] assert (ADVICE r9); identical
     # on the valid domain and lockstep-pinned, but policy (a) admits no
@@ -63,11 +66,11 @@ ROUND10_CHANGED_IDS = [
 ]
 
 #: oldest-first refresh: the r6 cohort (staleness 3 entering r10 — the
-#: oldest behind the hoisted r5 six). 37 of its 45 fit after the late
-#: audio op and the simhash shared-helper refactor took changed-tier
-#: slots; the alphabetically-last eight (tpch_q18, tpch_q19, tpch_q22,
-#: tpch_q3, tpch_q5, tpch_q6, tpch_q7, tpch_q8) slip to r11 and lead
-#: its window.
+#: oldest behind the hoisted r5 six). 36 of its 45 fit after the late
+#: audio + video ops and the simhash shared-helper refactor took
+#: changed-tier slots; the alphabetically-last nine (tpch_q17,
+#: tpch_q18, tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6, tpch_q7,
+#: tpch_q8) slip to r11 and lead its window.
 ROUND10_R6_COHORT_IDS = [
     "abtest_proportions_ztest",
     "attribution_position_based",
@@ -105,7 +108,6 @@ ROUND10_R6_COHORT_IDS = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
-    "tpch_q17",
 ]
 
 
@@ -142,9 +144,9 @@ def test_no_registry_entry_left_unchecked_after_r10():
 
 def test_r10_window_covers_every_pre_r6_certification():
     """The oldest-first policy invariant: after r10 lands green, no
-    op's latest driver certification is older than round 6 (the eight
-    r6 ops that slipped — tpch_q18/q19/q22/q3/q5/q6/q7/q8 — keep their
-    r6 rows and lead the r11 window)."""
+    op's latest driver certification is older than round 6 (the nine
+    r6 ops that slipped — tpch_q17/q18/q19/q22/q3/q5/q6/q7/q8 — keep
+    their r6 rows and lead the r11 window)."""
     import glob
     import json
     import os

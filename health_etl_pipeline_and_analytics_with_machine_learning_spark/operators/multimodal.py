@@ -1231,7 +1231,18 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     real decoder (PyAV/ffmpeg) would slot in behind the same schema
     without touching the plan."""
     d = load(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    # single-split testdata lands the per-doc frame loop (up to 8
+    # frames x 672 plane bytes in Python) on ONE task — the heaviest
+    # of the three modality loops, and the bounded fan-out pays most
+    # (interleaved min-of-3 at sf0.1: 1.48 single vs 0.74 spread; see
+    # the audio/image A/B notes above for the family pattern). At
+    # 100 TB the source has thousands of natural splits and this is a
+    # no-op to remove.
+    src = spread(
+        d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx")),
+        "doc_id",
+        n=min(8, spark.sparkContext.defaultParallelism),
+    )
     return src.mapInPandas(_y4m_frame_sample, schema=_VIDEO_SAMPLED).orderBy(
         "doc_id"
     )

@@ -792,6 +792,22 @@ from .dedup import (  # noqa: E402
     _banded_hamming_pairs,
 )
 
+
+def _hashed_src(d: DataFrame, spark: SparkSession, fan_out: bool) -> DataFrame:
+    """(doc_id, hx): the md5-digest source the synthetic-container ops
+    build payloads from — one definition (r10 review find: three
+    inline copies of the hash + fan-out idiom would drift on a
+    retune). ``fan_out=True`` applies the bounded spread() for the
+    single-split testdata (the r5 lesson) — a MEASURED per-op decision
+    (see the A/B notes at each call site; cheap loops lose to the
+    shuffle, heavy ones win) and a no-op to remove at production split
+    counts."""
+    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    if fan_out:
+        src = spread(src, "doc_id", n=min(8, spark.sparkContext.defaultParallelism))
+    return src
+
+
 _PHASH_BITS = 60
 
 
@@ -896,12 +912,11 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan family to `simhash_near_pairs`, which holds at 100 TB for the
     same reasons (band width is the knob that bounds bucket load)."""
     d = load(spark, sf_dir, "documents")
-    # single-split testdata lands the hash loop on ONE task (the r5
-    # lesson), but the aHash is cheap enough that a spread() fan-out
-    # MEASURED SLOWER here (interleaved min-of-3 at sf0.1: 0.90 single
-    # vs 1.00 spread — the shuffle + Arrow re-batch costs more than the
-    # single-task compute). The heavier audio op below keeps the fan-out.
-    src = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    # no fan-out: the aHash is cheap enough that spread() MEASURED
+    # SLOWER here (interleaved min-of-3 at sf0.1: 0.90 single vs 1.00
+    # spread — the shuffle + Arrow re-batch costs more than the
+    # single-task compute). The heavier audio/video loops keep it.
+    src = _hashed_src(d, spark, fan_out=False)
     sig = src.mapInPandas(_bmp_phash, schema="doc_id long, phash long").select(
         "doc_id", F.col("phash").alias("simhash")
     )
@@ -1019,24 +1034,20 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding in integer SQL.
 
     Scale shape: identical plan family to `image_phash_neardup` —
-    one Arrow-batched mapInPandas (no shuffle) for the hashes, banding
+    one Arrow-batched mapInPandas for the hashes (shuffle-free at
+    production split counts; locally behind the measured bench-only
+    fan-out below), banding
     explodes ×5 inside codegen, candidates from equi-joins on
     (band, key) behind the broadcast hot-bucket filter (never a cross
     product), Hamming verify is a bit_count on two longs. The 16-char
     md5-cycle waveform makes signatures correlated, so the bucket cap
     is load-bearing at THIS scale too, exactly like the image op."""
     d = load(spark, sf_dir, "documents")
-    # single-split testdata lands the PCM encode+decode loop on ONE
-    # task (the r5 lesson); the per-doc Python sample loop is heavy
-    # enough that the bounded fan-out pays (interleaved min-of-3 at
-    # sf0.1: 1.14 single vs 0.95 spread — unlike the cheaper image
-    # aHash above, where it measured slower). At 100 TB the source has
-    # thousands of natural splits and this is a no-op to remove.
-    src = spread(
-        d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx")),
-        "doc_id",
-        n=min(8, spark.sparkContext.defaultParallelism),
-    )
+    # fan-out PAYS here: the per-doc Python sample loop is heavy
+    # enough (interleaved min-of-3 at sf0.1: 1.14 single vs 0.95
+    # spread — unlike the cheaper image aHash, where it measured
+    # slower)
+    src = _hashed_src(d, spark, fan_out=True)
     sig = src.mapInPandas(_wav_fingerprint, schema="doc_id long, afp long").select(
         "doc_id", F.col("afp").alias("simhash")
     )
@@ -1078,8 +1089,13 @@ def _y4m_encode(doc_id: int, hex_digest: str) -> bytes:
     fb = 3 * w * h
     for f in range(nf):
         out += b"FRAME\n"
-        off = f * _Y4M_FRAME_OFF
-        out += bytes(src[(i + off) % 32] for i in range(fb))
+        # byte i of frame f is src[(i + f·OFF) % 32]: a C-speed slice
+        # of the repeated digest starting at the rotation point —
+        # equality with the per-byte form is pinned by the closed-form
+        # tests (r10 review find: the interpreted per-byte loop was
+        # most of this op's measured cost)
+        r = (f * _Y4M_FRAME_OFF) % 32
+        out += (src * ((r + fb) // 32 + 1))[r : r + fb]
     return bytes(out)
 
 
@@ -1125,9 +1141,14 @@ def _y4m_frame_sample_parse(
     return w, h, nf, len(b), sums, motion
 
 
+#: schema and row layout are GENERATED from _VIDEO_SAMPLES (r10 review
+#: find: a half-parameterized K desyncs schema/oracle silently on a
+#: retune) — the oracle below interpolates the same K everywhere
+_VIDEO_SAMPLE_COLS = [f"s{j}" for j in range(_VIDEO_SAMPLES)]
 _VIDEO_SAMPLED = (
     "doc_id long, width int, height int, n_frames int, n_bytes long, "
-    "s0 long, s1 long, s2 long, s3 long, motion long"
+    + ", ".join(f"{c} long" for c in _VIDEO_SAMPLE_COLS)
+    + ", motion long"
 )
 
 
@@ -1138,21 +1159,12 @@ def _y4m_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             w, h, nf, nb, s, motion = _y4m_frame_sample_parse(
                 _y4m_encode(int(doc_id), hx)
             )
-            rows.append((int(doc_id), w, h, nf, nb, s[0], s[1], s[2], s[3], motion))
+            rows.append((int(doc_id), w, h, nf, nb, *s, motion))
         yield pd.DataFrame(
             rows,
-            columns=[
-                "doc_id",
-                "width",
-                "height",
-                "n_frames",
-                "n_bytes",
-                "s0",
-                "s1",
-                "s2",
-                "s3",
-                "motion",
-            ],
+            columns=["doc_id", "width", "height", "n_frames", "n_bytes"]
+            + _VIDEO_SAMPLE_COLS
+            + ["motion"],
         )
 
 
@@ -1187,17 +1199,14 @@ def _y4m_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     ),
     piv AS (
       SELECT doc_id,
-             CAST(MAX(CASE WHEN j = 0 THEN fsum END) AS BIGINT) AS s0,
-             CAST(MAX(CASE WHEN j = 1 THEN fsum END) AS BIGINT) AS s1,
-             CAST(MAX(CASE WHEN j = 2 THEN fsum END) AS BIGINT) AS s2,
-             CAST(MAX(CASE WHEN j = 3 THEN fsum END) AS BIGINT) AS s3
+             {", ".join(f"CAST(MAX(CASE WHEN j = {j} THEN fsum END) AS BIGINT) AS s{j}" for j in range(_VIDEO_SAMPLES))}
       FROM sums GROUP BY doc_id
     )
     SELECT geo.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(nf AS INT) AS n_frames,
            CAST(hdr_len + nf * (6 + fb) AS BIGINT) AS n_bytes,
-           s0, s1, s2, s3,
-           CAST(abs(s1 - s0) + abs(s2 - s1) + abs(s3 - s2) AS BIGINT) AS motion
+           {", ".join(_VIDEO_SAMPLE_COLS)},
+           CAST({" + ".join(f"abs(s{j + 1} - s{j})" for j in range(_VIDEO_SAMPLES - 1))} AS BIGINT) AS motion
     FROM geo JOIN piv USING (doc_id)
     ORDER BY doc_id
     """,
@@ -1224,25 +1233,21 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset) and the doc_id geometry formulas.
 
     Scale shape: one Arrow-batched mapInPandas over the corpus,
-    embarrassingly parallel, no shuffle but the presentation sort —
-    identical plan family to `multimodal_wav_decode`. Real videos are
+    embarrassingly parallel — shuffle-free at production split counts
+    but the presentation sort (locally behind the measured bench-only
+    fan-out below), identical plan family to `multimodal_wav_decode`.
+    Real videos are
     orders of magnitude larger per blob; the plan is blob-count
     parallel, and per-blob cost lives inside the batched UDF where a
     real decoder (PyAV/ffmpeg) would slot in behind the same schema
     without touching the plan."""
     d = load(spark, sf_dir, "documents")
-    # single-split testdata lands the per-doc frame loop (up to 8
-    # frames x 672 plane bytes in Python) on ONE task — the heaviest
-    # of the three modality loops, and the bounded fan-out pays most
-    # (interleaved min-of-3 at sf0.1: 1.48 single vs 0.74 spread; see
-    # the audio/image A/B notes above for the family pattern). At
-    # 100 TB the source has thousands of natural splits and this is a
-    # no-op to remove.
-    src = spread(
-        d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx")),
-        "doc_id",
-        n=min(8, spark.sparkContext.defaultParallelism),
-    )
+    # fan-out still pays, barely, after the C-speed encode rewrite
+    # (interleaved min-of-3 at sf0.1: 0.55 single vs 0.48 spread; it
+    # was 1.48 vs 0.74 with the original per-byte Python loop — the
+    # r10 review correctly called the shuffle a compensation for
+    # avoidable interpreter cost)
+    src = _hashed_src(d, spark, fan_out=True)
     return src.mapInPandas(_y4m_frame_sample, schema=_VIDEO_SAMPLED).orderBy(
         "doc_id"
     )

@@ -881,9 +881,7 @@ def test_y4m_frame_sample_matches_closed_form():
     def check(doc_id, seed):
         hx = hashlib.md5(seed).hexdigest()
         got = _y4m_frame_sample_parse(_y4m_encode(doc_id, hx))
-        # replay the closed form against the hex string directly
-        class T:  # tiny adapter: closed_form hashes .encode() of text
-            pass
+        # re-derive the closed form inline against the hex string
         w = 4 + doc_id % _Y4M_W_MOD
         h = 4 + doc_id % _Y4M_H_MOD
         nf = 2 + doc_id % _Y4M_NF_MOD

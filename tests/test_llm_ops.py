@@ -155,7 +155,14 @@ def test_decode_one_dispatches_on_magic_and_quarantines_corrupt():
     assert kind == "bmp" and (w, h, nf) == (8, 8, 1)
     kind, size, w, h, nf, mean = multimodal._decode_one(multimodal._wav_encode(7, hx))
     assert kind == "wav" and (w, h) == (0, 0) and nf == 107
+    kind, size, w, h, nf, mean = multimodal._decode_one(multimodal._y4m_encode(7, hx))
+    assert kind == "y4m" and (w, h, nf) == (11, 11, 2)  # r11: Y4M magic joined
     kind, *_ = multimodal._decode_one(b"BMW makes cars, not bitmaps")
+    assert kind == "opaque"
+    # Y4M magic with a corrupt body quarantines like the other formats
+    kind, *_ = multimodal._decode_one(b"YUV4MPEG2 W0 H0 C444\nFRAME\n")
+    assert kind == "opaque"
+    kind, *_ = multimodal._decode_one(multimodal._y4m_encode(7, hx)[:-1])
     assert kind == "opaque"
     kind, *_ = multimodal._decode_one("plain utf-8 text".encode())
     assert kind == "opaque"
@@ -169,6 +176,65 @@ def test_decode_one_dispatches_on_magic_and_quarantines_corrupt():
     ):
         kind, *_ = multimodal._decode_one(b)
         assert kind == "opaque", b[:8]
+
+
+def test_wav_encode_slice_equals_per_sample_form():
+    """r11 lockstep pin for the C-speed _wav_encode rewrite (VERDICT
+    r10 item 2): the slice-of-flipped-digest body must be bit-equal to
+    the original per-sample struct.pack form on a doc_id sweep covering
+    every (n % 32, rate) residue class."""
+    import hashlib
+    import struct
+
+    def per_sample(doc_id: int, hex_digest: str) -> bytes:
+        n = 100 + doc_id % multimodal._WAV_N_MOD
+        rate = 8000 + 1000 * (doc_id % multimodal._WAV_RATES)
+        src = hex_digest.encode("ascii")
+        body = bytearray()
+        for i in range(n):
+            lo = src[(2 * i) % 32]
+            hi = src[(2 * i + 1) % 32]
+            body += struct.pack("<h", lo + 256 * hi - 32768)
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(body), b"WAVE", b"fmt ",
+            16, 1, 1, rate, rate * 2, 2, 16, b"data", len(body),
+        )
+        return hdr + bytes(body)
+
+    for doc_id in range(0, 2 * multimodal._WAV_N_MOD, 3):
+        hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+        assert multimodal._wav_encode(doc_id, hx) == per_sample(doc_id, hx), doc_id
+
+
+def test_y4m_stream_parse_closed_form():
+    """The dispatch's Y4M branch (r11): whole-stream plane-byte mean
+    must equal the brute-force rotated-cycle replay, geometry must
+    match the doc_id formulas, and the shared header walk must keep
+    the frame sampler's outputs unchanged."""
+    import hashlib
+    import math
+
+    for doc_id in range(0, 200, 7):
+        hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+        b = multimodal._y4m_encode(doc_id, hx)
+        w, h, nf, size, mean = multimodal._y4m_stream_parse(b)
+        assert (w, h, nf, size) == (
+            4 + doc_id % multimodal._Y4M_W_MOD,
+            4 + doc_id % multimodal._Y4M_H_MOD,
+            2 + doc_id % multimodal._Y4M_NF_MOD,
+            len(b),
+        ), doc_id
+        fb = 3 * w * h
+        src = hx.encode("ascii")
+        total = 0
+        for f in range(nf):
+            r = (f * multimodal._Y4M_FRAME_OFF) % 32
+            total += sum((src * ((r + fb) // 32 + 1))[r : r + fb])
+        want = math.floor(round(total / (nf * fb), 7) * 10000.0 + 0.5) / 10000.0
+        assert mean == want, doc_id
+        # the sampler sees the same geometry through the shared header
+        sw, sh, snf, snb, _sums, _motion = multimodal._y4m_frame_sample_parse(b)
+        assert (sw, sh, snf, snb) == (w, h, nf, size), doc_id
 
 
 def test_semantic_dedup_reps_are_cluster_argmin(spark):

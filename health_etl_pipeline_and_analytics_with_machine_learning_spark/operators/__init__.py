@@ -28,104 +28,100 @@ from .registry import REGISTRY as _R
 #: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
 #: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
 #: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r9 window (EXACTLY 50 ids): this round's changed-text ops (24 —
-#: three families: the shingle/token helper unification, the leakage/
-#: cross-entropy additions with their neighbors, and every consumer of
-#: the consolidated+Arrow-transport quantile engine), then the r5
-#: cohort oldest-first (26 of its 32 fit after the late
-#: text_repetition_flags slot; the alphabetically-last 6 slip to r10
-#: and lead its window).
+#: r10 window recap: 6 r5-stale head + 8 changed-text (four new ops,
+#: the rank_spec and banded-tail helper recerts, three quantile
+#: consumers) + 36 of the 45-op r6 cohort; the alphabetically-last 9
+#: r6 ops (all TPC-H) slipped to r11 and lead below.
 _RECHECK_FIRST = [
-    # r10 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r9 rotation comment and VERDICT r9 items 1-2:
-    # — staleness tier FIRST (policy b, hoisted above the changed tier
-    #   this round per VERDICT r9 item 1: these six r5 rows are the
-    #   oldest driver certifications anywhere, staleness 4) —
-    "snapshot_diff",
-    "source_vocab_overlap",
-    "text_simhash",
-    "token_pmi_topk",
-    "weighted_sample_topk",
-    "zorder_interleave",
+    # r11 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r10 rotation comment and VERDICT r10 item 1:
+    # — staleness tier FIRST (policy b): the nine r6-cohort TPC-H ops
+    #   that slipped the r10 window — the oldest driver rows anywhere
+    #   (staleness 5) —
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
     # — changed-text tier (policy a: changed impl/oracle text ⇒ slot,
-    #   no exceptions): split_leakage_ngram is NEW (VERDICT r9 item 4
-    #   — the text-level cross-split shingle-hash contamination audit
-    #   completing the leakage family); the three selection-engine
-    #   consumers re-certify because rank_math.rank_spec (the Python
-    #   dialect only) moved from int() truncation to math.floor + a
-    #   p∈[0,1] assert (ADVICE r9) — provably identical on the valid
-    #   domain (pos ≥ 0) and lockstep-pinned, but changed text is
-    #   changed text —
-    #   image_phash_neardup is NEW (VERDICT r9 item 8 stretch — aHash
-    #   over decoded BMP pixels + the shared simhash banding);
-    #   audio_fingerprint_neardup is NEW (late r10 — the audio twin:
-    #   WAV frame-energy-delta fingerprint into the same banding,
-    #   closing the multimodal near-dup family over its third
-    #   modality) —
-    "split_leakage_ngram",
+    #   no exceptions):
+    #   streaming_neardup_probe is NEW (VERDICT r10 item 4 — the
+    #   incremental/streaming near-dup: ingest sources replayed as
+    #   micro-batches, each probed against the historical banded
+    #   signature store via _banded_hamming_pairs probe mode) —
+    "streaming_neardup_probe",
+    #   text_simhash re-certifies because its pipeline was extracted to
+    #   text.simhash_sig (shared with the streaming probe) and its
+    #   oracle now interpolates the shared _SIMHASH_SIG_SQL_CTES;
+    #   simhash_near_pairs because _banded_hamming_pairs grew the probe
+    #   parameter (self-join path plan-identical, pinned) and its
+    #   oracle rides the same shared CTE block —
+    "text_simhash",
+    "simhash_near_pairs",
+    #   the three container near-dup/sample ops re-certify because
+    #   _hashed_src gained the Spark Connect parallelism guard (ADVICE
+    #   r10) and _wav_encode's PCM body moved to the C-speed slice
+    #   idiom (VERDICT r10 item 2, audio + wav consumers), and the Y4M
+    #   header walk was hoisted into the shared _y4m_header —
     "image_phash_neardup",
     "audio_fingerprint_neardup",
-    #   simhash_near_pairs re-certifies because the r10 review's
-    #   shared-helper extraction (_banded_hamming_pairs +
-    #   _BANDED_PAIRS_SQL_TAIL in dedup.py) rewrote its Spark body to
-    #   the helper call — oracle string verified byte-identical, but
-    #   changed impl text is changed text —
-    "simhash_near_pairs",
-    #   video_frame_sample is NEW (late r10 — real Y4M container decode
-    #   + K-frame nearest-neighbor sampling with integer byte sums and
-    #   a motion proxy: the fourth modality of the multimodal family) —
     "video_frame_sample",
-    "median_fill",
-    "iqr_clip",
-    "quantile_profile",
-    # — r6-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 36 of its 45 fit after the late audio
-    #   + video ops and the simhash refactor took changed-tier slots) —
-    "abtest_proportions_ztest",
-    "attribution_position_based",
-    "bloom_filter_semi_join",
-    "bootstrap_mean_ci",
-    "c4_heuristic_filter",
-    "chi_square_independence",
-    "column_profile",
-    "cume_dist_price_bands",
-    "encoding_run_stats",
-    "entity_resolution_blocked",
-    "fd_discovery",
-    "gaps_islands_streaks",
-    "grouping_sets_agg",
-    "histogram_fixed_width",
-    "interval_concurrency_peak",
-    "km_survival_estimate",
-    "ntile_quartiles",
-    "range_interval_window",
-    "rank_auc_mann_whitney",
-    "seasonal_baseline_anomaly",
-    "shannon_entropy_profile",
-    "skew_diagnosis_gini",
-    "source_jsd_pairs",
-    "spearman_rank_corr",
-    "star_join_revenue",
-    "supplier_revenue_rank",
-    "term_frequency_topk",
-    "tfidf_top_terms",
-    "theil_sen_slope",
-    "time_weighted_avg",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    # — r11 window core (planned now so rotation stays mechanical):
-    #   FIRST the r6-cohort remainder that did not fit (tpch_q17,
-    #   tpch_q18, tpch_q19, tpch_q22, tpch_q3, tpch_q5, tpch_q6,
-    #   tpch_q7, tpch_q8 — nine ops), then r11 changed-text ops, then
-    #   the 41-op r7 cohort (9 + 41 = 50: r11 has NO slack — any r11
-    #   changed-text op evicts an r7 resident to r12)
-    #   oldest-first (anti_join_inactive_customers, the multimodal
-    #   decode family, the streaming six, ...); whatever misses leads
-    #   r12 with the r8 cohort behind it.
+    #   split_leakage_ngram re-certifies for a docstring correction
+    #   (ADVICE r10: leaked_share DOES carry the accepted ROUND
+    #   exposure) — no code change, but changed text is changed text —
+    "split_leakage_ngram",
+    #   multimodal_decode_dispatch + multimodal_wav_decode are r7
+    #   cohort members whose text ALSO changed (Y4M magic + stratum;
+    #   C-speed encoder) — listed in this tier per policy a —
+    "multimodal_decode_dispatch",
+    "multimodal_wav_decode",
+    # — r7-cohort tier (policy b: oldest-first, alphabetical within
+    #   the equal-staleness tie; 32 of the remaining 39 fit after the
+    #   changed tier took nine slots) —
+    "anti_join_inactive_customers",
+    "approx_distinct_bound",
+    "approx_quantile_bound",
+    "basket_concentration_hhi",
+    "brand_revenue_share",
+    "contamination_ngram_check",
+    "cube_status_priority",
+    "dedup_common_spans",
+    "dedup_exact_text",
+    "dedup_incremental",
+    "doc_chunk_explode",
+    "doc_fingerprint",
+    "embedding_int8_quantize",
+    "embedding_neardup_topk",
+    "filter_group_avg_topk",
+    "group_sum2_unpivot",
+    "hash_train_test_split",
+    "mixture_resample",
+    "multimodal_bmp_decode",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_ppm_decode",
+    "percent_rank_band",
+    "pii_scrub_digits",
+    "range_band_join",
+    "regr_linear_fit",
+    "rfm_segments",
+    "rollup_status_priority",
+    "shard_assignment_balance",
+    "similarity_bruteforce_topk",
+    "source_mixture_weights",
+    "streaming_cdc_compaction",
+    # — r12 window core (planned now so rotation stays mechanical):
+    #   FIRST the r7-cohort remainder that did not fit
+    #   (streaming_countmin_replay, streaming_dedup_replay,
+    #   streaming_hour_rollup, streaming_sessionization,
+    #   streaming_view_purchase_join, text_lang_id, window_moving_avg
+    #   — seven ops), then r12 changed-text ops, then the 36-op r8
+    #   cohort (7 + 36 = 43: r12 has 7 slots of slack before an r8
+    #   resident is evicted to r13).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

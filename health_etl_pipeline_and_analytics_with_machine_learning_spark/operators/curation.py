@@ -568,8 +568,15 @@ def split_leakage_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one audit row per SOURCE of the test-side document — test
     count, number of leaked test docs (≥ 1 shared capped shingle with
     train), their share, and the worst offender's distinct shared-
-    shingle count (0 when the source is clean; integer gates, so no
-    round_cmp tie-break exposure anywhere).
+    shingle count (0 when the source is clean). The GATES (n_leaked,
+    max_shared, and the semi-join membership itself) are integer, so
+    no threshold ever sits on a rounding boundary; leaked_share is a
+    ROUND(int/int, 6) presentation column and carries the same
+    accepted cross-engine ROUND exposure as every other share column
+    (Spark BigDecimal HALF_UP vs DuckDB scaled half-away-from-zero —
+    divergence needs a quotient within ~1 ulp of a .xxxxxx5 boundary;
+    ADVICE r10 corrected an earlier docstring claim that this op had
+    no such exposure at all).
 
     Scale shape: NO pair materialization at all — the train side
     collapses to its DISTINCT shingle-hash set before the cross-split

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import load, query, spread
-from .text import _NORM_SQL, _norm, word3_shingles, word3_shingles_sql
+from .text import (
+    _NORM_SQL,
+    _SIMHASH_SIG_SQL_CTES,
+    _norm,
+    word3_shingles,
+    word3_shingles_sql,
+)
 
 
 @query(
@@ -549,7 +555,7 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
-def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
+def _banded_hamming_pairs(sig: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """(doc_id, simhash) → near-dup candidate pairs: THE shared banded
     tail for all three modalities (`simhash_near_pairs` /
     `image_phash_neardup` / `audio_fingerprint_neardup`) — edit here,
@@ -559,22 +565,39 @@ def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
     self-join sides; a fresh call gets a fresh RDD so repeated bench
     runs stay honest — executor-loss/pre-AQE caveat as elsewhere),
     broadcast hot-bucket cap, (bk, band_key) equi-self-join — never a
-    cross product — then the Hamming verify and top-50 presentation."""
+    cross product — then the Hamming verify and top-50 presentation.
+
+    PROBE MODE (r11, VERDICT r10 item 4): with ``probe`` given, ``sig``
+    is the historical signature STORE and ``probe`` a batch of NEW
+    signatures — the join becomes probe-bands × capped-store-bands
+    (doc_a = the new doc, doc_b = its store match; no doc_id ordering
+    constraint, the two sides are disjoint sets) — the incremental
+    near-dup shape streaming/neardup.py replays per micro-batch. The
+    hot-bucket cap stays on the STORE side only: a capped store bucket
+    bounds the join at ≤ cap rows PER PROBE BAND ROW, so candidate
+    volume is linear in the batch regardless of probe-side skew.
+    Oracle twin: `_BANDED_PROBE_SQL_TAIL`."""
     bands = _simhash_bands(sig).localCheckpoint(eager=False)
     sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands = bands.join(
         F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
         ["bk", "band_key"],
     ).drop("bucket_n")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
+    if probe is None:
+        a, b = bands.alias("a"), bands.alias("b")
+        join_cond = (
             (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+    else:
+        a, b = _simhash_bands(probe).alias("a"), bands.alias("b")
+        join_cond = (F.col("a.bk") == F.col("b.bk")) & (
+            F.col("a.band_key") == F.col("b.band_key")
+        )
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, join_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -613,27 +636,44 @@ _BANDED_PAIRS_SQL_TAIL = f""",
     """
 
 
+#: probe-mode oracle twin of :func:`_banded_hamming_pairs` (r11):
+#: appended after ``sig(doc_id, simhash)`` (the historical STORE) and
+#: ``probe(doc_id, simhash)`` (the new batch) CTEs, it replays banding
+#: on both sides, the STORE-side hot-bucket cap, the asymmetric
+#: probe×store band join (doc_a = new doc, doc_b = store match), the
+#: Hamming verify, and the top-50 presentation — the single SQL
+#: definition for every incremental/streaming near-dup oracle.
+_BANDED_PROBE_SQL_TAIL = f""",
+    store_bands AS (
+      SELECT doc_id, simhash, bk,
+             (simhash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
+    ),
+    keep AS (
+      SELECT bk, band_key FROM store_bands
+      GROUP BY bk, band_key HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kb AS (SELECT b.* FROM store_bands b JOIN keep k USING (bk, band_key)),
+    probe_bands AS (
+      SELECT doc_id, simhash, bk,
+             (simhash >> (bk * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK} AS band_key
+      FROM probe, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS bk)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM probe_bands a JOIN kb b
+      ON a.bk = b.bk AND a.band_key = b.band_key
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_RADIUS}
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """
+
+
 @query(
     "simhash_near_pairs",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-      FROM tok WHERE tok <> ''
-    ),
-    bits AS (
-      SELECT doc_id, k, SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
-      GROUP BY doc_id, k
-    ),
-    sig AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
-    ){_BANDED_PAIRS_SQL_TAIL}""",
+    WITH {_SIMHASH_SIG_SQL_CTES},
+    sig AS (SELECT doc_id, simhash FROM allsig){_BANDED_PAIRS_SQL_TAIL}""",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with MULTI-BAND candidate generation: the 60-bit
@@ -939,3 +979,58 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lev")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental near-dup (r11, VERDICT r10 item 4) — new-batch
+# documents probed against the historical banded signature store, the
+# micro-batch twin of simhash_near_pairs the way streaming_dedup_replay
+# is the twin of dedup_exact_text / dedup_incremental.
+# --------------------------------------------------------------------------
+
+#: history/ingest split for the incremental near-dup family: sources
+#: src0..src{N-1} stand in for the historical corpus (the maintained
+#: signature store), src{N}.. for incoming ingest batches — a LARGER
+#: store than dedup_incremental's single-source history because the
+#: probe shape under test is store-side banding + hot-bucket capping.
+_NEARDUP_STORE_SOURCES = 10
+_NEARDUP_STORE_PRED_SQL = f"CAST(substr(d.source, 4) AS INT) < {_NEARDUP_STORE_SOURCES}"
+
+
+@query(
+    "streaming_neardup_probe",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL_CTES},
+    sig AS (
+      SELECT a.doc_id, a.simhash FROM allsig a JOIN documents d USING (doc_id)
+      WHERE {_NEARDUP_STORE_PRED_SQL}
+    ),
+    probe AS (
+      SELECT a.doc_id, a.simhash FROM allsig a JOIN documents d USING (doc_id)
+      WHERE NOT ({_NEARDUP_STORE_PRED_SQL})
+    ){_BANDED_PROBE_SQL_TAIL}""",
+    tags=("streaming", "dedup"),
+)
+def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup, oracle-certified end-to-end: the
+    ten ingest sources (src10..src19) replay as micro-batches through a
+    foreachBatch pipeline that computes each batch's SimHash signatures
+    (the SAME ``text.simhash_sig`` pipeline as the batch ops) and probes
+    them against the historical corpus's banded signature store
+    (src0..src9) via ``_banded_hamming_pairs`` in probe mode — closing
+    dedup's batch/streaming gap for NEAR-duplicates the way
+    streaming_dedup_replay closed it for exact fingerprints.
+
+    Certification: the bounded stream's final pair set must hash-match
+    the batch/DuckDB answer (shared ``_SIMHASH_SIG_SQL_CTES`` +
+    ``_BANDED_PROBE_SQL_TAIL``). Correctness of the replay does not
+    depend on batch boundaries: each probe doc lives in exactly ONE
+    micro-batch, pair identity includes the probe doc, and every
+    globally-top-50 pair is also top-50 within its own batch (its
+    batch's pairs are a subset of all pairs), so the final global
+    re-sort + limit over the accumulated per-batch top-50s equals the
+    batch answer — see streaming/neardup.py for the replay mechanics
+    and the production (unbounded) form."""
+    from ..streaming.neardup import stream_neardup_probe
+
+    return stream_neardup_probe(spark, sf_dir)

@@ -273,54 +273,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "text_simhash",
-    oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-      FROM tok WHERE tok <> ''
-    ),
-    bits AS (
-      SELECT doc_id, k,
-             SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
-      GROUP BY doc_id, k
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-)
-def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash over distinct tokens (md5-derived token hashes, so
-    the fingerprint is engine-independent and oracle-checkable — unlike
-    murmur3 F.hash, which is Spark-internal).
+def simhash_sig(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, simhash): the 60-bit SimHash
+    pipeline over a documents-shaped DataFrame. ONE definition (r11)
+    shared by ``text_simhash`` (whole corpus, presentation-sorted),
+    ``dedup.simhash_near_pairs`` (via text_simhash), and the streaming
+    near-dup probe's per-micro-batch signatures
+    (streaming/neardup.py) — a second copy of the tally would drift on
+    any retune.
 
     Scale shape: token hashes stay JVM-side (md5 in a narrow expression
     — the determinism contract with the oracle); the 60-way bit tally
     is pure integer math with NO data-dependent branching, so it runs
     as a vectorized Arrow-batched ``mapInPandas`` — a (tokens × 60) bit
     matrix reduced per document in numpy. The doc's token array never
-    leaves its row: ZERO shuffle beyond the presentation orderBy.
-    Measured at sf0.1 (32 cores): 0.6 s here vs 1.33 s for
-    explode(tokens)×60 rows through two doc_id-keyed partial-agg
-    shuffles, 2.1 s for interpreted higher-order-lambda tallies, 3.5 s
-    for 60 conditional SUMs in one wide groupBy — the rare case where
-    the Arrow path beats every JVM form because the JVM forms either
-    shuffle 60× the token volume or fall out of codegen. Near-dup
-    candidates then come from hamming-distance banding on the
-    fingerprint (see dedup.simhash_near_pairs), never from O(n²) scans.
+    leaves its row: ZERO shuffle. Measured at sf0.1 (32 cores): 0.6 s
+    vs 1.33 s for explode(tokens)×60 rows through two doc_id-keyed
+    partial-agg shuffles, 2.1 s for interpreted higher-order-lambda
+    tallies, 3.5 s for 60 conditional SUMs in one wide groupBy — the
+    rare case where the Arrow path beats every JVM form because the
+    JVM forms either shuffle 60× the token volume or fall out of
+    codegen.
     """
     import numpy as np
     import pandas as pd
-
-    d = load(spark, sf_dir, "documents")
 
     def _tally(batches):
         ks = np.arange(60, dtype=np.uint64)
@@ -341,13 +317,17 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widths pay more per-task/Arrow overhead than they recover on this
     # overhead-bound corpus). At 100 TB the source has thousands of
     # natural splits and this repartition is a no-op to remove, not a
-    # plan change.
-    n_part = min(8, spark.sparkContext.defaultParallelism)
+    # plan change. sparkContext raises on Spark Connect sessions
+    # (ADVICE r10) — same fixed fallback as the pipeline env probe.
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Connect-only path
+        par = 8
     return (
         spread(
             d.select("doc_id", _norm(F.col("text")).alias("norm")),
             "doc_id",
-            n=n_part,
+            n=min(8, par),
         )
         .select(
             "doc_id",
@@ -359,8 +339,55 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("hvs") > 0)  # all-whitespace docs: absent on both sides
         .mapInPandas(_tally, schema="doc_id long, simhash long")
-        .orderBy("doc_id")
     )
+
+
+#: oracle twin of :func:`simhash_sig` — the CTE block ending in
+#: ``allsig(doc_id, simhash)``. ONE definition (r11) interpolated by
+#: the text_simhash, dedup.simhash_near_pairs, and
+#: dedup.streaming_neardup_probe oracles — the SQL-side mirror of the
+#: single-definition rule the Spark side already follows.
+_SIMHASH_SIG_SQL_CTES = f"""tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      FROM tok WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, k,
+             SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
+      GROUP BY doc_id, k
+    ),
+    allsig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL_CTES}
+    SELECT doc_id, simhash FROM allsig
+    ORDER BY doc_id
+    """,
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over distinct tokens (md5-derived token hashes, so
+    the fingerprint is engine-independent and oracle-checkable — unlike
+    murmur3 F.hash, which is Spark-internal). The pipeline itself lives
+    in :func:`simhash_sig` (shared with the streaming near-dup probe
+    since r11); this op adds only the corpus load and the presentation
+    sort. Near-dup candidates then come from hamming-distance banding
+    on the fingerprint (see dedup.simhash_near_pairs), never from
+    O(n²) scans.
+    """
+    return simhash_sig(load(spark, sf_dir, "documents"), spark).orderBy("doc_id")
 
 
 TF_TOP_K = 20

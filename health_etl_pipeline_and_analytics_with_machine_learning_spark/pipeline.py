@@ -490,20 +490,32 @@ def _probe_executor_python_env(spark: SparkSession) -> None:
             n = 8
         spark.range(n).repartition(n).mapInPandas(_probe, "id long").count()
     except Exception as exc:  # pragma: no cover - env-dependent
-        # Rebrand ONLY genuine missing-module failures (executor-side
-        # import errors surface inside the Py4J/PythonException text) —
-        # a preempted executor, a transient shuffle error, etc. must
-        # propagate as themselves, not as bogus install instructions
-        # (r10 review find on the first version of this probe).
+        # Rebrand ONLY genuine missing-module failures of the probe's
+        # own three imports (executor-side tracebacks surface inside
+        # the Py4J/PythonException text) — a preempted executor, a
+        # transient shuffle error, or an exception that merely ECHOES
+        # the words 'ImportError'/'ModuleNotFoundError' somewhere in a
+        # log line must propagate as itself, not as bogus install
+        # instructions (r10 review find on the first version of this
+        # probe; ADVICE r10 tightened the loose substring match to the
+        # anchored executor-traceback form naming the probed modules).
+        import re
+
         msg = f"{type(exc).__name__}: {exc}"
-        if "ImportError" not in msg and "ModuleNotFoundError" not in msg:
+        probe_module_missing = re.search(
+            r"(?:ImportError|ModuleNotFoundError): No module named "
+            r"'?(?:numpy|pandas|pyarrow)[\w.]*'?",
+            msg,
+        )
+        if not probe_module_missing:
             raise
         raise ImportError(
             "clean_health_dataset requires pandas, pyarrow and numpy in "
             "every EXECUTOR Python environment since r9 (the exact-"
             "quantile engine's Arrow bincount transport — "
             "functions/quantiles.py). An executor failed the entry "
-            "probe; install them in the cluster Python environment."
+            f"probe; install them in the cluster Python environment. "
+            f"Probe failure: {probe_module_missing.group(0)}"
         ) from exc
     spark._health_etl_env_probed = True
 

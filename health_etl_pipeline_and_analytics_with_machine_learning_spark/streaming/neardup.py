@@ -1,0 +1,158 @@
+"""Streaming incremental near-dup — the micro-batch replay behind
+``operators.dedup.streaming_neardup_probe`` (r11, VERDICT r10 item 4).
+
+Shape: the historical corpus (sources src0..src9) is reduced ONCE to
+its 60-bit SimHash signature store; the ten ingest sources
+(src10..src19) replay as micro-batches through ``foreachBatch``, and
+each batch runs the SAME two certified primitives the batch ops use —
+``text.simhash_sig`` for the batch's signatures and
+``dedup._banded_hamming_pairs(store, probe=batch)`` for the banded
+store probe — then appends its pairs to a parquet accumulator. After
+the bounded replay, one global re-sort + limit recovers exactly the
+batch answer (each probe doc lives in one micro-batch and every
+globally-top-k pair is top-k within its own batch, so no pair the
+global answer needs is ever cut by the per-batch limit).
+
+Why ``foreachBatch`` and not a stream-static join: the probe is not a
+row-wise join — each micro-batch needs its own aggregation pipeline
+(token explode → per-doc bit tally) BEFORE the banded join, which is
+exactly the "run a batch pipeline per micro-batch" case foreachBatch
+exists for. The signature store stays a static DataFrame, checkpointed
+once and reused across batches.
+
+At 100 TB (unbounded production): the store is a maintained TABLE —
+append each batch's accepted signatures back to it (the compaction
+loop CDC does for row state) and persist its BANDED form so per-batch
+probes skip the re-explode; the hot-bucket cap already lives on the
+store side, so candidate volume stays linear in each batch regardless
+of probe-side skew. The bounded replay here keeps the store immutable
+so the answer is a pure function of the input corpus — the property
+the DuckDB oracle certifies.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: one parquet file per micro-batch, keyed like sessionize._CHUNK_CACHE
+_PROBE_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+
+_PAIRS_SCHEMA = "doc_a long, doc_b long, hamming long"
+_PROBE_DOC_SCHEMA = "doc_id long, text string"
+
+
+def _store_pred(col):
+    """Spark twin of dedup._NEARDUP_STORE_PRED_SQL: sources src0..src9
+    are the historical corpus. substr(source, 4) is the numeric tail
+    ('src15' → 15); both engines parse it the same way."""
+    from ..operators.dedup import _NEARDUP_STORE_SOURCES
+
+    return F.substring(col, 4, 8).cast("int") < F.lit(_NEARDUP_STORE_SOURCES)
+
+
+def _chunked_probe_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Split the NEW-batch documents (source ≥ src10) into ``n_chunks``
+    parquet files — one FileStreamSource micro-batch each — grouping
+    whole ingest sources per chunk (chunk = source_number % n_chunks),
+    so every micro-batch carries a whole number of ingest batches, the
+    way an ingest queue delivers them. Layout is a pure function of the
+    corpus + chunk count; mtimes are pinned so FileStreamSource replays
+    chunks in index order. Distributed end-to-end: one partitioned
+    write, no driver-side materialization."""
+    from ..operators.dedup import _NEARDUP_STORE_SOURCES
+    from ..operators.registry import load
+
+    key = (sf_dir, n_chunks)
+    cached = _PROBE_CHUNK_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    d = load(spark, sf_dir, "documents")
+    probe_docs = d.filter(~_store_pred(F.col("source"))).select(
+        "doc_id",
+        "text",
+        (
+            (F.substring("source", 4, 8).cast("int") - _NEARDUP_STORE_SOURCES)
+            % n_chunks
+        ).alias("__chunk"),
+    )
+    out = tempfile.mkdtemp(prefix="neardup_probe_chunks_")
+    staging = tempfile.mkdtemp(prefix="neardup_probe_staging_")
+    probe_docs.repartition(n_chunks, "__chunk").write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(staging)
+    import shutil
+
+    for sub in os.listdir(staging):
+        if not sub.startswith("__chunk="):
+            continue
+        i = int(sub.split("=", 1)[1])
+        parts = [
+            f
+            for f in os.listdir(os.path.join(staging, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"chunk {i}: expected 1 file, got {parts}"
+        path = os.path.join(out, f"chunk_{i:03d}.parquet")
+        os.rename(os.path.join(staging, sub, parts[0]), path)
+        # FileStreamSource orders by modification time; pin it explicitly
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(staging, ignore_errors=True)
+    _PROBE_CHUNK_CACHE[key] = out
+    return out
+
+
+def stream_neardup_probe(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Run the bounded ingest stream through the per-batch signature +
+    banded-store-probe pipeline to completion and return the FINAL
+    top-50 (probe doc, store doc, hamming) pairs — same columns, same
+    values as the batch/DuckDB oracle on streaming_neardup_probe."""
+    from ..operators.dedup import _banded_hamming_pairs
+    from ..operators.registry import load
+    from ..operators.text import simhash_sig
+
+    d = load(spark, sf_dir, "documents")
+    # the store is reused by every micro-batch's probe join — cut the
+    # lineage once, eagerly (the r5b fan-out lesson). CAVEAT
+    # (single-node bench optimization, not a resilience feature):
+    # localCheckpoint stores blocks non-reliably on executors — on
+    # executor loss the truncated lineage can't recompute and the job
+    # fails — and it pins the pre-AQE plan; a fault-tolerant cluster
+    # deployment would swap in a persisted signature TABLE (the
+    # production form anyway, see the module docstring).
+    store_sig = simhash_sig(
+        d.filter(_store_pred(F.col("source"))), spark
+    ).localCheckpoint(eager=True)
+
+    watch_dir = _chunked_probe_docs_dir(spark, sf_dir, n_chunks)
+    raw = (
+        spark.readStream.schema(_PROBE_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="neardup_probe_pairs_")
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_sig = simhash_sig(batch_df, spark)
+        pairs = _banded_hamming_pairs(store_sig, probe=batch_sig)
+        pairs.write.mode("append").parquet(out_dir)
+
+    q = raw.writeStream.foreachBatch(_probe_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # explicit schema: robust even if every micro-batch produced zero
+    # pairs (no part files to infer from)
+    return (
+        spark.read.schema(_PAIRS_SCHEMA)
+        .parquet(out_dir)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )

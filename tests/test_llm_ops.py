@@ -858,6 +858,47 @@ def test_banded_hamming_pairs_recall_and_bucket_cap(spark):
     assert got == {(500, 501)}, got
 
 
+def test_banded_hamming_pairs_probe_mode(spark):
+    """Probe-mode contract (r11): with a probe side given, the tail
+    joins probe×store only — (a) a probe doc near a store doc surfaces
+    as (probe, store); (b) store×store and probe×probe pairs NEVER
+    appear, even at Hamming 0; (c) the hot-bucket cap protects the
+    STORE side (a mega-bucket store signature yields no candidates)
+    while probe-side repetition is allowed through."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _SIMHASH_MAX_BUCKET,
+        _banded_hamming_pairs,
+    )
+
+    base = 0b101101110010101011001010101101010101100110101010101010110101
+    near = base ^ 0b1011  # Hamming 3
+    schema = "doc_id long, simhash long"
+    store = spark.createDataFrame([(1, base), (2, base)], schema)  # near-dup store pair
+    probe = spark.createDataFrame([(100, near), (101, near)], schema)  # near-dup probe pair
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _banded_hamming_pairs(store, probe=probe).collect()
+    }
+    # every probe×store combination, nothing within either side
+    assert out == {(100, 1): 3, (100, 2): 3, (101, 1): 3, (101, 2): 3}, out
+
+    # store-side hot bucket: cap+1 identical store signatures vanish
+    # from candidate generation; the same repetition on the PROBE side
+    # is fine (the cap is a store-skew guarantee, probes stay linear)
+    clones = [(i, base) for i in range(10, 10 + _SIMHASH_MAX_BUCKET + 1)]
+    capped = _banded_hamming_pairs(
+        spark.createDataFrame(clones, schema),
+        probe=spark.createDataFrame([(100, near)], schema),
+    ).collect()
+    assert capped == [], capped
+    probe_clones = [(100 + i, near) for i in range(_SIMHASH_MAX_BUCKET + 1)]
+    through = _banded_hamming_pairs(
+        spark.createDataFrame([(1, base)], schema),
+        probe=spark.createDataFrame(probe_clones, schema),
+    ).collect()
+    assert len(through) == 50  # limit-50 presentation of cap+1 probe hits
+
+
 def test_wav_fingerprint_closed_form_property():
     """Hypothesis patrol over the audio fingerprint: for ARBITRARY
     (doc_id, md5-like hex) inputs, the numpy byte-level parse equals

@@ -96,3 +96,60 @@ def test_nan_median_means_no_fill(spark):
     # the no-op fill, so the null row stays null
     filled = df.withColumn("x", F.coalesce("x", F.lit(meds["x"][0])))
     assert [r["x"] for r in filled.collect()].count(None) == 1
+
+
+def test_env_probe_rebrands_only_anchored_missing_module_failures():
+    """ADVICE r10: the executor-env probe must rebrand a failure into
+    install instructions ONLY when the exception text carries the
+    anchored executor-traceback form naming one of the three probed
+    modules — an error that merely echoes the word 'ImportError' in a
+    log line must propagate as itself, and the rebranded message must
+    retain the matched cause."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.pipeline import (
+        _probe_executor_python_env,
+    )
+
+    class _FakeJob:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def repartition(self, n):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            return self
+
+        def count(self):
+            raise self._exc
+
+    class _FakeSpark:
+        def __init__(self, exc):
+            self._exc = exc
+
+        class _SC:
+            defaultParallelism = 4
+
+        sparkContext = _SC()
+
+        def range(self, n):
+            return _FakeJob(self._exc)
+
+    genuine = RuntimeError(
+        "Job aborted: PythonException: Traceback (most recent call last):\n"
+        "  ...\nModuleNotFoundError: No module named 'pyarrow'"
+    )
+    with pytest.raises(ImportError) as ei:
+        _probe_executor_python_env(_FakeSpark(genuine))
+    assert "No module named 'pyarrow'" in str(ei.value)
+    assert ei.value.__cause__ is genuine
+
+    # echoes the keyword but is NOT a probe-module import failure:
+    # propagates unchanged (transient executor loss whose log mentions
+    # ImportError, and a missing module that is not ours)
+    for other in (
+        RuntimeError("executor lost; stderr said: ImportError was retried"),
+        RuntimeError("ModuleNotFoundError: No module named 'user_udf_helper'"),
+    ):
+        with pytest.raises(RuntimeError) as ri:
+            _probe_executor_python_env(_FakeSpark(other))
+        assert ri.value is other

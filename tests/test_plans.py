@@ -832,3 +832,29 @@ def test_video_frame_sample_is_map_with_bounded_fanout(spark):
     assert count_exchanges(df) <= 2, plan
     (cols,) = read_schemas(df)
     assert cols == ["doc_id", "text"]
+
+
+def test_banded_probe_mode_is_equi_join_with_broadcast_cap(spark):
+    """r11 probe-mode plan pin: the incremental near-dup join (the
+    per-micro-batch shape streaming_neardup_probe replays) must stay an
+    EQUI join on (bk, band_key) — never a probe×store cartesian — with
+    the store-side hot-bucket cap as a BROADCAST join, exactly like the
+    self-join mode the other three modalities pin above."""
+    from pyspark.sql import functions as F
+
+    docs = registry.load(spark, SF_SMOKE, "documents")
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _store_pred,
+    )
+
+    store = simhash_sig(docs.filter(_store_pred(F.col("source"))), spark)
+    probe = simhash_sig(docs.filter(~_store_pred(F.col("source"))), spark)
+    df = dedup._banded_hamming_pairs(store, probe=probe)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies  # the store-side cap
+    assert strategies, "probe mode lost its join"

@@ -142,3 +142,37 @@ def test_streaming_countmin_matches_batch_twin(spark):
     batch = REGISTRY["countmin_estimate"].fn(spark, SF_SMOKE).collect()
     stream = REGISTRY["streaming_countmin_replay"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_streaming_neardup_probe_batch_boundary_invariance(spark):
+    """The incremental near-dup replay (r11) must be a pure function of
+    the corpus, not of micro-batch boundaries: replaying the ten ingest
+    sources as 1, 3, or 5 micro-batches yields the identical final
+    top-50 pair set — the invariance that justifies certifying the
+    3-chunk replay against the batch/DuckDB oracle. Also pins the
+    asymmetry contract on real data: doc_a is always an ingest doc,
+    doc_b always a store doc."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _store_pred,
+        stream_neardup_probe,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from pyspark.sql import functions as F
+
+    runs = {
+        n: [tuple(r) for r in stream_neardup_probe(spark, SF_SMOKE, n_chunks=n).collect()]
+        for n in (1, 3, 5)
+    }
+    assert runs[1] == runs[3] == runs[5]
+    assert len(runs[3]) > 0
+
+    docs = load(spark, SF_SMOKE, "documents")
+    store_ids = {
+        r.doc_id for r in docs.filter(_store_pred(F.col("source"))).select("doc_id").collect()
+    }
+    for doc_a, doc_b, hamming in runs[3]:
+        assert doc_a not in store_ids, (doc_a, "probe side must be ingest docs")
+        assert doc_b in store_ids, (doc_b, "store side must be history docs")
+        assert 0 <= hamming <= 12

@@ -532,3 +532,33 @@ def test_transports_bit_identical_property(values, probs):
     jvm, arrow = _both_transports(df, {"x": probs})
     for a, b in zip(jvm["x"], arrow["x"]):
         assert _bits(a) == _bits(b), (values, probs, jvm, arrow)
+
+
+def test_natural_dispatch_boundary_eight_vs_nine_columns(spark):
+    """VERDICT r10 item 5: the 8-vs-9-column boundary exercised through
+    the REAL dispatch (no monkeypatching) — an 8-column call rides the
+    JVM explode, adding one more column tips the SAME request onto the
+    Arrow transport, and the eight shared columns' results must not
+    move by a single bit. This is the lockstep the registry consumers
+    no longer provide now that they all sit at ≤8 columns."""
+    import math
+
+    import health_etl_pipeline_and_analytics_with_machine_learning_spark.functions.quantiles as Q
+
+    assert Q.JVM_TRANSPORT_MAX_COLS == 8  # the boundary this test pins
+    rows = []
+    for i in range(37):
+        base = [-0.0, 0.0, float(i), i * 0.125 - 2.0, float("inf"),
+                float("-inf"), None, float(i % 5), -1e9 + i][i % 9]
+        rows.append(tuple((base if j % 3 else (i + j) * 0.25) for j in range(9)))
+    cols = [f"c{j}" for j in range(9)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols))
+    probs = [0.0, 0.1, 0.5, 0.9999999999999999, 1.0]
+    jvm8 = Q.exact_quantiles_multi(df, {c: probs for c in cols[:8]})
+    arrow9 = Q.exact_quantiles_multi(df, {c: probs for c in cols})
+    for c in cols[:8]:
+        for a, b in zip(jvm8[c], arrow9[c]):
+            if a is None or (isinstance(a, float) and math.isnan(a)):
+                assert b is None or math.isnan(b), (c, jvm8[c], arrow9[c])
+            else:
+                assert _bits(a) == _bits(b), (c, jvm8[c], arrow9[c])

@@ -45,6 +45,19 @@ EDGE_TEXTS = [
     "newline after\n",  # 14: the case where the old trim-split form
     "\t \n",  # 15: counted phantom tokens (and 2 for this tab-only one)
     "ab3cd ef9 42",  # 16: digits split alpha tokens, all-digit words drop
+    # — r11 corpus extension (VERDICT r10 item 5: the handcrafted edge
+    #   corpus is the only defense against bugs both engines share) —
+    "line one\r\nline two",  # 17: CRLF — \r and \n are \s in BOTH dialects
+    "a\fb form\ffeed",  # 18: form feed \x0C is \s in BOTH Java and RE2
+    "a.b c*d (e) [f] {g} x|y",  # 19: regex metachars are DATA to both
+    "don't café über naïve",  # 20: apostrophe + non-ASCII letters split
+    #     alpha runs identically (ASCII [a-z] class on both engines)
+    "a\x08b",  # 21: backspace — not whitespace in either dialect
+    "a\x1bb",  # 22: escape — not whitespace in either dialect
+    "a\x7fb",  # 23: DEL — not whitespace in either dialect
+    "​zero​width",  # 24: ZWSP is not \s to Java OR RE2
+    "﻿bom prefix",  # 25: BOM/ZWNBSP likewise data on both
+    "a" * 300 + " tail",  # 26: long single token, no length cliffs
 ]
 
 
@@ -209,14 +222,16 @@ def test_vertical_tab_is_the_known_dialect_divergence(spark):
     the DuckDB oracle dialect. Unreachable through the driver corpus
     (test_corpus_contains_no_divergent_whitespace proves the generated
     documents carry none of these characters), so every certified row
-    is unaffected; the fix — an explicit shared character class
-    ([\\s\\v] / [^\\s\\v] on the SQL side, Java semantics on both
-    engines) — touches the _NORM_SQL / WS_TOKEN_COUNT_SQL strings that
-    ~20 oracle texts interpolate, so per the window policy it is
-    scheduled as r11's lead changed-text family (see the r11 plan in
-    operators/__init__.py). THIS TEST MUST FLIP when that lands:
-    it asserts the divergence exists, so the fix cannot ship without
-    deleting the pin."""
+    is unaffected. DEFERRAL STATUS (r11): the fix — an explicit shared
+    character class ([\\s\\v] / [^\\s\\v] on the SQL side, Java
+    semantics on both engines) — touches the _NORM_SQL /
+    WS_TOKEN_COUNT_SQL strings that ~20 oracle texts interpolate, i.e.
+    ~20 changed-text window slots at once; VERDICT r10 pinned the r11
+    window with ZERO slack (9 stale TPC-H + the r7 cohort), so the fix
+    stays deferred behind this pin + the corpus guard until a window
+    round with enough slack to absorb the whole family in one batch.
+    THIS TEST MUST FLIP when that lands: it asserts the divergence
+    exists, so the fix cannot ship without deleting the pin."""
     con = duckdb.connect()
     (spark_n,) = [
         r["n"]
@@ -231,6 +246,39 @@ def test_vertical_tab_is_the_known_dialect_divergence(spark):
     con.close()
     assert spark_n == 2  # Java \s contains \x0B
     assert duck_n == 1  # RE2 \s does not
+
+    # r11: two more manifestations of the SAME \x0B class, pinned so
+    # the eventual fix's blast radius is fully mapped. (a) vtab-only
+    # text: Spark's norm collapses it to '' (0 tokens), DuckDB keeps
+    # the raw byte (1 token). (b) 'a\x0C\x0Bb': the COUNTS agree (2 on
+    # both — \x0C is shared whitespace) but the token CONTENT differs
+    # (Spark: 'b'; DuckDB: '\x0Bb'), so fingerprint/shingle ops would
+    # diverge even where token counts mask it.
+    con = duckdb.connect()
+    for text, want_spark_n, want_duck_n in (("\x0b", 0, 1), ("a\x0c\x0bb", 2, 2)):
+        (s_n,) = [
+            r["n"]
+            for r in spark.createDataFrame([(0, text)], "doc_id long, text string")
+            .select(ws_token_count().cast("long").alias("n"))
+            .collect()
+        ]
+        d_n = con.execute(
+            f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
+            [text],
+        ).fetchone()[0]
+        assert s_n == want_spark_n, (text, s_n)
+        assert d_n == want_duck_n, (text, d_n)
+    s_norm = (
+        spark.createDataFrame([(0, "a\x0c\x0bb")], "doc_id long, text string")
+        .select(_norm(F.col("text")).alias("n"))
+        .collect()[0]["n"]
+    )
+    d_norm = con.execute(
+        f"SELECT {_NORM_SQL} FROM (SELECT ? AS text)", ["a\x0c\x0bb"]
+    ).fetchone()[0]
+    con.close()
+    assert s_norm == "a b"
+    assert d_norm == "a \x0bb"
 
 
 def test_corpus_contains_no_divergent_whitespace():

@@ -555,7 +555,28 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
-def _banded_hamming_pairs(sig: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+def _capped_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → hot-bucket-capped band rows (doc_id, simhash,
+    bk, band_key): the store-side half of the banded tail, extracted
+    (r11 review) so the streaming probe can band + cap its signature
+    store ONCE and reuse it across micro-batches instead of rebuilding
+    it per foreachBatch call. Lazy-checkpointed band explode (bands
+    feed the bucket-size pass and the join side; a fresh call gets a
+    fresh RDD so repeated bench runs stay honest — executor-loss/
+    pre-AQE caveat as elsewhere), broadcast hot-bucket cap."""
+    bands = _simhash_bands(sig).localCheckpoint(eager=False)
+    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame | None = None,
+    probe: DataFrame | None = None,
+    sig_bands: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, simhash) → near-dup candidate pairs: THE shared banded
     tail for all three modalities (`simhash_near_pairs` /
     `image_phash_neardup` / `audio_fingerprint_neardup`) — edit here,
@@ -576,13 +597,14 @@ def _banded_hamming_pairs(sig: DataFrame, probe: DataFrame | None = None) -> Dat
     hot-bucket cap stays on the STORE side only: a capped store bucket
     bounds the join at ≤ cap rows PER PROBE BAND ROW, so candidate
     volume is linear in the batch regardless of probe-side skew.
-    Oracle twin: `_BANDED_PROBE_SQL_TAIL`."""
-    bands = _simhash_bands(sig).localCheckpoint(eager=False)
-    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
-    bands = bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
-        ["bk", "band_key"],
-    ).drop("bucket_n")
+    Oracle twin: `_BANDED_PROBE_SQL_TAIL`. ``sig_bands`` (r11 review)
+    lets a caller pass PRE-BANDED capped store rows instead of ``sig``
+    — the streaming probe materializes them once and reuses them every
+    micro-batch (the production form: a persisted banded store table).
+    """
+    if (sig is None) == (sig_bands is None):  # never assert: -O strips it
+        raise ValueError("pass exactly one of sig / sig_bands")
+    bands = _capped_bands(sig) if sig_bands is None else sig_bands
     if probe is None:
         a, b = bands.alias("a"), bands.alias("b")
         join_cond = (

@@ -101,15 +101,31 @@ def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     Non-file-rooted inputs (unit tests over ``spark.range``) fall back
     to ``df.rdd.getNumPartitions()``, which forces physical planning
     and reports the pre-AQE count — fine off the hot path.
+
+    Spark Connect (r11, the r11 review's catch on ADVICE r10): both
+    ``sparkContext`` and the ``df.rdd`` fallback raise on Connect
+    sessions, which made the per-call-site guards upstream dead code —
+    the guards live HERE now. On Connect the split-count probe degrades
+    to ``inputFiles`` only; a non-file-rooted Connect input skips the
+    probe and repartitions unconditionally (results are
+    partition-count-invariant for every caller, so the worst case is
+    one extra shuffle, never a crash). Classic-Spark behavior is
+    bit-identical to before.
     """
-    sc = df.sparkSession.sparkContext
-    target = n if n is not None else min(16, sc.defaultParallelism)
+    try:
+        default_par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Connect-only path
+        default_par = 8
+    target = n if n is not None else min(16, default_par)
     try:
         n_splits = len(df.inputFiles())
     except Exception:  # pragma: no cover - defensive; analysis errors surface later
         n_splits = 0
     if n_splits == 0:
-        n_splits = df.rdd.getNumPartitions()
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - Connect-only path
+            n_splits = 0  # unknown → take the (invariant-safe) repartition
     if n_splits >= target:
         return df
     return df.repartition(target, *cols)

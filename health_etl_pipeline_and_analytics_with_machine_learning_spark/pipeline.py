@@ -473,10 +473,22 @@ def _probe_executor_python_env(spark: SparkSession) -> None:
         return
 
     def _probe(batches):
-        import numpy  # noqa: F401
-        import pandas as _pd
-        import pyarrow  # noqa: F401
+        # each probed import is wrapped so ANY failure to import the
+        # module — including a broken transitive dependency (e.g.
+        # pandas present but dateutil missing) — surfaces under an
+        # unambiguous sentinel the driver-side rebrand can anchor on
+        # (r11 review: a bare import left transitive failures reading
+        # as 'No module named dateutil', which no anchored form naming
+        # the probed modules can match)
+        import importlib
 
+        for _mod in ("numpy", "pandas", "pyarrow"):
+            try:
+                importlib.import_module(_mod)
+            except BaseException as e:
+                raise ImportError(
+                    f"executor-env-probe: import {_mod} failed: {e!r}"
+                ) from e
         for b in batches:
             yield b
 
@@ -490,20 +502,27 @@ def _probe_executor_python_env(spark: SparkSession) -> None:
             n = 8
         spark.range(n).repartition(n).mapInPandas(_probe, "id long").count()
     except Exception as exc:  # pragma: no cover - env-dependent
-        # Rebrand ONLY genuine missing-module failures of the probe's
-        # own three imports (executor-side tracebacks surface inside
-        # the Py4J/PythonException text) — a preempted executor, a
-        # transient shuffle error, or an exception that merely ECHOES
-        # the words 'ImportError'/'ModuleNotFoundError' somewhere in a
-        # log line must propagate as itself, not as bogus install
-        # instructions (r10 review find on the first version of this
-        # probe; ADVICE r10 tightened the loose substring match to the
-        # anchored executor-traceback form naming the probed modules).
+        # Rebrand ONLY failures of the probe's OWN three imports — a
+        # preempted executor, a transient shuffle error, or an
+        # exception that merely ECHOES the word 'ImportError' in a log
+        # line must propagate as itself, not as bogus install
+        # instructions (r10 review find on the first version; ADVICE
+        # r10 tightened the loose substring match; the r11 review then
+        # showed any traceback-form regex misses TRANSITIVE dependency
+        # breakage, e.g. pandas present but dateutil missing — so the
+        # probe function wraps its imports under the
+        # 'executor-env-probe:' sentinel). TWO anchored forms rebrand:
+        # the sentinel (covers transitive breakage, echo-proof), and
+        # the raw missing-module traceback naming one of the three —
+        # because when pandas/pyarrow are absent OUTRIGHT, the pyspark
+        # WORKER BOOTSTRAP (Arrow serializer imports) dies before the
+        # sentinel wrapper ever runs.
         import re
 
         msg = f"{type(exc).__name__}: {exc}"
         probe_module_missing = re.search(
-            r"(?:ImportError|ModuleNotFoundError): No module named "
+            r"executor-env-probe: import (?:numpy|pandas|pyarrow) failed:[^\n]*"
+            r"|(?:ImportError|ModuleNotFoundError): No module named "
             r"'?(?:numpy|pandas|pyarrow)[\w.]*'?",
             msg,
         )

@@ -99,12 +99,14 @@ def test_nan_median_means_no_fill(spark):
 
 
 def test_env_probe_rebrands_only_anchored_missing_module_failures():
-    """ADVICE r10: the executor-env probe must rebrand a failure into
-    install instructions ONLY when the exception text carries the
-    anchored executor-traceback form naming one of the three probed
-    modules — an error that merely echoes the word 'ImportError' in a
-    log line must propagate as itself, and the rebranded message must
-    retain the matched cause."""
+    """ADVICE r10 + r11 review: the executor-env probe must rebrand a
+    failure into install instructions ONLY when the exception text
+    carries the probe's own 'executor-env-probe:' sentinel naming one
+    of the three probed modules — an error that merely echoes the word
+    'ImportError' in a log line must propagate as itself, a TRANSITIVE
+    dependency failure of a probed module (pandas present, dateutil
+    missing) must still rebrand, and the rebranded message must retain
+    the matched cause."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.pipeline import (
         _probe_executor_python_env,
     )
@@ -136,12 +138,38 @@ def test_env_probe_rebrands_only_anchored_missing_module_failures():
 
     genuine = RuntimeError(
         "Job aborted: PythonException: Traceback (most recent call last):\n"
-        "  ...\nModuleNotFoundError: No module named 'pyarrow'"
+        "  ...\nImportError: executor-env-probe: import pyarrow failed: "
+        "ModuleNotFoundError(\"No module named 'pyarrow'\")"
     )
     with pytest.raises(ImportError) as ei:
         _probe_executor_python_env(_FakeSpark(genuine))
-    assert "No module named 'pyarrow'" in str(ei.value)
+    assert "import pyarrow failed" in str(ei.value)
     assert ei.value.__cause__ is genuine
+
+    # the r11 review's transitive case: pandas itself is present but a
+    # dependency it imports is not — the sentinel wraps it, so the
+    # rebrand still fires with actionable text
+    transitive = RuntimeError(
+        "PythonException: ImportError: executor-env-probe: import pandas "
+        "failed: ModuleNotFoundError(\"No module named 'dateutil'\")"
+    )
+    with pytest.raises(ImportError) as ti:
+        _probe_executor_python_env(_FakeSpark(transitive))
+    assert "import pandas failed" in str(ti.value)
+    assert "dateutil" in str(ti.value)
+
+    # the worker-bootstrap case: with pandas/pyarrow absent OUTRIGHT,
+    # the Arrow serializer import in pyspark's worker dies BEFORE the
+    # sentinel wrapper runs — the raw traceback form naming a probed
+    # module must still rebrand
+    bootstrap = RuntimeError(
+        "PythonException: Traceback (most recent call last):\n"
+        "  File pyspark/sql/pandas/serializers.py ...\n"
+        "ModuleNotFoundError: No module named 'pyarrow'"
+    )
+    with pytest.raises(ImportError) as bi:
+        _probe_executor_python_env(_FakeSpark(bootstrap))
+    assert "No module named 'pyarrow" in str(bi.value)
 
     # echoes the keyword but is NOT a probe-module import failure:
     # propagates unchanged (transient executor loss whose log mentions

@@ -106,6 +106,83 @@ def _chunked_probe_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> 
     return out
 
 
+def _store_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The historical corpus reduced ONCE to its banded, hot-bucket-
+    capped signature rows, materialized for reuse across every
+    micro-batch's probe join (r11 review: the first version re-exploded
+    and re-capped the store per foreachBatch call). CAVEAT (single-node
+    bench optimization, not a resilience feature): localCheckpoint
+    stores blocks non-reliably on executors — on executor loss the
+    truncated lineage can't recompute and the job fails — and it pins
+    the pre-AQE plan; a fault-tolerant cluster deployment would swap in
+    a persisted BANDED signature TABLE (the production form anyway, see
+    the module docstring)."""
+    from ..operators.dedup import _capped_bands
+    from ..operators.registry import load
+    from ..operators.text import simhash_sig
+
+    d = load(spark, sf_dir, "documents")
+    return _capped_bands(
+        simhash_sig(d.filter(_store_pred(F.col("source"))), spark)
+    ).localCheckpoint(eager=True)
+
+
+def _run_probe_phase(
+    spark: SparkSession,
+    store_bands: DataFrame,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """One bounded foreachBatch replay pass over whatever chunk files
+    currently sit in ``watch_dir``. With ``checkpoint_dir`` given,
+    source offsets resume across calls — the stop/restart
+    fault-tolerance contract tests/test_streaming_recovery.py pins for
+    this operator (a restart must not re-probe consumed chunks, and
+    the at-least-once replay of an uncommitted batch is absorbed by
+    the DISTINCT in :func:`_final_pairs`)."""
+    from ..operators.dedup import _banded_hamming_pairs
+    from ..operators.text import simhash_sig
+
+    raw = (
+        spark.readStream.schema(_PROBE_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_sig = simhash_sig(batch_df, spark)
+        pairs = _banded_hamming_pairs(probe=batch_sig, sig_bands=store_bands)
+        pairs.write.mode("append").parquet(out_dir)
+
+    writer = raw.writeStream.foreachBatch(_probe_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _final_pairs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Global re-sort + limit over the accumulated per-batch top-50s.
+    Explicit schema: robust even if every micro-batch produced zero
+    pairs (no part files to infer from). DISTINCT first: pair values
+    are already unique in an uninterrupted run (each probe doc lives in
+    exactly one micro-batch), but foreachBatch delivers AT-LEAST-ONCE
+    across a crash/restart — a batch whose parquet append landed but
+    whose offset commit didn't gets replayed — and pair identity makes
+    the append sink idempotent under exactly that replay."""
+    return (
+        spark.read.schema(_PAIRS_SCHEMA)
+        .parquet(out_dir)
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
 def stream_neardup_probe(
     spark: SparkSession, sf_dir: str, n_chunks: int = 3
 ) -> DataFrame:
@@ -113,49 +190,8 @@ def stream_neardup_probe(
     banded-store-probe pipeline to completion and return the FINAL
     top-50 (probe doc, store doc, hamming) pairs — same columns, same
     values as the batch/DuckDB oracle on streaming_neardup_probe."""
-    from ..operators.dedup import _banded_hamming_pairs, _capped_bands
-    from ..operators.registry import load
-    from ..operators.text import simhash_sig
-
-    d = load(spark, sf_dir, "documents")
-    # band + hot-bucket-cap the store ONCE and reuse the materialized
-    # rows across every micro-batch's probe join (r11 review: the first
-    # version re-exploded and re-capped the store per foreachBatch
-    # call) — cut the lineage eagerly (the r5b fan-out lesson). CAVEAT
-    # (single-node bench optimization, not a resilience feature):
-    # localCheckpoint stores blocks non-reliably on executors — on
-    # executor loss the truncated lineage can't recompute and the job
-    # fails — and it pins the pre-AQE plan; a fault-tolerant cluster
-    # deployment would swap in a persisted BANDED signature TABLE (the
-    # production form anyway, see the module docstring).
-    store_bands = _capped_bands(
-        simhash_sig(d.filter(_store_pred(F.col("source"))), spark)
-    ).localCheckpoint(eager=True)
-
+    store_bands = _store_bands(spark, sf_dir)
     watch_dir = _chunked_probe_docs_dir(spark, sf_dir, n_chunks)
-    raw = (
-        spark.readStream.schema(_PROBE_DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(watch_dir)
-    )
     out_dir = tempfile.mkdtemp(prefix="neardup_probe_pairs_")
-
-    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_sig = simhash_sig(batch_df, spark)
-        pairs = _banded_hamming_pairs(probe=batch_sig, sig_bands=store_bands)
-        pairs.write.mode("append").parquet(out_dir)
-
-    q = raw.writeStream.foreachBatch(_probe_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    # explicit schema: robust even if every micro-batch produced zero
-    # pairs (no part files to infer from)
-    return (
-        spark.read.schema(_PAIRS_SCHEMA)
-        .parquet(out_dir)
-        .orderBy("hamming", "doc_a", "doc_b")
-        .limit(50)
-    )
+    _run_probe_phase(spark, store_bands, watch_dir, out_dir)
+    return _final_pairs(spark, out_dir)

@@ -1003,3 +1003,84 @@ def test_y4m_frame_sample_matches_closed_form():
         assert got == (w, h, nf, hdr + nf * (6 + fb), sums, motion)
 
     check()
+
+
+def test_banded_probe_tail_dialects_agree_on_boundaries(spark):
+    """Handcrafted-edge DIALECT lockstep for the probe tail (r11, the
+    EDGE-AUDIT lesson: op oracles can't see bugs both engines share,
+    and the corpus may never sit ON a boundary): plant signatures at
+    the exact Hamming radius (12 in, 13 out), the exact hot-bucket cap
+    (64 in, 65 out), and the band_key extremes (all-zeros /
+    all-ones 60-bit), then run dedup._banded_hamming_pairs probe mode
+    AND the _BANDED_PROBE_SQL_TAIL oracle twin over the SAME rows and
+    compare row-for-row."""
+    import duckdb
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _BANDED_PROBE_SQL_TAIL,
+        _SIMHASH_MAX_BUCKET,
+        _banded_hamming_pairs,
+    )
+
+    full60 = (1 << 60) - 1
+    base = 0b101101110010101011001010101101010101100110101010101010110101
+    ham12 = base
+    # 12 flips CONFINED to bands 0-3 (bits 0-47), leaving band 4 intact
+    # so the pair IS a candidate (pigeonhole only guarantees recall to
+    # hamming 4; at the radius the test must plant the intact band)
+    for k in (0, 5, 9, 13, 17, 22, 24, 31, 35, 38, 42, 47):
+        ham12 ^= 1 << k
+    ham13 = ham12 ^ (1 << 3)  # 13 bits from base, band 4 still intact:
+    # candidate generated, then killed by the radius verify — the
+    # sharpest boundary (join passes, WHERE excludes)
+    store = [(1, base), (2, 0), (3, full60)]
+    # an exactly-at-cap (bk=0, key=K) bucket: 64 DISTINCT store sigs
+    # sharing only band 0 — doc 10 identical to the probe (hamming 0),
+    # the other 63 carry a 13-bit run + unique id in the high bits, so
+    # they are candidates but fail the radius (the limit-50 lesson: an
+    # at-cap bucket of CLONES floods the top-50 with hamming-0 pairs
+    # and crowds the radius-boundary pair out of the presentation)
+    K = 0xABC
+    store += [(10, K)]
+    store += [
+        (10 + i, K | (0x1FFF << 12) | (i << 25)) for i in range(1, _SIMHASH_MAX_BUCKET)
+    ]
+    # an over-cap bucket: cap+1 clones — every band bucket oversized,
+    # so the whole family vanishes from candidate generation
+    store += [(200 + i, 0x123456789ABCD) for i in range(_SIMHASH_MAX_BUCKET + 1)]
+    probe = [
+        (1000, ham12),  # exactly at the radius vs base → IN
+        (1001, ham13),  # candidate via intact band 4, killed by radius
+        (1002, 0),  # zero signature matches store doc 2 at hamming 0
+        (1003, full60),  # all-ones matches store doc 3
+        (1004, K),  # hits the exactly-at-cap bucket → (1004, 10) at hamming 0
+        (1005, 0x123456789ABCD),  # hits the over-cap bucket → candidates dropped
+    ]
+    schema = "doc_id long, simhash long"
+    got = [
+        tuple(r)
+        for r in _banded_hamming_pairs(
+            spark.createDataFrame(store, schema),
+            probe=spark.createDataFrame(probe, schema),
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE store_t (doc_id BIGINT, simhash BIGINT)")
+    con.executemany("INSERT INTO store_t VALUES (?, ?)", store)
+    con.execute("CREATE TABLE probe_t (doc_id BIGINT, simhash BIGINT)")
+    con.executemany("INSERT INTO probe_t VALUES (?, ?)", probe)
+    want = con.execute(
+        f"""WITH sig AS (SELECT doc_id, simhash FROM store_t),
+        probe AS (SELECT doc_id, simhash FROM probe_t){_BANDED_PROBE_SQL_TAIL}"""
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want], (got, want)
+
+    got_pairs = {(a, b) for a, b, _ in got}
+    assert (1000, 1) in got_pairs  # hamming exactly 12 survives
+    assert (1001, 1) not in got_pairs  # hamming 13 is out vs base
+    assert (1002, 2) in got_pairs and (1003, 3) in got_pairs
+    assert (1004, 10) in got_pairs  # at-cap bucket kept
+    assert not any(b > 10 for _, b in got_pairs)  # >12-ham cousins filtered
+    assert not any(a == 1005 for a, _, _ in got)  # over-cap bucket dropped

@@ -93,3 +93,61 @@ def test_sessionizer_recovers_state_from_checkpoint(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_neardup_probe_recovers_offsets_from_checkpoint(spark, tmp_path):
+    """Checkpoint fault-tolerance of the incremental near-dup probe
+    (r11): the replay is stopped after the first ingest chunks, a new
+    chunk arrives during the outage, and a restart from the SAME
+    checkpoint must (a) resume source offsets — NOT re-probe consumed
+    chunks — and (b) end with the final pair set equal to an
+    uninterrupted replay of the whole ingest. The at-least-once corner
+    (a batch whose parquet append landed but whose offset commit did
+    not) is absorbed by pair-identity DISTINCT in the final read —
+    exercised here by force-duplicating one batch's output."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _chunked_probe_docs_dir,
+        _final_pairs,
+        _run_probe_phase,
+        _store_bands,
+        stream_neardup_probe,
+    )
+
+    src = _chunked_probe_docs_dir(spark, SF_SMOKE, 3)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    chunks = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(chunks) == 3
+    for f in chunks[:2]:  # phase 1 sees only the first two ingest batches
+        shutil.copy2(os.path.join(src, f), os.path.join(watch, f))
+
+    store = _store_bands(spark, SF_SMOKE)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "pairs")
+    _run_probe_phase(spark, store, watch, out, checkpoint_dir=ckpt)
+    n_after_phase1 = len(
+        [f for f in os.listdir(out) if f.endswith(".parquet")]
+    )
+    # outage window: a new ingest batch lands while the query is down
+    shutil.copy2(os.path.join(src, chunks[2]), os.path.join(watch, chunks[2]))
+    _run_probe_phase(spark, store, watch, out, checkpoint_dir=ckpt)
+
+    got = [tuple(r) for r in _final_pairs(spark, out).collect()]
+    want = [tuple(r) for r in stream_neardup_probe(spark, SF_SMOKE).collect()]
+    assert got == want and len(got) > 0
+
+    # offsets resumed: phase 2 processed ONLY the new chunk (one more
+    # micro-batch of appended files, not a re-probe of all three)
+    n_after_phase2 = len(
+        [f for f in os.listdir(out) if f.endswith(".parquet")]
+    )
+    assert n_after_phase2 > n_after_phase1  # the new chunk was probed
+    assert n_after_phase2 - n_after_phase1 <= n_after_phase1  # not a full replay
+
+    # at-least-once corner: duplicate one batch's entire output files —
+    # the DISTINCT in the final read must absorb the replayed pairs
+    dup_src = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    for f in dup_src:
+        shutil.copy2(os.path.join(out, f), os.path.join(out, "dup_" + f))
+        break
+    redup = [tuple(r) for r in _final_pairs(spark, out).collect()]
+    assert redup == want

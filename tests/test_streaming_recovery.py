@@ -121,12 +121,20 @@ def test_neardup_probe_recovers_offsets_from_checkpoint(spark, tmp_path):
     for f in chunks[:2]:  # phase 1 sees only the first two ingest batches
         shutil.copy2(os.path.join(src, f), os.path.join(watch, f))
 
+    def _committed_batches(ckpt_dir: str) -> int:
+        # the checkpoint's commits/ log is the direct contract: one
+        # entry per COMMITTED micro-batch (r11 second-review find:
+        # inferring this from output part-file counts depends on how
+        # many files each write happens to emit)
+        commits = os.path.join(ckpt_dir, "commits")
+        return len(
+            [f for f in os.listdir(commits) if not f.startswith(".")]
+        )
+
     store = _store_bands(spark, SF_SMOKE)
     ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "pairs")
     _run_probe_phase(spark, store, watch, out, checkpoint_dir=ckpt)
-    n_after_phase1 = len(
-        [f for f in os.listdir(out) if f.endswith(".parquet")]
-    )
+    assert _committed_batches(ckpt) == 2  # one micro-batch per chunk file
     # outage window: a new ingest batch lands while the query is down
     shutil.copy2(os.path.join(src, chunks[2]), os.path.join(watch, chunks[2]))
     _run_probe_phase(spark, store, watch, out, checkpoint_dir=ckpt)
@@ -135,13 +143,9 @@ def test_neardup_probe_recovers_offsets_from_checkpoint(spark, tmp_path):
     want = [tuple(r) for r in stream_neardup_probe(spark, SF_SMOKE).collect()]
     assert got == want and len(got) > 0
 
-    # offsets resumed: phase 2 processed ONLY the new chunk (one more
-    # micro-batch of appended files, not a re-probe of all three)
-    n_after_phase2 = len(
-        [f for f in os.listdir(out) if f.endswith(".parquet")]
-    )
-    assert n_after_phase2 > n_after_phase1  # the new chunk was probed
-    assert n_after_phase2 - n_after_phase1 <= n_after_phase1  # not a full replay
+    # offsets resumed: phase 2 committed exactly ONE more micro-batch
+    # (the new chunk), not a re-probe of all three
+    assert _committed_batches(ckpt) == 3
 
     # at-least-once corner: duplicate one batch's entire output files —
     # the DISTINCT in the final read must absorb the replayed pairs

@@ -1084,3 +1084,134 @@ def test_banded_probe_tail_dialects_agree_on_boundaries(spark):
     assert (1004, 10) in got_pairs  # at-cap bucket kept
     assert not any(b > 10 for _, b in got_pairs)  # >12-ham cousins filtered
     assert not any(a == 1005 for a, _, _ in got)  # over-cap bucket dropped
+
+
+def test_banded_selfjoin_tail_dialects_agree_on_boundaries(spark):
+    """Self-join twin of the probe-tail boundary lockstep above: the
+    THREE certified modality ops (simhash_near_pairs /
+    image_phash_neardup / audio_fingerprint_neardup) all ride
+    _BANDED_PAIRS_SQL_TAIL, whose corpus-level oracles may never sit ON
+    a boundary — plant the same handcrafted signatures (hamming exactly
+    12 in / 13 candidate-but-filtered, at-cap 64 kept / over-cap 65
+    dropped, band-key extremes) and compare the Spark self-join mode
+    row-for-row against the SQL tail."""
+    import duckdb
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _BANDED_PAIRS_SQL_TAIL,
+        _SIMHASH_MAX_BUCKET,
+        _banded_hamming_pairs,
+    )
+
+    full60 = (1 << 60) - 1
+    base = 0b101101110010101011001010101101010101100110101010101010110101
+    ham12 = base
+    for k in (0, 5, 9, 13, 17, 22, 24, 31, 35, 38, 42, 47):  # band 4 intact
+        ham12 ^= 1 << k
+    ham13 = ham12 ^ (1 << 3)
+
+    def both(rows):
+        got = [
+            tuple(r)
+            for r in _banded_hamming_pairs(
+                spark.createDataFrame(rows, "doc_id long, simhash long")
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE sig_t (doc_id BIGINT, simhash BIGINT)")
+        con.executemany("INSERT INTO sig_t VALUES (?, ?)", rows)
+        want = con.execute(
+            f"WITH sig AS (SELECT doc_id, simhash FROM sig_t){_BANDED_PAIRS_SQL_TAIL}"
+        ).fetchall()
+        con.close()
+        assert got == [tuple(r) for r in want], (rows[:6], got, want)
+        return {(a, b): h for a, b, h in got}
+
+    # scenario A — radius boundary + band-key extremes (kept SMALL: a
+    # self-join at-cap bucket would flood the top-50 with its own
+    # intra-bucket pairs, the clone-flood lesson squared)
+    out = both(
+        [(1, base), (2, ham12), (3, ham13), (4, full60), (5, full60 ^ 1), (6, 0)]
+    )
+    assert out.get((1, 2)) == 12  # hamming exactly 12 survives
+    assert (1, 3) not in out  # hamming 13: candidate via band 4, filtered
+    assert out.get((2, 3)) == 1  # the planted near-twins
+    assert out.get((4, 5)) == 1  # all-ones extreme pairs its neighbor
+    assert not any(6 in p for p in out)  # all-zeros pairs nothing here
+
+    # scenario B — exactly-at-cap bucket is KEPT: 64 clones generate
+    # C(64,2) hamming-0 pairs; the top-50 presentation is entirely
+    # theirs, identically on both engines (the limit is part of the
+    # contract), and the far 1-bit pair is crowded out
+    clones = [(10 + i, 0x5A5A5A5A5A5A5A5) for i in range(_SIMHASH_MAX_BUCKET)]
+    out = both(clones + [(500, full60), (501, full60 ^ 1)])
+    assert len(out) == 50 and all(h == 0 for h in out.values())
+    assert all(10 <= a < 500 and 10 <= b < 500 for a, b in out)
+
+    # scenario C — ONE more clone tips every one of its buckets past
+    # the cap: the whole family vanishes and the far pair is all that
+    # remains
+    clones_over = [(10 + i, 0x5A5A5A5A5A5A5A5) for i in range(_SIMHASH_MAX_BUCKET + 1)]
+    out = both(clones_over + [(500, full60), (501, full60 ^ 1)])
+    assert out == {(500, 501): 1}
+
+
+def test_banded_probe_mode_matches_oracle_property(spark):
+    """Hypothesis patrol over the probe tail: for ARBITRARY small
+    store/probe signature sets, the Spark probe mode and the
+    _BANDED_PROBE_SQL_TAIL oracle must agree row-for-row — the
+    randomized complement of the handcrafted boundary corpus."""
+    import duckdb
+
+    from hypothesis import given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _BANDED_PROBE_SQL_TAIL,
+        _banded_hamming_pairs,
+    )
+
+    sig = st.integers(min_value=0, max_value=(1 << 60) - 1)
+    # near-collision-rich universe: signatures drawn from a small pool
+    # of anchors XOR a few flipped bits, so bands collide often
+    anchors = st.sampled_from(
+        [0, (1 << 60) - 1, 0x5A5A5A5A5A5A5A5, 0xABC, 0x123456789ABCD]
+    )
+    near = st.builds(
+        lambda a, flips: a ^ sum(1 << k for k in flips),
+        anchors,
+        st.lists(st.integers(min_value=0, max_value=59), max_size=14, unique=True),
+    )
+    sigs = st.lists(st.one_of(near, sig), min_size=0, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(store=sigs, probe=sigs)
+    def _prop(store, probe):
+        store_rows = [(i, s) for i, s in enumerate(store)]
+        probe_rows = [(1000 + i, s) for i, s in enumerate(probe)]
+        schema = "doc_id long, simhash long"
+        got = [
+            tuple(r)
+            for r in _banded_hamming_pairs(
+                spark.createDataFrame(store_rows, schema)
+                if store_rows
+                else spark.createDataFrame([], schema),
+                probe=spark.createDataFrame(probe_rows, schema)
+                if probe_rows
+                else spark.createDataFrame([], schema),
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE store_t (doc_id BIGINT, simhash BIGINT)")
+        if store_rows:
+            con.executemany("INSERT INTO store_t VALUES (?, ?)", store_rows)
+        con.execute("CREATE TABLE probe_t (doc_id BIGINT, simhash BIGINT)")
+        if probe_rows:
+            con.executemany("INSERT INTO probe_t VALUES (?, ?)", probe_rows)
+        want = con.execute(
+            f"""WITH sig AS (SELECT doc_id, simhash FROM store_t),
+            probe AS (SELECT doc_id, simhash FROM probe_t){_BANDED_PROBE_SQL_TAIL}"""
+        ).fetchall()
+        con.close()
+        assert got == [tuple(r) for r in want], (store, probe, got, want)
+
+    _prop()

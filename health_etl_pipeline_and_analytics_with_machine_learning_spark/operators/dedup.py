@@ -555,7 +555,7 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
-def _capped_bands(sig: DataFrame) -> DataFrame:
+def _capped_bands(sig: DataFrame, checkpoint: bool = True) -> DataFrame:
     """(doc_id, simhash) → hot-bucket-capped band rows (doc_id, simhash,
     bk, band_key): the store-side half of the banded tail, extracted
     (r11 review) so the streaming probe can band + cap its signature
@@ -563,8 +563,16 @@ def _capped_bands(sig: DataFrame) -> DataFrame:
     it per foreachBatch call. Lazy-checkpointed band explode (bands
     feed the bucket-size pass and the join side; a fresh call gets a
     fresh RDD so repeated bench runs stay honest — executor-loss/
-    pre-AQE caveat as elsewhere), broadcast hot-bucket cap."""
-    bands = _simhash_bands(sig).localCheckpoint(eager=False)
+    pre-AQE caveat as elsewhere), broadcast hot-bucket cap.
+
+    ``checkpoint=False`` (ADVICE r11) skips the inner band-explode cut
+    for callers that immediately materialize the capped RESULT
+    themselves (streaming/neardup._store_bands eagerly checkpoints it)
+    — with both cuts live, the block store would hold the uncapped
+    band rows a second time for no later reader."""
+    bands = _simhash_bands(sig)
+    if checkpoint:
+        bands = bands.localCheckpoint(eager=False)
     sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
     return bands.join(
         F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),

@@ -523,7 +523,12 @@ def _probe_executor_python_env(spark: SparkSession) -> None:
         probe_module_missing = re.search(
             r"executor-env-probe: import (?:numpy|pandas|pyarrow) failed:[^\n]*"
             r"|(?:ImportError|ModuleNotFoundError): No module named "
-            r"'?(?:numpy|pandas|pyarrow)[\w.]*'?",
+            # dotted SUBMODULES of the three only, with a trailing
+            # word-boundary guard — [\w.]* would also swallow
+            # '_'-suffixed sibling packages (pyarrow_hotfix,
+            # pandas_flavor) and rebrand an unrelated missing module
+            # (ADVICE r11)
+            r"'?(?:numpy|pandas|pyarrow)(?:\.\w+)*'?(?!\w)",
             msg,
         )
         if not probe_module_missing:

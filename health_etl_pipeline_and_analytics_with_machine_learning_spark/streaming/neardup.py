@@ -33,17 +33,48 @@ the DuckDB oracle certifies.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: one parquet file per micro-batch, keyed like sessionize._CHUNK_CACHE
-_PROBE_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+#: plus the documents file's (mtime_ns, size) fingerprint (ADVICE r11:
+#: a regenerated corpus at the same path must not serve stale chunks)
+_PROBE_CHUNK_CACHE: dict[tuple, str] = {}
+
+#: every mkdtemp this module creates, reaped at interpreter exit
+#: (ADVICE r11: bench loops and the chunk-invariance tests used to
+#: accumulate pair/chunk directories for the process lifetime)
+_TMP_DIRS: list[str] = []
+
+
+def _mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _reap_tmp_dirs() -> None:
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TMP_DIRS.clear()
+
 
 _PAIRS_SCHEMA = "doc_a long, doc_b long, hamming long"
 _PROBE_DOC_SCHEMA = "doc_id long, text string"
+
+
+def _src_num(col):
+    """The numeric tail of a source id ('src15' → 15) — substr from
+    position 4 with NO length cap, textually lockstep with the SQL
+    twins' unbounded substr(source, 4) (ADVICE r11: the old 8-char cap
+    was a latent divergence for srcN with N >= 10^8)."""
+    return F.substring(col, 4, 2147483647).cast("int")
 
 
 def _store_pred(col):
@@ -52,7 +83,19 @@ def _store_pred(col):
     ('src15' → 15); both engines parse it the same way."""
     from ..operators.dedup import _NEARDUP_STORE_SOURCES
 
-    return F.substring(col, 4, 8).cast("int") < F.lit(_NEARDUP_STORE_SOURCES)
+    return _src_num(col) < F.lit(_NEARDUP_STORE_SOURCES)
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the documents parquet — cheap change signal
+    for the chunk cache (ADVICE r11: a corpus regenerated in place at
+    the same sf_dir must invalidate cached chunk layouts)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+    except OSError:
+        return (None, None)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def _chunked_probe_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
@@ -67,7 +110,7 @@ def _chunked_probe_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> 
     from ..operators.dedup import _NEARDUP_STORE_SOURCES
     from ..operators.registry import load
 
-    key = (sf_dir, n_chunks)
+    key = (sf_dir, n_chunks, _documents_fingerprint(sf_dir))
     cached = _PROBE_CHUNK_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
@@ -75,18 +118,15 @@ def _chunked_probe_docs_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> 
     probe_docs = d.filter(~_store_pred(F.col("source"))).select(
         "doc_id",
         "text",
-        (
-            (F.substring("source", 4, 8).cast("int") - _NEARDUP_STORE_SOURCES)
-            % n_chunks
-        ).alias("__chunk"),
+        ((_src_num(F.col("source")) - _NEARDUP_STORE_SOURCES) % n_chunks).alias(
+            "__chunk"
+        ),
     )
-    out = tempfile.mkdtemp(prefix="neardup_probe_chunks_")
+    out = _mkdtemp("neardup_probe_chunks_")
     staging = tempfile.mkdtemp(prefix="neardup_probe_staging_")
     probe_docs.repartition(n_chunks, "__chunk").write.mode("overwrite").partitionBy(
         "__chunk"
     ).parquet(staging)
-    import shutil
-
     for sub in os.listdir(staging):
         if not sub.startswith("__chunk="):
             continue
@@ -123,7 +163,11 @@ def _store_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return _capped_bands(
-        simhash_sig(d.filter(_store_pred(F.col("source"))), spark)
+        # checkpoint=False (ADVICE r11): the eager cut below is the one
+        # copy every micro-batch reuses — the inner band-explode cut
+        # would pin the UNCAPPED rows in the block store a second time
+        simhash_sig(d.filter(_store_pred(F.col("source"))), spark),
+        checkpoint=False,
     ).localCheckpoint(eager=True)
 
 
@@ -192,6 +236,6 @@ def stream_neardup_probe(
     values as the batch/DuckDB oracle on streaming_neardup_probe."""
     store_bands = _store_bands(spark, sf_dir)
     watch_dir = _chunked_probe_docs_dir(spark, sf_dir, n_chunks)
-    out_dir = tempfile.mkdtemp(prefix="neardup_probe_pairs_")
+    out_dir = _mkdtemp("neardup_probe_pairs_")
     _run_probe_phase(spark, store_bands, watch_dir, out_dir)
     return _final_pairs(spark, out_dir)

@@ -171,12 +171,26 @@ def test_env_probe_rebrands_only_anchored_missing_module_failures():
         _probe_executor_python_env(_FakeSpark(bootstrap))
     assert "No module named 'pyarrow" in str(bi.value)
 
+    # dotted SUBMODULE of a probed package (a broken install whose
+    # binary submodule is missing) still rebrands
+    submodule = RuntimeError(
+        "PythonException: ModuleNotFoundError: No module named "
+        "'numpy.core._multiarray_umath'"
+    )
+    with pytest.raises(ImportError) as si:
+        _probe_executor_python_env(_FakeSpark(submodule))
+    assert "_multiarray_umath" in str(si.value)
+
     # echoes the keyword but is NOT a probe-module import failure:
     # propagates unchanged (transient executor loss whose log mentions
-    # ImportError, and a missing module that is not ours)
+    # ImportError, a missing module that is not ours, and — ADVICE
+    # r11 — a '_'-suffixed SIBLING package of a probed one, which the
+    # old [\w.]* suffix wrongly swallowed)
     for other in (
         RuntimeError("executor lost; stderr said: ImportError was retried"),
         RuntimeError("ModuleNotFoundError: No module named 'user_udf_helper'"),
+        RuntimeError("ModuleNotFoundError: No module named 'pyarrow_hotfix'"),
+        RuntimeError("ModuleNotFoundError: No module named 'pandas_flavor'"),
     ):
         with pytest.raises(RuntimeError) as ri:
             _probe_executor_python_env(_FakeSpark(other))

@@ -28,100 +28,110 @@ from .registry import REGISTRY as _R
 #: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
 #: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
 #: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r10 window recap: 6 r5-stale head + 8 changed-text (four new ops,
-#: the rank_spec and banded-tail helper recerts, three quantile
-#: consumers) + 36 of the 45-op r6 cohort; the alphabetically-last 9
-#: r6 ops (all TPC-H) slipped to r11 and lead below.
+#: r11 window recap: 9 r6-stale TPC-H head + 9 changed-text (the new
+#: streaming probe, the simhash_sig/_SIMHASH_SIG_SQL_CTES extraction
+#: recerts, the _hashed_src/_wav_encode/_y4m_header container recerts,
+#: one docstring-only) + 32 of the 39-op r7 cohort; the
+#: alphabetically-last 7 r7 ops slipped to r12 and lead below.
 _RECHECK_FIRST = [
-    # r11 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r10 rotation comment and VERDICT r10 item 1:
-    # — staleness tier FIRST (policy b): the nine r6-cohort TPC-H ops
-    #   that slipped the r10 window — the oldest driver rows anywhere
-    #   (staleness 5) —
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
+    # r12 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r11 rotation comment and VERDICT r11 item 1:
+    # — staleness tier FIRST (policy b): the seven r7-cohort ops that
+    #   slipped the r11 window — the oldest driver rows anywhere
+    #   (staleness 5) — streaming_hour_rollup ALSO changed text this
+    #   round (approx-distinct users column, VERDICT r11 item 4), so
+    #   its slot satisfies both tiers at once —
+    "streaming_countmin_replay",
+    "streaming_dedup_replay",
+    "streaming_hour_rollup",
+    "streaming_sessionization",
+    "streaming_view_purchase_join",
+    "text_lang_id",
+    "window_moving_avg",
     # — changed-text tier (policy a: changed impl/oracle text ⇒ slot,
     #   no exceptions):
-    #   streaming_neardup_probe is NEW (VERDICT r10 item 4 — the
-    #   incremental/streaming near-dup: ingest sources replayed as
-    #   micro-batches, each probed against the historical banded
-    #   signature store via _banded_hamming_pairs probe mode) —
+    #   streaming_neardup_store_maintenance is NEW (VERDICT r11 item
+    #   2: the maintained-store/self-deduplicating-ingest form of the
+    #   probe); streaming_neardup_probe recertifies for the four
+    #   ADVICE r11 closures (substr lockstep, temp hygiene, cache
+    #   fingerprint, single-checkpoint store) and the tokenizer
+    #   migration below —
+    "streaming_neardup_store_maintenance",
     "streaming_neardup_probe",
-    #   text_simhash re-certifies because its pipeline was extracted to
-    #   text.simhash_sig (shared with the streaming probe) and its
-    #   oracle now interpolates the shared _SIMHASH_SIG_SQL_CTES;
-    #   simhash_near_pairs because _banded_hamming_pairs grew the probe
-    #   parameter (self-join path plan-identical, pinned) and its
-    #   oracle rides the same shared CTE block —
+    #   the \x0B dialect-class burn-down, tranche 1 of 2 (VERDICT r11
+    #   item 3): these six move off the divergent _norm/_NORM_SQL +
+    #   ws_token_count/WS_TOKEN_COUNT_SQL pairs onto the explicit
+    #   ASCII-whitespace-class pair (operators/text.py), whose two
+    #   regex dialects agree on EVERY input, vertical tab included.
+    #   text_simhash + simhash_near_pairs ride the migrated
+    #   _SIMHASH_SIG_SQL_CTES (as do the two streaming ops above);
+    #   doc_fingerprint / text_token_count / text_quality_score /
+    #   vocab_oov_rate migrate directly. Tranche 2 (the remaining 16
+    #   consumers: bpe_pair_counts, c4_heuristic_filter,
+    #   contamination_ngram_check, corpus_curation, dedup_common_spans,
+    #   dedup_connected_components, dedup_exact_text, dedup_incremental,
+    #   dedup_minhash_lsh, dedup_ngram_jaccard, doc_self_repetition,
+    #   sequence_pack_scaled, sequence_pack_stats, source_vocab_overlap,
+    #   split_leakage_ngram, truncation_loss_curve) is PINNED for r13,
+    #   after which the legacy pair is deleted and the divergence pin
+    #   in tests/test_text_helpers.py flips to an agreement pin —
     "text_simhash",
     "simhash_near_pairs",
-    #   the three container near-dup/sample ops re-certify because
-    #   _hashed_src gained the Spark Connect parallelism guard (ADVICE
-    #   r10) and _wav_encode's PCM body moved to the C-speed slice
-    #   idiom (VERDICT r10 item 2, audio + wav consumers), and the Y4M
-    #   header walk was hoisted into the shared _y4m_header —
+    "doc_fingerprint",
+    "text_token_count",
+    "text_quality_score",
+    "vocab_oov_rate",
+    #   _capped_bands grew the checkpoint= parameter (ADVICE r11 item
+    #   4) — helper-signature growth recertifies consumers, the
+    #   _banded_hamming_pairs precedent from r10/r11 —
     "image_phash_neardup",
     "audio_fingerprint_neardup",
-    "video_frame_sample",
-    #   split_leakage_ngram re-certifies for a docstring correction
-    #   (ADVICE r10: leaked_share DOES carry the accepted ROUND
-    #   exposure) — no code change, but changed text is changed text —
-    "split_leakage_ngram",
-    #   multimodal_decode_dispatch + multimodal_wav_decode are r7
-    #   cohort members whose text ALSO changed (Y4M magic + stratum;
-    #   C-speed encoder) — listed in this tier per policy a —
-    "multimodal_decode_dispatch",
-    "multimodal_wav_decode",
-    # — r7-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 32 of the remaining 39 fit after the
-    #   changed tier took nine slots) —
-    "anti_join_inactive_customers",
-    "approx_distinct_bound",
-    "approx_quantile_bound",
-    "basket_concentration_hhi",
-    "brand_revenue_share",
-    "contamination_ngram_check",
-    "cube_status_priority",
-    "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_incremental",
-    "doc_chunk_explode",
-    "doc_fingerprint",
-    "embedding_int8_quantize",
-    "embedding_neardup_topk",
-    "filter_group_avg_topk",
-    "group_sum2_unpivot",
-    "hash_train_test_split",
-    "mixture_resample",
-    "multimodal_bmp_decode",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_ppm_decode",
-    "percent_rank_band",
-    "pii_scrub_digits",
-    "range_band_join",
-    "regr_linear_fit",
-    "rfm_segments",
-    "rollup_status_priority",
-    "shard_assignment_balance",
-    "similarity_bruteforce_topk",
-    "source_mixture_weights",
-    "streaming_cdc_compaction",
-    # — r12 window core (planned now so rotation stays mechanical):
-    #   FIRST the r7-cohort remainder that did not fit
-    #   (streaming_countmin_replay, streaming_dedup_replay,
-    #   streaming_hour_rollup, streaming_sessionization,
-    #   streaming_view_purchase_join, text_lang_id, window_moving_avg
-    #   — seven ops), then r12 changed-text ops, then the 36-op r8
-    #   cohort (7 + 36 = 43: r12 has 7 slots of slack before an r8
-    #   resident is evicted to r13).
+    # — r8-cohort tier (policy b: oldest-first, alphabetical within
+    #   the equal-staleness tie; vocab_oov_rate counts in the changed
+    #   tier above, and the two alphabetically-last residents
+    #   (window_lag_value_delta, zscore_normalize) are evicted to r13
+    #   to fund the image/audio recert slots — they lead the r13
+    #   window together with the 16-op tranche-2 migration) —
+    "asof_join_attribution",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_exact",
+    "eq_filter_group_agg",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "filter_group2_avg2_count_sort",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "global_sort_rowid",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "group_avg_sum2_topk",
+    "group_quantiles",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "overview_scalars",
+    "pivot_event_counts",
+    "project_dropna",
+    "range_filter_agg",
+    "running_distinct_users",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "stratified_hash_sample",
+    "trend_group_avg_sort",
+    "two_level_agg",
+    "user_event_paths",
+    "value_counts_topk",
+    "window_group_median_fill",
+    # — r13 window core (planned now so rotation stays mechanical):
+    #   FIRST the two evicted r8 residents (window_lag_value_delta,
+    #   zscore_normalize), then the 16-op tokenizer tranche 2 named
+    #   above (every one is changed-text in r13 by construction), then
+    #   r13 changed-text, then the r9 cohort alphabetical with
+    #   whatever slots remain (the 46-op r9 cohort will itself need
+    #   two rounds — oldest-first keeps the ~3-round invariant).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

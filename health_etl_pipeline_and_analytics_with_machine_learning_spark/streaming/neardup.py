@@ -26,9 +26,12 @@ append each batch's accepted signatures back to it (the compaction
 loop CDC does for row state) and persist its BANDED form so per-batch
 probes skip the re-explode; the hot-bucket cap already lives on the
 store side, so candidate volume stays linear in each batch regardless
-of probe-side skew. The bounded replay here keeps the store immutable
-so the answer is a pure function of the input corpus — the property
-the DuckDB oracle certifies.
+of probe-side skew. The probe op keeps the store immutable so the
+answer is a pure function of the input corpus; the maintained form IS
+implemented too (r12, ``stream_neardup_store_maintenance`` below):
+each source's band rows append back to a persisted banded store, the
+cap is re-evaluated per batch over the grown store, and the oracle
+certifies the whole loop with a per-probe-state prefix-source replay.
 """
 
 from __future__ import annotations
@@ -238,4 +241,210 @@ def stream_neardup_probe(
     watch_dir = _chunked_probe_docs_dir(spark, sf_dir, n_chunks)
     out_dir = _mkdtemp("neardup_probe_pairs_")
     _run_probe_phase(spark, store_bands, watch_dir, out_dir)
+    return _final_pairs(spark, out_dir)
+
+
+# --------------------------------------------------------------------------
+# Maintained-store form (r12, VERDICT r11 item 2): the probe op keeps
+# the store immutable; here each ingest batch's signatures are appended
+# BACK to a persisted BANDED store after probing it, so later batches
+# dedup against earlier ingest too — self-deduplicating ingest, the
+# production shape the module docstring names.
+# --------------------------------------------------------------------------
+
+#: the persisted banded store's schema: band rows (not raw signatures)
+#: so per-batch probes skip the re-explode, plus the source number the
+#: row arrived with — the store-state filter (src < current batch's
+#: source) is what makes the whole loop replay-idempotent.
+_STORE_BANDS_SCHEMA = "doc_id long, simhash long, bk int, band_key long, src int"
+
+_MAINT_DOC_SCHEMA = "doc_id long, text string, src int"
+
+
+def _chunked_ingest_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Maintenance-flavored chunker: ingest docs (source >= src10) split
+    into ``n_chunks`` single-file micro-batches like
+    :func:`_chunked_probe_docs_dir`, but with CONTIGUOUS source ranges
+    per chunk (chunk = rank * n_chunks // n_ingest) instead of the
+    probe's % grouping, and the source number carried as a column. The
+    maintained store makes batch ORDER semantic — source s must probe a
+    store that already holds every source < s — and contiguous ranges
+    replayed in mtime order keep the global source order identical for
+    ANY chunk count (the invariance tests/test_streaming_recovery.py
+    pins); % grouping would put source 13 in an earlier micro-batch
+    than 11."""
+    from ..operators.dedup import _NEARDUP_STORE_SOURCES
+    from ..operators.registry import load
+
+    key = ("maint", sf_dir, n_chunks, _documents_fingerprint(sf_dir))
+    cached = _PROBE_CHUNK_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    d = load(spark, sf_dir, "documents")
+    src = _src_num(F.col("source"))
+    n_ingest = (
+        d.agg(F.max(src).alias("m")).collect()[0]["m"] - _NEARDUP_STORE_SOURCES + 1
+    )
+    probe_docs = d.filter(~_store_pred(F.col("source"))).select(
+        "doc_id",
+        "text",
+        src.cast("int").alias("src"),
+        (
+            ((src - _NEARDUP_STORE_SOURCES) * n_chunks / F.lit(n_ingest)).cast("int")
+        ).alias("__chunk"),
+    )
+    out = _mkdtemp("neardup_maint_chunks_")
+    staging = tempfile.mkdtemp(prefix="neardup_maint_staging_")
+    probe_docs.repartition(n_chunks, "__chunk").write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(staging)
+    for sub in os.listdir(staging):
+        if not sub.startswith("__chunk="):
+            continue
+        i = int(sub.split("=", 1)[1])
+        parts = [
+            f
+            for f in os.listdir(os.path.join(staging, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"chunk {i}: expected 1 file, got {parts}"
+        path = os.path.join(out, f"chunk_{i:03d}.parquet")
+        os.rename(os.path.join(staging, sub, parts[0]), path)
+        # FileStreamSource orders by modification time; pin it explicitly
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(staging, ignore_errors=True)
+    _PROBE_CHUNK_CACHE[key] = out
+    return out
+
+
+def _init_store_bands_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the historical corpus (src0..src9) as the persisted
+    banded store the maintenance loop appends to: UNCAPPED band rows —
+    the hot-bucket cap is recomputed per batch because the store (and
+    so each bucket's population) grows as ingest is accepted."""
+    from ..operators.dedup import _simhash_bands
+    from ..operators.registry import load
+    from ..operators.text import simhash_sig
+
+    store_dir = _mkdtemp("neardup_store_bands_")
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(_store_pred(F.col("source")))
+    sig = simhash_sig(hist, spark)
+    src_of = hist.select("doc_id", _src_num(F.col("source")).cast("int").alias("src"))
+    _simhash_bands(sig).join(src_of, "doc_id").write.mode("overwrite").parquet(
+        store_dir
+    )
+    return store_dir
+
+
+def _current_store_bands(
+    spark: SparkSession, store_dir: str, before_src: int
+) -> DataFrame:
+    """The store as source ``before_src`` must see it: distinct band
+    rows (a replayed batch's re-append is absorbed here — at-least-once
+    parquet appends land exact duplicate rows) from strictly earlier
+    sources (a replayed batch's OWN rows, already appended by the first
+    attempt, are excluded here — without this filter a crash between
+    the bands append and the offset commit would make the replay probe
+    the batch against itself), hot-bucket-capped at the CURRENT
+    population, the same broadcast shape as dedup._capped_bands."""
+    from ..operators.dedup import _SIMHASH_MAX_BUCKET
+
+    bands = (
+        spark.read.schema(_STORE_BANDS_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("src") < before_src)
+        .distinct()
+    )
+    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
+
+
+def _probe_and_grow(
+    spark: SparkSession,
+    store_dir: str,
+    sig: DataFrame,
+    src: int,
+    out_dir: str,
+) -> None:
+    """One ingest source's maintenance step, the unit the boundary and
+    Hypothesis lockstep tests drive directly: probe ``sig`` (that
+    source's (doc_id, simhash) rows) against the store AS OF strictly
+    earlier sources, append the top-50 pairs, then append the source's
+    own band rows so later sources see it. Probe first, grow second —
+    with the src-filtered store read the order is not load-bearing for
+    replay correctness, but it keeps a half-failed attempt's store
+    smaller."""
+    from ..operators.dedup import _banded_hamming_pairs, _simhash_bands
+
+    store = _current_store_bands(spark, store_dir, src)
+    pairs = _banded_hamming_pairs(probe=sig, sig_bands=store)
+    pairs.write.mode("append").parquet(out_dir)
+    _simhash_bands(sig).withColumn("src", F.lit(src)).write.mode("append").parquet(
+        store_dir
+    )
+
+
+def _run_maintenance_phase(
+    spark: SparkSession,
+    store_dir: str,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """One bounded foreachBatch replay pass over the ingest chunks in
+    ``watch_dir``, probing AND growing the banded store. Each
+    micro-batch is processed per-source in ascending order (a batch may
+    carry several whole ingest sources when n_chunks is small): source
+    s probes the store filtered to src < s, appends its top-50 pairs,
+    then appends its OWN band rows — so the store a later source reads
+    already holds every earlier one, whatever the chunking. The
+    driver-side loop is over the ≤ n_ingest DISTINCT sources in the
+    batch (a bounded scalar collect), not over rows."""
+    from ..operators.text import simhash_sig
+
+    raw = (
+        spark.readStream.schema(_MAINT_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+    def _maint_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        srcs = sorted(
+            r["src"] for r in batch_df.select("src").distinct().collect()
+        )
+        for s in srcs:
+            sub = batch_df.filter(F.col("src") == s)
+            # the signature feeds BOTH the probe join and the band
+            # append — cut once so the Arrow tally runs once per
+            # sub-batch (executor-loss/pre-AQE caveat as elsewhere;
+            # a lost block here re-runs one micro-batch's tally)
+            sig = simhash_sig(sub, spark).localCheckpoint(eager=True)
+            _probe_and_grow(spark, store_dir, sig, s, out_dir)
+
+    writer = raw.writeStream.foreachBatch(_maint_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def stream_neardup_store_maintenance(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Run the bounded ingest stream through the maintained-store loop
+    to completion and return the FINAL top-50 (new doc, earlier doc,
+    hamming) pairs — where "earlier" spans the historical corpus AND
+    every previously ingested source, matching the batch/DuckDB
+    prefix-source oracle on streaming_neardup_store_maintenance."""
+    store_dir = _init_store_bands_dir(spark, sf_dir)
+    watch_dir = _chunked_ingest_dir(spark, sf_dir, n_chunks)
+    out_dir = _mkdtemp("neardup_maint_pairs_")
+    _run_maintenance_phase(spark, store_dir, watch_dir, out_dir)
     return _final_pairs(spark, out_dir)

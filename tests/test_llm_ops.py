@@ -1215,3 +1215,176 @@ def test_banded_probe_mode_matches_oracle_property(spark):
         assert got == [tuple(r) for r in want], (store, probe, got, want)
 
     _prop()
+
+
+def _run_maint_over_sig_rows(spark, rows):
+    """Drive the REAL maintenance building blocks (_probe_and_grow over
+    a parquet band store, ascending per-source) over handcrafted
+    (doc_id, simhash, src) rows — the signature-level twin of
+    stream_neardup_store_maintenance minus simhash_sig and the stream
+    transport, for boundary/property lockstep against
+    _BANDED_MAINT_SQL_TAIL."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _NEARDUP_STORE_SOURCES,
+        _simhash_bands,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _final_pairs,
+        _probe_and_grow,
+    )
+
+    root = _tempfile.mkdtemp(prefix="maint_sig_rows_")
+    try:
+        store_dir, out_dir = f"{root}/store", f"{root}/pairs"
+        schema = "doc_id long, simhash long, src int"
+        sig_df = spark.createDataFrame(rows, schema) if rows else None
+        hist = (
+            sig_df.filter(F.col("src") < _NEARDUP_STORE_SOURCES)
+            if sig_df is not None
+            else spark.createDataFrame([], schema)
+        )
+        _simhash_bands(hist).join(hist.select("doc_id", "src"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        ingest_srcs = sorted(
+            {s for _, _, s in rows if s >= _NEARDUP_STORE_SOURCES}
+        )
+        for s in ingest_srcs:
+            sub = sig_df.filter(F.col("src") == s).select("doc_id", "simhash")
+            _probe_and_grow(spark, store_dir, sub, s, out_dir)
+        return [tuple(r) for r in _final_pairs(spark, out_dir).collect()]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+def _duck_maint_over_sig_rows(rows):
+    import duckdb
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _BANDED_MAINT_SQL_TAIL,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sig_t (doc_id BIGINT, simhash BIGINT, src INT)")
+    if rows:
+        con.executemany("INSERT INTO sig_t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        f"WITH sig AS (SELECT doc_id, simhash, src FROM sig_t)"
+        f"{_BANDED_MAINT_SQL_TAIL}"
+    ).fetchall()
+    con.close()
+    return [tuple(r) for r in want]
+
+
+def test_banded_maint_tail_dialects_agree_on_boundaries(spark):
+    """Handcrafted-edge dialect lockstep for the MAINTAINED-store tail
+    (r12) — the maintenance-specific boundary is the cap as a function
+    of STORE STATE: a bucket can be open for early ingest and capped
+    for later ingest as accepted clones accumulate. Plant a band-0
+    bucket at population 63 (history), let two ingest clones push it
+    through exactly-at-cap (64) to over-cap (65), and assert the THIRD
+    clone loses its band-0-only match while keeping its all-band clone
+    matches; plus the hamming 12-in/13-out radius boundary against
+    history and the same-source exclusion (intra-batch near-dups are a
+    separate dedup stage, not this operator's output)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _SIMHASH_MAX_BUCKET,
+    )
+
+    assert _SIMHASH_MAX_BUCKET == 64  # the populations below bake it in
+
+    base = 0b101101110010101011001010101101010101100110101010101010110101
+    ham12 = base
+    for k in (0, 5, 9, 13, 17, 22, 24, 31, 35, 38, 42, 47):  # band 4 intact
+        ham12 ^= 1 << k
+    ham13 = ham12 ^ (1 << 3)
+
+    K0 = 0xABC  # the state-transition bucket's band-0 key
+    P = K0  # probe-clone signature: band 0 = K0, bands 1-4 all zero
+    # doc 10: shares ONLY band 0 with P — 12 flips, 3 in each of bands
+    # 1-4, so the pair sits exactly AT the radius and its sole candidate
+    # path is the (bk=0, K0) bucket whose population the ingest grows
+    d10 = P
+    for k in (13, 15, 18, 25, 27, 30, 37, 39, 42, 49, 51, 54):
+        d10 ^= 1 << k
+    # 62 junk cousins: band 0 = K0, a 13-bit run (bits 12-24) keeps them
+    # past the radius vs P AND vs d10, unique band-4 ids keep them
+    # distinct — population managers, never matches
+    junk = [(20 + i, K0 | (0x1FFF << 12) | (i << 48)) for i in range(1, 63)]
+
+    Y = 0x0F0F0F0F0F0F0F  # the plain ingest-x-ingest anchor
+
+    rows = (
+        [(1, base, 0), (10, d10, 0)]
+        + [(d, s, 0) for d, s in junk]
+        + [
+            (1000, ham12, 10),  # exactly at radius vs history base → IN
+            (1001, ham13, 10),  # candidate via band 4, killed by radius
+            (1002, Y, 10),  # waits for its src11 twin
+            (1004, P, 10),  # bucket@63 → pairs d10; grows bucket to 64
+            (1100, Y, 11),  # ingest x earlier-ingest at hamming 0
+            (1104, P, 11),  # bucket@64 (AT cap) → still pairs d10; → 65
+            (1204, P, 12),  # bucket@65 → d10 match GONE; clone matches stay
+        ]
+    )
+
+    got = _run_maint_over_sig_rows(spark, rows)
+    want = _duck_maint_over_sig_rows(rows)
+    assert got == want, (got, want)
+
+    pairs = {(a, b): h for a, b, h in got}
+    assert pairs.get((1000, 1)) == 12  # hamming exactly 12 survives
+    assert (1001, 1) not in pairs  # hamming 13: candidate, filtered
+    assert pairs.get((1100, 1002)) == 0  # later source x earlier source
+    assert (1002, 1100) not in pairs  # never emitted in reverse
+    assert (1001, 1000) not in pairs and (1000, 1001) not in pairs  # same src
+    # the state transition: 63 → pairs, 64 (exactly at cap) → pairs,
+    # 65 (over cap) → the band-0-only match vanishes
+    assert pairs.get((1004, 10)) == 12
+    assert pairs.get((1104, 10)) == 12
+    assert (1204, 10) not in pairs
+    # while the all-band clone matches (tiny per-band buckets) survive
+    assert pairs.get((1104, 1004)) == 0
+    assert pairs.get((1204, 1004)) == 0 and pairs.get((1204, 1104)) == 0
+    # junk cousins managed population only
+    assert not any(20 <= b < 90 for _, b in pairs)
+
+
+def test_banded_maint_tail_matches_oracle_property(spark):
+    """Hypothesis patrol over the maintained-store tail: for ARBITRARY
+    small signature sets spread over history + up to two ingest
+    sources, the real _probe_and_grow loop and _BANDED_MAINT_SQL_TAIL
+    must agree row-for-row — the randomized complement of the
+    state-transition boundary corpus."""
+    from hypothesis import given, settings, strategies as st
+
+    anchors = st.sampled_from(
+        [0, (1 << 60) - 1, 0x5A5A5A5A5A5A5A5, 0xABC, 0x0F0F0F0F0F0F0F]
+    )
+    near = st.builds(
+        lambda a, flips: a ^ sum(1 << k for k in flips),
+        anchors,
+        st.lists(st.integers(min_value=0, max_value=59), max_size=14, unique=True),
+    )
+    srcs = st.sampled_from([0, 3, 9, 10, 11])
+    rows = st.lists(
+        st.tuples(near, srcs), min_size=0, max_size=10
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows=rows)
+    def _prop(rows):
+        sig_rows = [(i, s, src) for i, (s, src) in enumerate(rows)]
+        got = _run_maint_over_sig_rows(spark, sig_rows)
+        want = _duck_maint_over_sig_rows(sig_rows)
+        assert got == want, (sig_rows, got, want)
+
+    _prop()

@@ -858,3 +858,40 @@ def test_banded_probe_mode_is_equi_join_with_broadcast_cap(spark):
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "BroadcastHashJoin" in strategies  # the store-side cap
     assert strategies, "probe mode lost its join"
+
+
+def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path):
+    """r12 maintained-store plan pin: each ingest source's probe against
+    the persisted banded store must stay an EQUI join on (bk, band_key)
+    with the per-state hot-bucket cap as a BROADCAST join — the same
+    shape as the immutable-store probe, reading the store from parquet
+    (no re-explode: the scan's schema is the band-row schema, not raw
+    signatures)."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _current_store_bands,
+        _init_store_bands_dir,
+        _store_pred,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    docs = registry.load(spark, SF_SMOKE, "documents")
+    probe = simhash_sig(docs.filter(~_store_pred(F.col("source"))), spark)
+    df = dedup._banded_hamming_pairs(
+        probe=probe, sig_bands=_current_store_bands(spark, store_dir, 10)
+    )
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies  # the per-state cap
+    plan = formatted_plan(df)
+    # the store arrives pre-banded from parquet: the probe side is the
+    # only simhash pipeline in the plan (one tree node — the formatted
+    # detail section repeats the name), and the store scan reads the
+    # band-row columns
+    assert plan.count("MapInPandas (") == 1, plan
+    assert any("band_key" in cols for cols in read_schemas(df)), read_schemas(df)

@@ -3,11 +3,11 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-11
+verification contract, not cosmetics. These tests pin the round-12
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — with the nine staleness-5 r6 TPC-H slips hoisted to the very
-head this round per VERDICT r10 item 1.
+first — with the seven staleness-5 r7 slips hoisted to the very head
+this round per VERDICT r11 item 1.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -27,92 +27,89 @@ WINDOW = 50
 #: (staleness 5 entering r11), and r5→r6 proved the driver environment
 #: catches what local runs don't — so they lead the window, ahead even
 #: of the changed tier.
-ROUND11_STALE_IDS = [
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
+ROUND12_STALE_IDS = [
+    "streaming_countmin_replay",
+    "streaming_dedup_replay",
+    # streaming_hour_rollup also changed text this round (the
+    # approx-distinct users column, VERDICT r11 item 4) — one slot
+    # satisfies both tiers
+    "streaming_hour_rollup",
+    "streaming_sessionization",
+    "streaming_view_purchase_join",
+    "text_lang_id",
+    "window_moving_avg",
 ]
 
 #: changed-text tier — fresh driver rows REQUIRED.
-ROUND11_CHANGED_IDS = [
-    # NEW this round (VERDICT r10 item 4): incremental/streaming
-    # near-dup — ingest sources replayed as micro-batches, each probed
-    # against the historical banded signature store via
-    # _banded_hamming_pairs probe mode + _BANDED_PROBE_SQL_TAIL
+ROUND12_CHANGED_IDS = [
+    # NEW this round (VERDICT r11 item 2): the maintained-store /
+    # self-deduplicating-ingest form of the streaming near-dup —
+    # per-source probe + band append to a persisted banded store,
+    # per-state hot-bucket cap, _BANDED_MAINT_SQL_TAIL oracle
+    "streaming_neardup_store_maintenance",
+    # the four ADVICE r11 closures (substr lockstep, temp hygiene,
+    # chunk-cache fingerprint, single-checkpoint store) + the
+    # tokenizer-pair migration below
     "streaming_neardup_probe",
-    # pipeline extracted to text.simhash_sig (shared with the streaming
-    # probe); oracle now interpolates the shared _SIMHASH_SIG_SQL_CTES
+    # \x0B dialect-class burn-down tranche 1 (VERDICT r11 item 3):
+    # migrated to the explicit ASCII-whitespace-class twin pair —
+    # these two ride the migrated _SIMHASH_SIG_SQL_CTES
     "text_simhash",
-    # _banded_hamming_pairs grew the probe parameter (self-join path
-    # plan-identical); oracle rides the shared sig CTE block
     "simhash_near_pairs",
-    # _hashed_src gained the Spark Connect guard (ADVICE r10); the WAV
-    # PCM body moved to the C-speed slice idiom (VERDICT r10 item 2);
-    # the Y4M header walk was hoisted into the shared _y4m_header
+    # ...and these four migrate their own oracles/impls directly
+    "doc_fingerprint",
+    "text_token_count",
+    "text_quality_score",
+    "vocab_oov_rate",
+    # _capped_bands grew checkpoint= (ADVICE r11 item 4): helper
+    # signature growth recertifies the banded-tail consumers
     "image_phash_neardup",
     "audio_fingerprint_neardup",
-    "video_frame_sample",
-    # docstring correction only (ADVICE r10: leaked_share carries the
-    # accepted ROUND exposure) — policy (a) admits no exceptions
-    "split_leakage_ngram",
-    # r7 cohort members whose text ALSO changed: the Y4M magic +
-    # oracle stratum, and the C-speed _wav_encode
-    "multimodal_decode_dispatch",
-    "multimodal_wav_decode",
 ]
 
-#: oldest-first refresh: the r7 cohort (staleness 4 entering r11 — the
-#: oldest behind the hoisted TPC-H nine). 32 of its remaining 39 fit
-#: after the changed tier took nine slots; the alphabetically-last
-#: seven (streaming_countmin_replay, streaming_dedup_replay,
-#: streaming_hour_rollup, streaming_sessionization,
-#: streaming_view_purchase_join, text_lang_id, window_moving_avg) slip
-#: to r12 and lead its window.
-ROUND11_R7_COHORT_IDS = [
-    "anti_join_inactive_customers",
-    "approx_distinct_bound",
-    "approx_quantile_bound",
-    "basket_concentration_hhi",
-    "brand_revenue_share",
-    "contamination_ngram_check",
-    "cube_status_priority",
-    "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_incremental",
-    "doc_chunk_explode",
-    "doc_fingerprint",
-    "embedding_int8_quantize",
-    "embedding_neardup_topk",
-    "filter_group_avg_topk",
-    "group_sum2_unpivot",
-    "hash_train_test_split",
-    "mixture_resample",
-    "multimodal_bmp_decode",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_ppm_decode",
-    "percent_rank_band",
-    "pii_scrub_digits",
-    "range_band_join",
-    "regr_linear_fit",
-    "rfm_segments",
-    "rollup_status_priority",
-    "shard_assignment_balance",
-    "similarity_bruteforce_topk",
-    "source_mixture_weights",
-    "streaming_cdc_compaction",
+#: oldest-first refresh: the r8 cohort (staleness 4 entering r12).
+#: vocab_oov_rate sits in the changed tier; window_lag_value_delta and
+#: zscore_normalize (alphabetically last) are evicted to lead r13.
+ROUND12_R8_COHORT_IDS = [
+    "asof_join_attribution",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_exact",
+    "eq_filter_group_agg",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "filter_group2_avg2_count_sort",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "global_sort_rowid",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "group_avg_sum2_topk",
+    "group_quantiles",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "overview_scalars",
+    "pivot_event_counts",
+    "project_dropna",
+    "range_filter_agg",
+    "running_distinct_users",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "stratified_hash_sample",
+    "trend_group_avg_sort",
+    "two_level_agg",
+    "user_event_paths",
+    "value_counts_topk",
+    "window_group_median_fill",
 ]
 
 
-def test_r11_window_is_exactly_the_planned_fifty():
+def test_r12_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = ROUND11_STALE_IDS + ROUND11_CHANGED_IDS + ROUND11_R7_COHORT_IDS
+    planned = ROUND12_STALE_IDS + ROUND12_CHANGED_IDS + ROUND12_R8_COHORT_IDS
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
@@ -126,9 +123,9 @@ def test_recheck_list_fits_the_window():
     assert len(ops._RECHECK_FIRST) <= WINDOW
 
 
-def test_no_registry_entry_left_unchecked_after_r11():
-    """Every registry id either has a driver row from r1–r10 or sits in
-    the r11 window — no op can reach the judge without certification."""
+def test_no_registry_entry_left_unchecked_after_r12():
+    """Every registry id either has a driver row from r1–r11 or sits in
+    the r12 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -138,14 +135,14 @@ def test_no_registry_entry_left_unchecked_after_r11():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r11 slot: {never}"
+    assert not never, f"ids with no driver row and no r12 slot: {never}"
 
 
-def test_r11_window_covers_every_pre_r7_certification():
-    """The oldest-first policy invariant: after r11 lands green, no
-    op's latest driver certification is older than round 7 (the seven
-    r7 ops that slipped — the five streaming replays, text_lang_id,
-    window_moving_avg — keep their r7 rows and lead the r12 window)."""
+def test_r12_window_covers_every_pre_r8_certification():
+    """The oldest-first policy invariant: after r12 lands green, no
+    op's latest driver certification is older than round 8 (the two
+    evicted r8 residents — window_lag_value_delta, zscore_normalize —
+    keep their r8 rows and lead the r13 window)."""
     import glob
     import json
     import os
@@ -156,8 +153,8 @@ def test_r11_window_covers_every_pre_r7_certification():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    stale = [n for n in REGISTRY if latest.get(n, 0) <= 6 and n not in prefix]
-    assert not stale, f"pre-r7 certifications left outside the r11 window: {stale}"
+    stale = [n for n in REGISTRY if latest.get(n, 0) <= 7 and n not in prefix]
+    assert not stale, f"pre-r8 certifications left outside the r12 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

@@ -155,3 +155,64 @@ def test_neardup_probe_recovers_offsets_from_checkpoint(spark, tmp_path):
         break
     redup = [tuple(r) for r in _final_pairs(spark, out).collect()]
     assert redup == want
+
+
+def test_neardup_store_maintenance_recovery_and_chunk_invariance(spark, tmp_path):
+    """Fault tolerance of the MAINTAINED-store loop (r12): unlike the
+    immutable-store probe, a replayed batch here has already appended
+    its own band rows — the src < s store filter must keep the replay
+    from probing the batch against itself. Three contracts in one
+    bounded corpus: (a) stop/restart from the checkpoint resumes
+    offsets and still equals an uninterrupted run; (b) a FULL re-replay
+    over the same store/pairs dirs (fresh checkpoint, worst-case
+    at-least-once: every batch re-runs after its appends landed)
+    changes nothing; (c) the final answer is invariant to the chunk
+    count (1/2/5 — multi-source micro-batches exercise the per-source
+    sub-loop) because contiguous chunks preserve global source order."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _chunked_ingest_dir,
+        _final_pairs,
+        _init_store_bands_dir,
+        _run_maintenance_phase,
+        stream_neardup_store_maintenance,
+    )
+
+    src = _chunked_ingest_dir(spark, SF_SMOKE, 3)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    chunks = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(chunks) == 3
+    for f in chunks[:2]:
+        shutil.copy2(os.path.join(src, f), os.path.join(watch, f))
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "pairs")
+    _run_maintenance_phase(spark, store_dir, watch, out, checkpoint_dir=ckpt)
+    # outage window: the third ingest batch lands while the query is down
+    shutil.copy2(os.path.join(src, chunks[2]), os.path.join(watch, chunks[2]))
+    _run_maintenance_phase(spark, store_dir, watch, out, checkpoint_dir=ckpt)
+
+    want = [
+        tuple(r) for r in stream_neardup_store_maintenance(spark, SF_SMOKE).collect()
+    ]
+    got = [tuple(r) for r in _final_pairs(spark, out).collect()]
+    assert got == want and len(got) > 0
+
+    # (b) worst-case at-least-once: re-replay EVERY batch against the
+    # already-grown store (fresh checkpoint, same store/pairs dirs) —
+    # the src-filtered store read + the two DISTINCTs absorb it all
+    _run_maintenance_phase(
+        spark, store_dir, watch, out, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    replayed = [tuple(r) for r in _final_pairs(spark, out).collect()]
+    assert replayed == want
+
+    # (c) chunk-count invariance, incl. multi-source micro-batches
+    for n in (1, 5):
+        alt = [
+            tuple(r)
+            for r in stream_neardup_store_maintenance(
+                spark, SF_SMOKE, n_chunks=n
+            ).collect()
+        ]
+        assert alt == want, f"n_chunks={n} diverged"

@@ -61,6 +61,53 @@ def ws_token_count():
     return F.regexp_count(F.col("text"), F.lit(r"\S+"))
 
 
+# --------------------------------------------------------------------------
+# \x0B dialect-class burn-down (r12, VERDICT r11 item 3) — the explicit
+# ASCII-whitespace-class twin pair. The legacy pair above leans on each
+# dialect's \s: Java's (Spark) is [ \t\n\x0B\f\r]; RE2's (DuckDB) LACKS
+# \x0B — the one divergent character the r10 edge audit found,
+# corpus-guarded since (tests/test_text_helpers.py). Writing the class
+# OUT makes both dialects parse the identical set, so twins built from
+# it agree on EVERY input, vertical tab included; on the Spark side the
+# explicit class is bit-identical to \s (Java semantics chosen: \x0B IS
+# whitespace). Tranche 1 (this round): simhash_sig/_SIMHASH_SIG_SQL_CTES
+# and their four oracle riders, doc_fingerprint, text_token_count,
+# text_quality_score, vocab_oov_rate. Tranche 2 (r13, pinned in
+# operators/__init__.py): the remaining legacy consumers, after which
+# the legacy pair is deleted and the divergence pin flips to agreement.
+# --------------------------------------------------------------------------
+
+#: the class body — ONE source string interpolated into BOTH dialects'
+#: patterns (escape sequences, not raw control bytes, so each regex
+#: engine parses the same text the tests can read)
+_WS_CHARS = r" \t\n\x0B\f\r"
+
+
+def _norm_ascii(col):
+    """Explicit-class twin of :func:`_norm`: collapse ASCII whitespace,
+    trim, lowercase — Spark-side behavior identical to ``\\s`` (pinned
+    by test_norm_ascii_equals_legacy_norm_on_spark), SQL-side now
+    agreeing on ``\\x0B``."""
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(col, f"[{_WS_CHARS}]+", " "), r"^ | $", "")
+    )
+
+
+_NORM_ASCII_SQL = (
+    f"lower(regexp_replace(regexp_replace(text, '[{_WS_CHARS}]+', ' ', 'g'),"
+    " '^ | $', '', 'g'))"
+)
+
+ASCII_TOKEN_COUNT_SQL = f"len(regexp_extract_all(text, '[^{_WS_CHARS}]+'))"
+
+
+def ascii_token_count():
+    """Explicit-class twin of :func:`ws_token_count`: the number of
+    non-ASCII-whitespace runs of the ``text`` column. Row-local,
+    codegen'd."""
+    return F.regexp_count(F.col("text"), F.lit(f"[^{_WS_CHARS}]+"))
+
+
 def word3_shingles(toks):
     """Word-3-gram shingle ARRAY over a token-array column — the ONE
     Spark-side shingle definition (hoisted r9; previously mirrored by
@@ -102,8 +149,13 @@ def word3_shingles_sql(toks: str) -> str:
     )
 
 # token pattern: word runs or single non-word-non-space chars (BPE-ish
-# pre-tokenization shape)
-_WORDISH = r"\w+|[^\w\s]"
+# pre-tokenization shape) — whitespace spelled out as the explicit
+# class (r12 tranche 1: \s inside [^\w\s] carried the same \x0B
+# divergence as the normalizer pair)
+_WORDISH = rf"\w+|[^\w{_WS_CHARS}]"
+
+#: its punct-only sibling (text_quality_score)
+_PUNCT_CLASS = rf"[^\w{_WS_CHARS}]"
 
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
 
@@ -113,8 +165,8 @@ _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
     oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars,
-           {WS_TOKEN_COUNT_SQL} AS n_ws_tokens,
-           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_wordish_tokens,
+           {ASCII_TOKEN_COUNT_SQL} AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_WORDISH}')) AS n_wordish_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
     FROM documents
     ORDER BY doc_id
@@ -122,14 +174,15 @@ _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b"
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens (the shared
-    :func:`ws_token_count` pair), BPE-ish regex tokens, and the chars/4
-    heuristic estimate. Pure projection — no shuffle at all."""
+    :func:`ascii_token_count` pair — r12 tranche 1 of the \\x0B
+    burn-down), BPE-ish regex tokens, and the chars/4 heuristic
+    estimate. Pure projection — no shuffle at all."""
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
-        ws_token_count().cast("long").alias("n_ws_tokens"),
+        ascii_token_count().cast("long").alias("n_ws_tokens"),
         F.regexp_count(t, F.lit(_WORDISH)).cast("long").alias("n_wordish_tokens"),
         F.ceil(F.length(t) / 4.0).cast("long").alias("n_bpe_est"),
     ).orderBy("doc_id")
@@ -143,8 +196,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) AS n_chars,
              len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
              len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-             {WS_TOKEN_COUNT_SQL} AS n_tokens,
+             len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS n_punct,
+             {ASCII_TOKEN_COUNT_SQL} AS n_tokens,
              len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it|that|for)\\b')) AS n_stop
       FROM documents
     )
@@ -165,10 +218,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
     n_chars = F.length(t)
-    n_tokens = ws_token_count()
+    n_tokens = ascii_token_count()
     n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
     n_digit = F.regexp_count(t, F.lit("[0-9]"))
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_punct = F.regexp_count(t, F.lit(_PUNCT_CLASS))
     n_stop = F.regexp_count(F.lower(t), F.lit(_STOPWORDS))
     return d.select(
         "doc_id",
@@ -258,18 +311,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_fingerprint",
     oracle=f"""
-    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    SELECT doc_id, md5({_NORM_ASCII_SQL}) AS fp
     FROM documents
     ORDER BY doc_id
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 of the whitespace-normalized,
-    lowercased text. The join key for exact near-normal dedup at scale
+    lowercased text (the explicit-class pair — r12 tranche 1 of the
+    \x0B burn-down). The join key for exact near-normal dedup at scale
     (fingerprint once, groupBy fp — never compare full texts twice)."""
     d = load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.md5(F.encode(_norm(F.col("text")), "UTF-8")).alias("fp")
+        "doc_id", F.md5(F.encode(_norm_ascii(F.col("text")), "UTF-8")).alias("fp")
     ).orderBy("doc_id")
 
 
@@ -325,7 +379,7 @@ def simhash_sig(d: DataFrame, spark: SparkSession) -> DataFrame:
         par = 8
     return (
         spread(
-            d.select("doc_id", _norm(F.col("text")).alias("norm")),
+            d.select("doc_id", _norm_ascii(F.col("text")).alias("norm")),
             "doc_id",
             n=min(8, par),
         )
@@ -348,7 +402,7 @@ def simhash_sig(d: DataFrame, spark: SparkSession) -> DataFrame:
 #: dedup.streaming_neardup_probe oracles — the SQL-side mirror of the
 #: single-definition rule the Spark side already follows.
 _SIMHASH_SIG_SQL_CTES = f"""tok AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
       FROM documents
     ),
     h AS (
@@ -592,7 +646,7 @@ _VOCAB_SIZE = 1000
       SELECT source, tok
       FROM (
         SELECT source,
-               unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+               unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
         FROM documents
       )
       WHERE tok <> ''
@@ -633,7 +687,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.select(
             "source",
-            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+            F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -730,7 +784,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT source, tok
       FROM (
         SELECT source,
-               unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+               unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
         FROM documents
       )
       WHERE tok <> ''

@@ -217,21 +217,24 @@ def test_non_ascii_whitespace_is_not_a_separator_in_either_dialect(spark):
 
 
 def test_vertical_tab_is_the_known_dialect_divergence(spark):
-    """KNOWN, DOCUMENTED divergence — \\x0B (vertical tab) is whitespace
-    to Java's \\s but NOT to RE2's: 'a\\x0Bb' is 2 tokens in Spark, 1 in
-    the DuckDB oracle dialect. Unreachable through the driver corpus
+    """KNOWN, DOCUMENTED divergence of the LEGACY pair — \\x0B (vertical
+    tab) is whitespace to Java's \\s but NOT to RE2's: 'a\\x0Bb' is 2
+    tokens in Spark, 1 in the DuckDB oracle dialect. Unreachable
+    through the driver corpus
     (test_corpus_contains_no_divergent_whitespace proves the generated
     documents carry none of these characters), so every certified row
-    is unaffected. DEFERRAL STATUS (r11): the fix — an explicit shared
-    character class ([\\s\\v] / [^\\s\\v] on the SQL side, Java
-    semantics on both engines) — touches the _NORM_SQL /
-    WS_TOKEN_COUNT_SQL strings that ~20 oracle texts interpolate, i.e.
-    ~20 changed-text window slots at once; VERDICT r10 pinned the r11
-    window with ZERO slack (9 stale TPC-H + the r7 cohort), so the fix
-    stays deferred behind this pin + the corpus guard until a window
-    round with enough slack to absorb the whole family in one batch.
-    THIS TEST MUST FLIP when that lands: it asserts the divergence
-    exists, so the fix cannot ship without deleting the pin."""
+    is unaffected. BURN-DOWN STATUS (r12): the fix — the explicit
+    ASCII-whitespace-class pair (_norm_ascii/_NORM_ASCII_SQL,
+    ascii_token_count/ASCII_TOKEN_COUNT_SQL, Java semantics on both
+    engines) — SHIPPED as tranche 1 this round: simhash_sig +
+    _SIMHASH_SIG_SQL_CTES (and their four oracle riders),
+    doc_fingerprint, text_token_count, text_quality_score,
+    vocab_oov_rate are migrated and agreement-pinned
+    (test_ascii_pair_dialects_agree_on_vertical_tab). This pin now
+    guards the 16 LEGACY consumers named in the r13 plan
+    (operators/__init__.py rotation comment); when tranche 2 migrates
+    them and deletes the legacy pair, DELETE THIS TEST with it — the
+    agreement pins remain."""
     con = duckdb.connect()
     (spark_n,) = [
         r["n"]
@@ -327,3 +330,132 @@ def test_norm_dialects_agree_on_edges(spark):
     ]
     con.close()
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# r12 \x0B burn-down tranche 1: the explicit ASCII-whitespace-class pair
+# (text._norm_ascii/_NORM_ASCII_SQL, ascii_token_count/
+# ASCII_TOKEN_COUNT_SQL) must agree across dialects on EVERYTHING —
+# including the \x0B inputs the legacy pair diverges on — and must be
+# bit-identical to the legacy pair on the Spark side (Java \s IS the
+# explicit class, so migrating an op changes no Spark result).
+
+DIVERGENT_TEXTS = [
+    "a\x0bb",
+    "\x0b",
+    "a\x0c\x0bb",
+    "\x0b\x0b  \x0bx\x0b",
+    "one\x0btwo three",
+]
+
+
+def test_norm_ascii_equals_legacy_norm_on_spark(spark):
+    """Spark-side no-op proof for the tranche-1 migration: Java's \\s
+    is exactly [ \\t\\n\\x0B\\f\\r], so _norm_ascii ≡ _norm and
+    ascii_token_count ≡ ws_token_count on every input, divergent
+    characters included."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _norm_ascii,
+        ascii_token_count,
+    )
+
+    texts = EDGE_TEXTS + DIVERGENT_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
+    rows = (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        .select(
+            _norm(F.col("text")).alias("legacy_norm"),
+            _norm_ascii(F.col("text")).alias("ascii_norm"),
+            ws_token_count().cast("long").alias("legacy_n"),
+            ascii_token_count().cast("long").alias("ascii_n"),
+        )
+        .collect()
+    )
+    for r, t in zip(rows, texts):
+        assert r["legacy_norm"] == r["ascii_norm"], t
+        assert r["legacy_n"] == r["ascii_n"], t
+
+
+def test_ascii_pair_dialects_agree_on_vertical_tab(spark):
+    """THE agreement pin the burn-down earns: on every input the legacy
+    pair diverges on (vertical tab in all three r10/r11-mapped
+    manifestations: count, vanishing text, token content), the explicit
+    ASCII-class pair produces IDENTICAL results on both engines — 
+    normalized string AND token count. When tranche 2 deletes the
+    legacy pair (r13), test_vertical_tab_is_the_known_dialect_divergence
+    is deleted with it and this pin remains."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _NORM_ASCII_SQL,
+        ASCII_TOKEN_COUNT_SQL,
+        _norm_ascii,
+        ascii_token_count,
+    )
+
+    con = duckdb.connect()
+    texts = EDGE_TEXTS + DIVERGENT_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
+    got = (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        .select(
+            _norm_ascii(F.col("text")).alias("norm"),
+            ascii_token_count().cast("long").alias("n"),
+        )
+        .collect()
+    )
+    for r, t in zip(got, texts):
+        d_norm, d_n = con.execute(
+            f"SELECT {_NORM_ASCII_SQL}, CAST({ASCII_TOKEN_COUNT_SQL} AS BIGINT)"
+            " FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()
+        assert r["norm"] == d_norm, (t, r["norm"], d_norm)
+        assert r["n"] == d_n, (t, r["n"], d_n)
+    # the specific r10/r11 manifestations, now AGREEING:
+    # (a) 'a\x0Bb' is 2 tokens on BOTH engines
+    (n_spark,) = [r["n"] for r, t in zip(got, texts) if t == "a\x0bb"]
+    assert n_spark == 2
+    # (b) vtab-only text normalizes to '' (0 tokens) on BOTH
+    (n_only,) = [r["n"] for r, t in zip(got, texts) if t == "\x0b"]
+    assert n_only == 0
+    # (c) 'a\x0C\x0Bb' token CONTENT agrees: norm is 'a b' on BOTH
+    (norm_c,) = [r["norm"] for r, t in zip(got, texts) if t == "a\x0c\x0bb"]
+    assert norm_c == "a b"
+    con.close()
+
+
+def test_wordish_and_punct_class_dialects_agree_on_vertical_tab(spark):
+    """The second idiom the class fix covers (r12): text_token_count's
+    wordish tokenizer and text_quality_score's punct counter spell
+    whitespace as the explicit class inside [^\\w...] — \\x0B must be
+    counted as WHITESPACE (not punct) identically on both engines."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _PUNCT_CLASS,
+        _WORDISH,
+    )
+
+    con = duckdb.connect()
+    texts = DIVERGENT_TEXTS + ["a!b", "!\x0b!", "..."]
+    got = (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        .select(
+            F.regexp_count(F.col("text"), F.lit(_WORDISH)).cast("long").alias("w"),
+            F.regexp_count(F.col("text"), F.lit(_PUNCT_CLASS)).cast("long").alias("p"),
+        )
+        .collect()
+    )
+    for r, t in zip(got, texts):
+        w, p = con.execute(
+            f"SELECT CAST(len(regexp_extract_all(text, '{_WORDISH}')) AS BIGINT),"
+            f" CAST(len(regexp_extract_all(text, '{_PUNCT_CLASS}')) AS BIGINT)"
+            " FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()
+        assert r["w"] == w, (t, r["w"], w)
+        assert r["p"] == p, (t, r["p"], p)
+    # \x0B is whitespace, not punct, on both: '!\x0B!' has 2 punct
+    (p_vt,) = [r["p"] for r, t in zip(got, texts) if t == "!\x0b!"]
+    assert p_vt == 2

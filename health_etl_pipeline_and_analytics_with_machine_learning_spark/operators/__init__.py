@@ -86,12 +86,19 @@ _RECHECK_FIRST = [
     #   _banded_hamming_pairs precedent from r10/r11 —
     "image_phash_neardup",
     "audio_fingerprint_neardup",
+    #   _y4m_header hardened (r12 fuzz patrol, VERDICT r11 item 7:
+    #   negative-dimension headers were ACCEPTED instead of raising
+    #   into the opaque quarantine) — its two consumers recertify —
+    "multimodal_decode_dispatch",
+    "video_frame_sample",
     # — r8-cohort tier (policy b: oldest-first, alphabetical within
     #   the equal-staleness tie; vocab_oov_rate counts in the changed
     #   tier above, and the two alphabetically-last residents
-    #   (window_lag_value_delta, zscore_normalize) are evicted to r13
-    #   to fund the image/audio recert slots — they lead the r13
-    #   window together with the 16-op tranche-2 migration) —
+    #   FOUR alphabetically-last residents (user_event_paths,
+    #   value_counts_topk, window_lag_value_delta, zscore_normalize)
+    #   are evicted to r13 to fund the image/audio and dispatch/video
+    #   recert slots — they lead the r13 window together with the
+    #   16-op tranche-2 migration) —
     "asof_join_attribution",
     "cohort_retention",
     "corr_matrix",
@@ -122,12 +129,11 @@ _RECHECK_FIRST = [
     "stratified_hash_sample",
     "trend_group_avg_sort",
     "two_level_agg",
-    "user_event_paths",
-    "value_counts_topk",
     "window_group_median_fill",
     # — r13 window core (planned now so rotation stays mechanical):
-    #   FIRST the two evicted r8 residents (window_lag_value_delta,
-    #   zscore_normalize), then the 16-op tokenizer tranche 2 named
+    #   FIRST the four evicted r8 residents (user_event_paths,
+    #   value_counts_topk, window_lag_value_delta, zscore_normalize),
+    #   then the 16-op tokenizer tranche 2 named
     #   above (every one is changed-text in r13 by construction), then
     #   r13 changed-text, then the r9 cohort alphabetical with
     #   whatever slots remain (the 46-op r9 cohort will itself need

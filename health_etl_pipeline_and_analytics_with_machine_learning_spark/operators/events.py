@@ -650,7 +650,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_users_within_bound
     FROM events
     GROUP BY hour, event_type
     ORDER BY hour, event_type
@@ -658,13 +660,21 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def streaming_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of ``events_hour_agg`` (minus the distinct-user
-    column — exact DISTINCT isn't expressible inside a streaming
-    aggregate): the events table replays as time-ordered micro-batches
-    through a tumbling-1-hour windowed aggregation, and the bounded
-    stream's final window table must hash-match the batch/DuckDB
-    GROUP BY date_trunc answer. Second entry in the certified-streaming
-    family next to streaming_sessionization; see
+    """STREAMING twin of ``events_hour_agg``: the events table replays
+    as time-ordered micro-batches through a tumbling-1-hour windowed
+    aggregation, and the bounded stream's final window table must
+    hash-match the batch/DuckDB GROUP BY date_trunc answer.
+
+    Distinct users (r12, VERDICT r11 item 4): exact DISTINCT isn't
+    expressible inside a streaming aggregate (documented engine
+    boundary), so the stream carries HyperLogLog++
+    ``approx_count_distinct(user_id, rsd=0.02)`` — the production
+    answer — certified with the approx_distinct_bound pattern: the
+    oracle pins the batch-exact count and a constant TRUE the sketch
+    must earn by landing within max(5%, 5 users) — the absolute floor
+    covers tiny per-window cardinalities where HLL++ register noise
+    (Spark has no sparse mode) is a few users regardless of rsd. Second entry in the
+    certified-streaming family next to streaming_sessionization; see
     streaming/sessionize.py for replay mechanics and scale notes."""
     from ..streaming.sessionize import stream_hour_rollup
 

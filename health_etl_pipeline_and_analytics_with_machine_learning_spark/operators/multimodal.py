@@ -1171,7 +1171,13 @@ def _y4m_header(b: bytes) -> tuple[int, int, int, int]:
     FRAME markers): returns (w, h, frame_bytes, data_start). Malformed
     headers raise ValueError. ONE definition shared by the frame
     sampler and the magic dispatch's stream decode (the r10 review's
-    no-copy rule: two header walks would drift on any profile change)."""
+    no-copy rule: two header walks would drift on any profile change).
+
+    Dimensions must be POSITIVE — the r12 Hypothesis patrol
+    (tests/test_llm_ops.py::test_y4m_header_fuzz) found the truthiness
+    guard alone accepted 'W-1 H-6' (both negative, frame_bytes
+    positive), so a junk payload classified as y4m with negative
+    dimensions instead of falling to the dispatch's opaque quarantine."""
     nl = b.index(b"\n")
     parts = b[:nl].decode("ascii").split(" ")
     if parts[0] != "YUV4MPEG2":
@@ -1184,8 +1190,8 @@ def _y4m_header(b: bytes) -> tuple[int, int, int, int]:
             h = int(p[1:])
         elif p.startswith("C") and p != "C444":
             raise ValueError("unsupported colorspace")
-    if not w or not h:
-        raise ValueError("missing dimensions")
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("missing or non-positive dimensions")
     return w, h, 3 * w * h, nl + 1
 
 

@@ -206,6 +206,34 @@ def _neardup_probe_join(spark):
     )
 
 
+#: streaming_neardup_store_maintenance's per-source step against the
+#: PERSISTED banded store — built here exactly as _probe_and_grow
+#: builds it for the first ingest source (store state = history only).
+def _neardup_maintenance_join(spark):
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _banded_hamming_pairs,
+        _NEARDUP_STORE_SOURCES,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _current_store_bands,
+        _init_store_bands_dir,
+        _store_pred,
+    )
+
+    store_dir = _init_store_bands_dir(spark, SF)
+    docs = registry.load(spark, SF, "documents")
+    batch = docs.filter(~_store_pred(F.col("source"))).select("doc_id", "text")
+    return _banded_hamming_pairs(
+        probe=simhash_sig(batch, spark),
+        sig_bands=_current_store_bands(spark, store_dir, _NEARDUP_STORE_SOURCES),
+    )
+
+
 EXTRA_SHOWCASE = {
     "streaming_neardup_probe (per-micro-batch probe join)": (
         (
@@ -220,6 +248,20 @@ EXTRA_SHOWCASE = {
             "global answer is recovered relationally after the replay."
         ),
         _neardup_probe_join,
+    ),
+    "streaming_neardup_store_maintenance (per-source store probe)": (
+        (
+            "The maintained-store step each accepted ingest source runs "
+            "(r12): the store is READ PRE-BANDED from its persisted parquet "
+            "form — the scan's schema is the band-row layout, no re-explode "
+            "— filtered to strictly-earlier sources (replay idempotence), "
+            "DISTINCT-deduped (at-least-once appends), hot-bucket-capped at "
+            "the CURRENT population via a BroadcastHashJoin, then equi-"
+            "joined by the batch's signatures on (bk, band_key). Per-batch "
+            "work stays linear as the store grows because the cap bounds "
+            "every bucket a probe row can touch."
+        ),
+        _neardup_maintenance_join,
     ),
 }
 

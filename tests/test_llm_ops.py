@@ -1388,3 +1388,62 @@ def test_banded_maint_tail_matches_oracle_property(spark):
         assert got == want, (sig_rows, got, want)
 
     _prop()
+
+
+def test_y4m_header_fuzz():
+    """Hypothesis patrol over _y4m_header (r12, VERDICT r11 item 7 —
+    the dispatch's newest magic was its least-fuzzed): for arbitrary
+    junk bytes AND adversarial header-shaped inputs, the parser either
+    returns a well-formed (w, h, frame_bytes, data_start) with positive
+    dimensions, or raises ValueError (the class the dispatch's opaque
+    quarantine catches) — never any other exception, never a nonsense
+    acceptance. Found and pinned: the truthiness guard accepted
+    negative dimension pairs ('W-1 H-6') whose product made
+    frame_bytes positive."""
+    from hypothesis import given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _y4m_header,
+        _y4m_stream_parse,
+    )
+
+    field = st.one_of(
+        st.builds(lambda n: f"W{n}", st.integers(min_value=-5, max_value=5)),
+        st.builds(lambda n: f"H{n}", st.integers(min_value=-5, max_value=5)),
+        st.sampled_from(["C444", "C420", "F25:1", "Ip", "A1:1", "", "W", "H", "Wx"]),
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=4
+        ),
+    )
+    headerish = st.builds(
+        lambda magic, fs, tail: (magic + "".join(" " + f for f in fs) + "\n").encode()
+        + tail,
+        st.sampled_from(["YUV4MPEG2", "YUV4MPEG", "yuv4mpeg2", "BM", ""]),
+        st.lists(field, max_size=4),
+        st.binary(max_size=64),
+    )
+    junk = st.one_of(st.binary(max_size=96), headerish)
+
+    @settings(max_examples=400, deadline=None)
+    @given(b=junk)
+    def _prop(b):
+        try:
+            w, h, fb, start = _y4m_header(b)
+        except ValueError:  # includes UnicodeDecodeError
+            return
+        assert w > 0 and h > 0, (b, w, h)
+        assert fb == 3 * w * h
+        assert 0 < start <= len(b)
+        assert b[:9] == b"YUV4MPEG2"
+        # and the stream walk on top never escapes the quarantine class
+        try:
+            _y4m_stream_parse(b)
+        except ValueError:
+            pass
+
+    _prop()
+
+    # the specific hole the patrol found, pinned as regression cases
+    for bad in (b"YUV4MPEG2 W-1 H-6\n", b"YUV4MPEG2 W-2 H-2\n", b"YUV4MPEG2 W0 H5\n"):
+        with pytest.raises(ValueError):
+            _y4m_header(bad)

@@ -65,11 +65,17 @@ ROUND12_CHANGED_IDS = [
     # signature growth recertifies the banded-tail consumers
     "image_phash_neardup",
     "audio_fingerprint_neardup",
+    # _y4m_header hardened (r12 fuzz patrol: negative-dimension headers
+    # were accepted instead of raising into the opaque quarantine) —
+    # its two consumers recertify
+    "multimodal_decode_dispatch",
+    "video_frame_sample",
 ]
 
 #: oldest-first refresh: the r8 cohort (staleness 4 entering r12).
-#: vocab_oov_rate sits in the changed tier; window_lag_value_delta and
-#: zscore_normalize (alphabetically last) are evicted to lead r13.
+#: vocab_oov_rate sits in the changed tier; the four alphabetically
+#: last residents (user_event_paths, value_counts_topk,
+#: window_lag_value_delta, zscore_normalize) are evicted to lead r13.
 ROUND12_R8_COHORT_IDS = [
     "asof_join_attribution",
     "cohort_retention",
@@ -101,8 +107,6 @@ ROUND12_R8_COHORT_IDS = [
     "stratified_hash_sample",
     "trend_group_avg_sort",
     "two_level_agg",
-    "user_event_paths",
-    "value_counts_topk",
     "window_group_median_fill",
 ]
 

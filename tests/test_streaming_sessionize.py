@@ -53,11 +53,18 @@ def test_stream_hour_rollup_values(spark):
         stream_hour_rollup,
     )
 
-    stream = {tuple(r) for r in stream_hour_rollup(spark, SF_SMOKE).collect()}
+    rows = stream_hour_rollup(spark, SF_SMOKE).collect()
+    # r12: the stream carries HLL++ approx distinct users; the op's
+    # contract is the batch-exact count column plus an earned bound flag
+    assert all(r["approx_users_within_bound"] for r in rows)
+    stream = {
+        (r["hour"], r["event_type"], r["n_events"], r["sum_value"], r["n_users_exact"])
+        for r in rows
+    }
     batch = {
-        tuple(r)[:4]  # drop n_users, not expressible in streaming
+        tuple(r)
         for r in events_hour_agg(spark, SF_SMOKE).select(
-            "hour", "event_type", "n_events", "sum_value"
+            "hour", "event_type", "n_events", "sum_value", "n_users"
         ).collect()
     }
     assert stream == batch and len(stream) > 0

@@ -66,21 +66,24 @@ _RECHECK_FIRST = [
     #   text_simhash + simhash_near_pairs ride the migrated
     #   _SIMHASH_SIG_SQL_CTES (as do the two streaming ops above);
     #   doc_fingerprint / text_token_count / text_quality_score /
-    #   vocab_oov_rate migrate directly. Tranche 2 (the remaining 16
-    #   consumers: bpe_pair_counts, c4_heuristic_filter,
-    #   contamination_ngram_check, corpus_curation, dedup_common_spans,
-    #   dedup_connected_components, dedup_exact_text, dedup_incremental,
-    #   dedup_minhash_lsh, dedup_ngram_jaccard, doc_self_repetition,
-    #   sequence_pack_scaled, sequence_pack_stats, source_vocab_overlap,
-    #   split_leakage_ngram, truncation_loss_curve) is PINNED for r13,
-    #   after which the legacy pair is deleted and the divergence pin
-    #   in tests/test_text_helpers.py flips to an agreement pin —
+    #   vocab_oov_rate / source_vocab_overlap migrate directly.
+    #   Tranche 2 (the remaining 15 legacy consumers: bpe_pair_counts,
+    #   c4_heuristic_filter, contamination_ngram_check, corpus_curation,
+    #   dedup_common_spans, dedup_connected_components, dedup_exact_text,
+    #   dedup_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
+    #   doc_self_repetition, sequence_pack_scaled, sequence_pack_stats,
+    #   split_leakage_ngram, truncation_loss_curve — plus
+    #   doc_chunk_explode, whose oracle INLINES the \S+ idiom instead
+    #   of consuming the shared pair) is PINNED for r13, after which
+    #   the legacy pair is deleted and the divergence pin in
+    #   tests/test_text_helpers.py flips to an agreement pin —
     "text_simhash",
     "simhash_near_pairs",
     "doc_fingerprint",
     "text_token_count",
     "text_quality_score",
     "vocab_oov_rate",
+    "source_vocab_overlap",
     #   _capped_bands grew the checkpoint= parameter (ADVICE r11 item
     #   4) — helper-signature growth recertifies consumers, the
     #   _banded_hamming_pairs precedent from r10/r11 —
@@ -92,13 +95,13 @@ _RECHECK_FIRST = [
     "multimodal_decode_dispatch",
     "video_frame_sample",
     # — r8-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; vocab_oov_rate counts in the changed
-    #   tier above, and the two alphabetically-last residents
-    #   FOUR alphabetically-last residents (user_event_paths,
-    #   value_counts_topk, window_lag_value_delta, zscore_normalize)
-    #   are evicted to r13 to fund the image/audio and dispatch/video
-    #   recert slots — they lead the r13 window together with the
-    #   16-op tranche-2 migration) —
+    #   the equal-staleness tie; vocab_oov_rate and source_vocab_overlap
+    #   count in the changed tier above, and the FIVE alphabetically-
+    #   last residents (user_event_paths, value_counts_topk,
+    #   window_group_median_fill, window_lag_value_delta,
+    #   zscore_normalize) are evicted to r13 to fund the recert slots —
+    #   they lead the r13 window together with the tranche-2
+    #   migration) —
     "asof_join_attribution",
     "cohort_retention",
     "corr_matrix",
@@ -129,11 +132,12 @@ _RECHECK_FIRST = [
     "stratified_hash_sample",
     "trend_group_avg_sort",
     "two_level_agg",
-    "window_group_median_fill",
     # — r13 window core (planned now so rotation stays mechanical):
-    #   FIRST the four evicted r8 residents (user_event_paths,
-    #   value_counts_topk, window_lag_value_delta, zscore_normalize),
-    #   then the 16-op tokenizer tranche 2 named
+    #   FIRST the five evicted r8 residents (user_event_paths,
+    #   value_counts_topk, window_group_median_fill,
+    #   window_lag_value_delta, zscore_normalize),
+    #   then the 16-op tokenizer tranche 2 (15 legacy-pair consumers +
+    #   doc_chunk_explode's inline \S+) named
     #   above (every one is changed-text in r13 by construction), then
     #   r13 changed-text, then the r9 cohort alphabetical with
     #   whatever slots remain (the 46-op r9 cohort will itself need

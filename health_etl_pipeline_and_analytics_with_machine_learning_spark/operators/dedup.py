@@ -555,6 +555,20 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
+def _cap_bands(bands: DataFrame) -> DataFrame:
+    """Hot-bucket cap over band rows (any source: a fresh explode or a
+    persisted band table): broadcast bucket-size filter at
+    ``_SIMHASH_MAX_BUCKET``. NOTE: ``bands`` is referenced twice (the
+    size pass and the join side) — callers must hand in a checkpointed
+    or otherwise cheap-to-recompute DataFrame, or pay the subtree
+    twice (Catalyst does not dedupe shared subplans)."""
+    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
+        ["bk", "band_key"],
+    ).drop("bucket_n")
+
+
 def _capped_bands(sig: DataFrame, checkpoint: bool = True) -> DataFrame:
     """(doc_id, simhash) → hot-bucket-capped band rows (doc_id, simhash,
     bk, band_key): the store-side half of the banded tail, extracted
@@ -563,21 +577,22 @@ def _capped_bands(sig: DataFrame, checkpoint: bool = True) -> DataFrame:
     it per foreachBatch call. Lazy-checkpointed band explode (bands
     feed the bucket-size pass and the join side; a fresh call gets a
     fresh RDD so repeated bench runs stay honest — executor-loss/
-    pre-AQE caveat as elsewhere), broadcast hot-bucket cap.
+    pre-AQE caveat as elsewhere), broadcast hot-bucket cap
+    (:func:`_cap_bands`).
 
-    ``checkpoint=False`` (ADVICE r11) skips the inner band-explode cut
-    for callers that immediately materialize the capped RESULT
-    themselves (streaming/neardup._store_bands eagerly checkpoints it)
-    — with both cuts live, the block store would hold the uncapped
-    band rows a second time for no later reader."""
+    ``checkpoint=False`` (ADVICE r11) skips the inner cut — but the
+    r12 review showed that for a caller that merely eager-checkpoints
+    the capped RESULT, dropping the inner cut re-runs the signature
+    subtree (the Arrow tally — the dominant cost) once per consumer;
+    streaming/neardup._store_bands therefore builds its store from an
+    EAGER inner cut + :func:`_cap_bands` instead, releasing the inner
+    blocks to the ContextCleaner after the capped copy materializes.
+    ``checkpoint=False`` remains for callers whose input really is
+    cheap to recompute twice."""
     bands = _simhash_bands(sig)
     if checkpoint:
         bands = bands.localCheckpoint(eager=False)
-    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
-    return bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
-        ["bk", "band_key"],
-    ).drop("bucket_n")
+    return _cap_bands(bands)
 
 
 def _banded_hamming_pairs(
@@ -1066,6 +1081,81 @@ def streaming_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_neardup_probe(spark, sf_dir)
 
 
+def _banded_prefix_pairs(batch_bands: DataFrame, store_bands: DataFrame) -> DataFrame:
+    """One micro-batch's MAINTAINED-store probe, whole-batch form (r12
+    perf pass: the first version looped per source, re-scanning and
+    re-capping the store once per source — 10 store scans per replay;
+    this form runs ONE join per batch with the cap evaluated per
+    PROBE-STATE, exactly the oracle's formulation, cutting the replay
+    from ~17 s to per-batch cost at sf0.1).
+
+    Inputs are band rows carrying ``src`` (the ingest source number):
+    ``batch_bands`` = the micro-batch's own rows (≥1 whole CONTIGUOUS
+    sources — the chunker guarantees contiguity, which is what makes
+    store(src < min(batch)) ∪ batch == all rows earlier than any probe
+    state in the batch); ``store_bands`` = the persisted store filtered
+    to src < min(batch). Pair (a, b) is emitted when a shares a band
+    with an earlier-source b at the bucket's a-state population ≤ cap
+    and Hamming ≤ radius — oracle twin: `_BANDED_MAINT_SQL_TAIL`.
+
+    Scale shape: the candidate join is an equi-join on (bk, band_key)
+    with the src ordering as a post-join predicate; the per-state
+    bucket population is an EXCLUSIVE running sum over the aggregated
+    (bk, band_key, src) count table — one windowed pass over a table
+    bounded by buckets × sources (the band space is 2^band_bits per
+    band, fixed whatever the corpus size), no state-expansion join —
+    and the surviving cap table broadcasts unconditionally.
+    ``batch_bands`` is referenced twice (sizing via the union, probe
+    side): callers hand in a checkpointed frame."""
+    from pyspark.sql.window import Window
+
+    all_bands = store_bands.unionByName(batch_bands).localCheckpoint(eager=False)
+    # bucket population AS OF each src that appears in the bucket:
+    # rows with strictly earlier src = running sum EXCLUSIVE of the
+    # current src's own count. Every (probe row's bucket, src_a) combo
+    # exists here because the probe rows are part of all_bands.
+    w = (
+        Window.partitionBy("bk", "band_key")
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = (
+        all_bands.groupBy("bk", "band_key", "src")
+        .agg(F.count(F.lit(1)).alias("n_at_src"))
+        .select(
+            F.col("src").alias("src_a"),
+            "bk",
+            "band_key",
+            F.coalesce(F.sum("n_at_src").over(w), F.lit(0)).alias("bucket_n"),
+        )
+        .filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    a, b = batch_bands.alias("a"), all_bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("b.src") < F.col("a.src")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.src").alias("src_a"),
+        F.col("a.bk").alias("bk"),
+        F.col("a.band_key").alias("band_key"),
+        hamming.cast("long").alias("hamming"),
+    )
+    return (
+        cand.join(F.broadcast(keep), ["src_a", "bk", "band_key"])
+        .filter(F.col("hamming") <= _SIMHASH_RADIUS)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
 #: oracle twin of the MAINTAINED-store loop (r12, VERDICT r11 item 2):
 #: appended after a ``sig(doc_id, simhash, src)`` CTE carrying every
 #: document's source number, it replays what the growing store makes
@@ -1121,13 +1211,16 @@ def streaming_neardup_store_maintenance(
     streaming_neardup_probe (its module docstring's named production
     shape, VERDICT r11 item 2): the historical corpus (src0..src9) is
     materialized once as a persisted BANDED signature store; each
-    ingest source then replays as a micro-batch that (1) probes the
-    store via the shared ``_banded_hamming_pairs`` probe mode and (2)
+    ingest micro-batch (one or more whole contiguous sources) then (1)
+    probes the store in ONE ``_banded_prefix_pairs`` join — pair
+    (a, b) requires b's source strictly earlier than a's — and (2)
     appends its OWN band rows back, so source s dedups against the
-    history AND every source < s. The hot-bucket cap is recomputed per
-    batch over the grown store — a bucket can be open for early ingest
-    and closed (capped) for later ingest as clones accumulate, which
-    the oracle mirrors with a per-probe-state bucket population.
+    history AND every source < s. The hot-bucket cap is evaluated at
+    each probe row's OWN store state (a windowed exclusive running
+    sum over per-(bucket, src) counts) — a bucket can be open for
+    early ingest and closed (capped) for later ingest as clones
+    accumulate, which the oracle mirrors with the same per-probe-state
+    bucket population.
 
     Replay idempotence (at-least-once foreachBatch): pair appends are
     absorbed by pair-identity DISTINCT on read; band re-appends by

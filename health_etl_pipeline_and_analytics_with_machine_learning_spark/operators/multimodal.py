@@ -1173,25 +1173,33 @@ def _y4m_header(b: bytes) -> tuple[int, int, int, int]:
     sampler and the magic dispatch's stream decode (the r10 review's
     no-copy rule: two header walks would drift on any profile change).
 
-    Dimensions must be POSITIVE — the r12 Hypothesis patrol
-    (tests/test_llm_ops.py::test_y4m_header_fuzz) found the truthiness
-    guard alone accepted 'W-1 H-6' (both negative, frame_bytes
-    positive), so a junk payload classified as y4m with negative
-    dimensions instead of falling to the dispatch's opaque quarantine."""
+    Dimension bodies must be CANONICAL positive decimals — the r12
+    Hypothesis patrol (tests/test_llm_ops.py::test_y4m_header_fuzz)
+    found the truthiness guard alone accepted 'W-1 H-6' (both negative,
+    frame_bytes positive), and the round's review then showed bare
+    int() still admits Python-only spellings ('W1_0' → 10, 'W+2' → 2)
+    no Y4M writer emits — so junk classified as y4m instead of falling
+    to the dispatch's opaque quarantine. isdigit() + a nonzero check
+    rejects signs, underscores, and empty bodies in one gate (the
+    ascii decode above it already excludes the non-ASCII digit
+    spellings where isdigit and int() disagree)."""
     nl = b.index(b"\n")
     parts = b[:nl].decode("ascii").split(" ")
     if parts[0] != "YUV4MPEG2":
         raise ValueError("not a Y4M payload")
     w = h = None
     for p in parts[1:]:
-        if p.startswith("W"):
-            w = int(p[1:])
-        elif p.startswith("H"):
-            h = int(p[1:])
+        if p.startswith("W") or p.startswith("H"):
+            if not p[1:].isdigit():
+                raise ValueError("malformed dimension field")
+            if p.startswith("W"):
+                w = int(p[1:])
+            else:
+                h = int(p[1:])
         elif p.startswith("C") and p != "C444":
             raise ValueError("unsupported colorspace")
-    if w is None or h is None or w <= 0 or h <= 0:
-        raise ValueError("missing or non-positive dimensions")
+    if not w or not h:
+        raise ValueError("missing or zero dimensions")
     return w, h, 3 * w * h, nl + 1
 
 

@@ -820,7 +820,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = (
         d.select(
-            "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+            "source", F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("tok")
         )
         .filter(F.col("tok") != "")
         .distinct()

@@ -3,7 +3,8 @@
 
 Shape: the historical corpus (sources src0..src9) is reduced ONCE to
 its banded, hot-bucket-capped SimHash signature store
-(``text.simhash_sig`` → ``dedup._capped_bands``, materialized once);
+(``text.simhash_sig`` → ``dedup._simhash_bands`` → ``dedup._cap_bands``,
+materialized once);
 the ten ingest sources (src10..src19) replay as micro-batches through
 ``foreachBatch``, and each batch runs the SAME certified primitives
 the batch ops use — ``simhash_sig`` for the batch's signatures and
@@ -160,18 +161,22 @@ def _store_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-AQE plan; a fault-tolerant cluster deployment would swap in
     a persisted BANDED signature TABLE (the production form anyway, see
     the module docstring)."""
-    from ..operators.dedup import _capped_bands
+    from ..operators.dedup import _cap_bands, _simhash_bands
     from ..operators.registry import load
     from ..operators.text import simhash_sig
 
     d = load(spark, sf_dir, "documents")
-    return _capped_bands(
-        # checkpoint=False (ADVICE r11): the eager cut below is the one
-        # copy every micro-batch reuses — the inner band-explode cut
-        # would pin the UNCAPPED rows in the block store a second time
-        simhash_sig(d.filter(_store_pred(F.col("source"))), spark),
-        checkpoint=False,
+    # EAGER inner cut (r12 review): the band rows feed the bucket-size
+    # pass AND the cap join, so without a cut the Arrow signature tally
+    # — the dominant cost — would run twice while the outer checkpoint
+    # materializes. The inner blocks are dropped by the ContextCleaner
+    # once `bands` goes out of scope (the returned capped copy has its
+    # own truncated lineage), so the ADVICE r11 concern — holding the
+    # uncapped rows for the stream's whole lifetime — stays closed.
+    bands = _simhash_bands(
+        simhash_sig(d.filter(_store_pred(F.col("source"))), spark)
     ).localCheckpoint(eager=True)
+    return _cap_bands(bands).localCheckpoint(eager=True)
 
 
 def _run_probe_phase(
@@ -337,55 +342,44 @@ def _init_store_bands_dir(spark: SparkSession, sf_dir: str) -> str:
     return store_dir
 
 
-def _current_store_bands(
-    spark: SparkSession, store_dir: str, before_src: int
-) -> DataFrame:
-    """The store as source ``before_src`` must see it: distinct band
-    rows (a replayed batch's re-append is absorbed here — at-least-once
-    parquet appends land exact duplicate rows) from strictly earlier
-    sources (a replayed batch's OWN rows, already appended by the first
-    attempt, are excluded here — without this filter a crash between
-    the bands append and the offset commit would make the replay probe
-    the batch against itself), hot-bucket-capped at the CURRENT
-    population, the same broadcast shape as dedup._capped_bands."""
-    from ..operators.dedup import _SIMHASH_MAX_BUCKET
-
-    bands = (
-        spark.read.schema(_STORE_BANDS_SCHEMA)
-        .parquet(store_dir)
-        .filter(F.col("src") < before_src)
-        .distinct()
-    )
-    sizes = bands.groupBy("bk", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
-    return bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= _SIMHASH_MAX_BUCKET)),
-        ["bk", "band_key"],
-    ).drop("bucket_n")
-
-
 def _probe_and_grow(
     spark: SparkSession,
     store_dir: str,
-    sig: DataFrame,
-    src: int,
+    batch_bands: DataFrame,
     out_dir: str,
 ) -> None:
-    """One ingest source's maintenance step, the unit the boundary and
-    Hypothesis lockstep tests drive directly: probe ``sig`` (that
-    source's (doc_id, simhash) rows) against the store AS OF strictly
-    earlier sources, append the top-50 pairs, then append the source's
-    own band rows so later sources see it. Probe first, grow second —
-    with the src-filtered store read the order is not load-bearing for
-    replay correctness, but it keeps a half-failed attempt's store
-    smaller."""
-    from ..operators.dedup import _banded_hamming_pairs, _simhash_bands
+    """One micro-batch's maintenance step, the unit the boundary and
+    Hypothesis lockstep tests drive directly: probe the batch's
+    PRE-BANDED rows (doc_id, simhash, bk, band_key, src — one or more
+    whole CONTIGUOUS ingest sources) against the store as of strictly
+    earlier sources via ``dedup._banded_prefix_pairs`` (ONE join for
+    the whole batch, cap evaluated per probe state — the r12 perf
+    pass: the per-source loop re-scanned and re-capped the store once
+    per source), append the top-50 pairs, then append the batch's own
+    band rows so later batches see them.
 
-    store = _current_store_bands(spark, store_dir, src)
-    pairs = _banded_hamming_pairs(probe=sig, sig_bands=store)
-    pairs.write.mode("append").parquet(out_dir)
-    _simhash_bands(sig).withColumn("src", F.lit(src)).write.mode("append").parquet(
-        store_dir
+    Replay idempotence: the store read keeps only src < min(batch) —
+    a replayed batch's own first-attempt rows (src ≥ min) are excluded,
+    so the replay probes the identical store state — and the DISTINCT
+    absorbs duplicated append rows. Probe first, grow second — not
+    load-bearing given the filter, but it keeps a half-failed
+    attempt's store smaller. ``batch_bands`` must be checkpointed
+    (it feeds the state list, the sizing pass, the probe side, and
+    the append)."""
+    from ..operators.dedup import _banded_prefix_pairs
+
+    min_src = batch_bands.agg(F.min("src").alias("m")).collect()[0]["m"]
+    if min_src is None:
+        return
+    store = (
+        spark.read.schema(_STORE_BANDS_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("src") < min_src)
+        .distinct()
     )
+    pairs = _banded_prefix_pairs(batch_bands, store)
+    pairs.write.mode("append").parquet(out_dir)
+    batch_bands.write.mode("append").parquet(store_dir)
 
 
 def _run_maintenance_phase(
@@ -397,13 +391,13 @@ def _run_maintenance_phase(
 ) -> None:
     """One bounded foreachBatch replay pass over the ingest chunks in
     ``watch_dir``, probing AND growing the banded store. Each
-    micro-batch is processed per-source in ascending order (a batch may
-    carry several whole ingest sources when n_chunks is small): source
-    s probes the store filtered to src < s, appends its top-50 pairs,
-    then appends its OWN band rows — so the store a later source reads
-    already holds every earlier one, whatever the chunking. The
-    driver-side loop is over the ≤ n_ingest DISTINCT sources in the
-    batch (a bounded scalar collect), not over rows."""
+    micro-batch (one or more whole CONTIGUOUS ingest sources — the
+    chunker's contiguity is what lets the whole batch probe in one
+    join with per-state caps) computes its signatures and band rows
+    ONCE, probes the store as of its earliest source, and appends its
+    bands back — so the store a later batch reads already holds every
+    earlier batch, whatever the chunking."""
+    from ..operators.dedup import _simhash_bands
     from ..operators.text import simhash_sig
 
     raw = (
@@ -413,17 +407,16 @@ def _run_maintenance_phase(
     )
 
     def _maint_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        srcs = sorted(
-            r["src"] for r in batch_df.select("src").distinct().collect()
+        # the band rows feed four consumers (state list, sizing, probe
+        # side, store append) — cut once so the Arrow tally runs once
+        # per micro-batch (executor-loss/pre-AQE caveat as elsewhere;
+        # a lost block here re-runs one micro-batch's tally)
+        batch_bands = (
+            _simhash_bands(simhash_sig(batch_df, spark))
+            .join(batch_df.select("doc_id", "src"), "doc_id")
+            .localCheckpoint(eager=True)
         )
-        for s in srcs:
-            sub = batch_df.filter(F.col("src") == s)
-            # the signature feeds BOTH the probe join and the band
-            # append — cut once so the Arrow tally runs once per
-            # sub-batch (executor-loss/pre-AQE caveat as elsewhere;
-            # a lost block here re-runs one micro-batch's tally)
-            sig = simhash_sig(sub, spark).localCheckpoint(eager=True)
-            _probe_and_grow(spark, store_dir, sig, s, out_dir)
+        _probe_and_grow(spark, store_dir, batch_bands, out_dir)
 
     writer = raw.writeStream.foreachBatch(_maint_batch)
     if checkpoint_dir is not None:

@@ -206,32 +206,42 @@ def _neardup_probe_join(spark):
     )
 
 
-#: streaming_neardup_store_maintenance's per-source step against the
-#: PERSISTED banded store — built here exactly as _probe_and_grow
-#: builds it for the first ingest source (store state = history only).
+#: streaming_neardup_store_maintenance's per-micro-batch step against
+#: the PERSISTED banded store — built here exactly as _probe_and_grow
+#: builds it for the whole ingest as one batch.
 def _neardup_maintenance_join(spark):
     from pyspark.sql import functions as F
 
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
-        _banded_hamming_pairs,
+        _banded_prefix_pairs,
+        _simhash_bands,
         _NEARDUP_STORE_SOURCES,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         simhash_sig,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
-        _current_store_bands,
+        _STORE_BANDS_SCHEMA,
         _init_store_bands_dir,
         _store_pred,
+        _src_num,
     )
 
     store_dir = _init_store_bands_dir(spark, SF)
     docs = registry.load(spark, SF, "documents")
-    batch = docs.filter(~_store_pred(F.col("source"))).select("doc_id", "text")
-    return _banded_hamming_pairs(
-        probe=simhash_sig(batch, spark),
-        sig_bands=_current_store_bands(spark, store_dir, _NEARDUP_STORE_SOURCES),
+    batch = docs.filter(~_store_pred(F.col("source"))).select(
+        "doc_id", "text", _src_num(F.col("source")).alias("src")
     )
+    batch_bands = _simhash_bands(simhash_sig(batch, spark)).join(
+        batch.select("doc_id", "src"), "doc_id"
+    )
+    store = (
+        spark.read.schema(_STORE_BANDS_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("src") < _NEARDUP_STORE_SOURCES)
+        .distinct()
+    )
+    return _banded_prefix_pairs(batch_bands, store)
 
 
 EXTRA_SHOWCASE = {
@@ -249,17 +259,20 @@ EXTRA_SHOWCASE = {
         ),
         _neardup_probe_join,
     ),
-    "streaming_neardup_store_maintenance (per-source store probe)": (
+    "streaming_neardup_store_maintenance (per-micro-batch store probe)": (
         (
-            "The maintained-store step each accepted ingest source runs "
-            "(r12): the store is READ PRE-BANDED from its persisted parquet "
-            "form — the scan's schema is the band-row layout, no re-explode "
-            "— filtered to strictly-earlier sources (replay idempotence), "
-            "DISTINCT-deduped (at-least-once appends), hot-bucket-capped at "
-            "the CURRENT population via a BroadcastHashJoin, then equi-"
-            "joined by the batch's signatures on (bk, band_key). Per-batch "
-            "work stays linear as the store grows because the cap bounds "
-            "every bucket a probe row can touch."
+            "The maintained-store step each ingest micro-batch runs (r12, "
+            "whole-batch form): the store is READ PRE-BANDED from its "
+            "persisted parquet form — no re-explode — filtered to sources "
+            "before the batch (replay idempotence), DISTINCT-deduped "
+            "(at-least-once appends), then equi-joined by the batch's band "
+            "rows on (bk, band_key) with the source ordering as a post-join "
+            "predicate. The per-PROBE-STATE hot-bucket population is one "
+            "windowed exclusive running sum over the aggregated (bucket, "
+            "src) counts — no state-expansion join — and the surviving cap "
+            "table applies as a BroadcastHashJoin. Per-batch work stays "
+            "linear as the store grows because the cap bounds every bucket "
+            "a probe row can touch."
         ),
         _neardup_maintenance_join,
     ),

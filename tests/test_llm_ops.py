@@ -1217,13 +1217,15 @@ def test_banded_probe_mode_matches_oracle_property(spark):
     _prop()
 
 
-def _run_maint_over_sig_rows(spark, rows):
+def _run_maint_over_sig_rows(spark, rows, batch_size=1):
     """Drive the REAL maintenance building blocks (_probe_and_grow over
-    a parquet band store, ascending per-source) over handcrafted
-    (doc_id, simhash, src) rows — the signature-level twin of
-    stream_neardup_store_maintenance minus simhash_sig and the stream
-    transport, for boundary/property lockstep against
-    _BANDED_MAINT_SQL_TAIL."""
+    a parquet band store, micro-batches of ``batch_size`` CONTIGUOUS
+    ascending sources) over handcrafted (doc_id, simhash, src) rows —
+    the signature-level twin of stream_neardup_store_maintenance minus
+    simhash_sig and the stream transport, for boundary/property
+    lockstep against _BANDED_MAINT_SQL_TAIL. batch_size > 1 exercises
+    the whole-batch per-state-cap join (the r12 perf form) with
+    intra-batch cross-source pairs."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -1257,9 +1259,16 @@ def _run_maint_over_sig_rows(spark, rows):
         ingest_srcs = sorted(
             {s for _, _, s in rows if s >= _NEARDUP_STORE_SOURCES}
         )
-        for s in ingest_srcs:
-            sub = sig_df.filter(F.col("src") == s).select("doc_id", "simhash")
-            _probe_and_grow(spark, store_dir, sub, s, out_dir)
+        # contiguous ascending batches, like the chunker delivers them
+        for i in range(0, len(ingest_srcs), batch_size):
+            batch = ingest_srcs[i : i + batch_size]
+            sub = sig_df.filter(F.col("src").isin(batch))
+            batch_bands = (
+                _simhash_bands(sub)
+                .join(sub.select("doc_id", "src"), "doc_id")
+                .localCheckpoint(eager=True)
+            )
+            _probe_and_grow(spark, store_dir, batch_bands, out_dir)
         return [tuple(r) for r in _final_pairs(spark, out_dir).collect()]
     finally:
         _shutil.rmtree(root, ignore_errors=True)
@@ -1339,6 +1348,10 @@ def test_banded_maint_tail_dialects_agree_on_boundaries(spark):
     got = _run_maint_over_sig_rows(spark, rows)
     want = _duck_maint_over_sig_rows(rows)
     assert got == want, (got, want)
+    # the whole-batch form (several contiguous sources per micro-batch,
+    # per-state caps + intra-batch cross-source pairs in ONE join) must
+    # produce the identical answer
+    assert _run_maint_over_sig_rows(spark, rows, batch_size=3) == want
 
     pairs = {(a, b): h for a, b, h in got}
     assert pairs.get((1000, 1)) == 12  # hamming exactly 12 survives
@@ -1380,12 +1393,12 @@ def test_banded_maint_tail_matches_oracle_property(spark):
     )
 
     @settings(max_examples=6, deadline=None)
-    @given(rows=rows)
-    def _prop(rows):
+    @given(rows=rows, batch_size=st.sampled_from([1, 2]))
+    def _prop(rows, batch_size):
         sig_rows = [(i, s, src) for i, (s, src) in enumerate(rows)]
-        got = _run_maint_over_sig_rows(spark, sig_rows)
+        got = _run_maint_over_sig_rows(spark, sig_rows, batch_size=batch_size)
         want = _duck_maint_over_sig_rows(sig_rows)
-        assert got == want, (sig_rows, got, want)
+        assert got == want, (sig_rows, batch_size, got, want)
 
     _prop()
 
@@ -1443,7 +1456,15 @@ def test_y4m_header_fuzz():
 
     _prop()
 
-    # the specific hole the patrol found, pinned as regression cases
-    for bad in (b"YUV4MPEG2 W-1 H-6\n", b"YUV4MPEG2 W-2 H-2\n", b"YUV4MPEG2 W0 H5\n"):
+    # the specific holes found (fuzz patrol: negative pairs; review
+    # pass: int()'s Python-only spellings), pinned as regression cases
+    for bad in (
+        b"YUV4MPEG2 W-1 H-6\n",
+        b"YUV4MPEG2 W-2 H-2\n",
+        b"YUV4MPEG2 W0 H5\n",
+        b"YUV4MPEG2 W1_0 H2\n",
+        b"YUV4MPEG2 W+2 H2\n",
+        b"YUV4MPEG2 W 2 H2\n",
+    ):
         with pytest.raises(ValueError):
             _y4m_header(bad)

@@ -861,18 +861,24 @@ def test_banded_probe_mode_is_equi_join_with_broadcast_cap(spark):
 
 
 def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path):
-    """r12 maintained-store plan pin: each ingest source's probe against
-    the persisted banded store must stay an EQUI join on (bk, band_key)
-    with the per-state hot-bucket cap as a BROADCAST join — the same
-    shape as the immutable-store probe, reading the store from parquet
-    (no re-explode: the scan's schema is the band-row schema, not raw
-    signatures)."""
+    """r12 maintained-store plan pin (whole-batch form): the micro-batch
+    probes the persisted banded store in ONE join — an EQUI join on
+    (bk, band_key) with the source ordering as a post-join predicate,
+    never a probe x store cartesian — and the per-state cap table
+    (bounded at |batch sources| x bands x 2^band_bits rows whatever the
+    corpus size) applies as a BROADCAST join. The store arrives
+    PRE-BANDED from parquet: no re-explode, band-row read schema."""
     from pyspark.sql import functions as F
 
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _banded_prefix_pairs,
+        _simhash_bands,
+    )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
-        _current_store_bands,
+        _STORE_BANDS_SCHEMA,
         _init_store_bands_dir,
         _store_pred,
+        _src_num,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         simhash_sig,
@@ -880,18 +886,29 @@ def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path)
 
     store_dir = _init_store_bands_dir(spark, SF_SMOKE)
     docs = registry.load(spark, SF_SMOKE, "documents")
-    probe = simhash_sig(docs.filter(~_store_pred(F.col("source"))), spark)
-    df = dedup._banded_hamming_pairs(
-        probe=probe, sig_bands=_current_store_bands(spark, store_dir, 10)
+    batch_docs = docs.filter(~_store_pred(F.col("source"))).select(
+        "doc_id", "text", _src_num(F.col("source")).alias("src")
     )
+    batch_bands = _simhash_bands(simhash_sig(batch_docs, spark)).join(
+        batch_docs.select("doc_id", "src"), "doc_id"
+    )
+    store = (
+        spark.read.schema(_STORE_BANDS_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("src") < 10)
+        .distinct()
+    )
+    df = _banded_prefix_pairs(batch_bands, store)
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "BroadcastHashJoin" in strategies  # the per-state cap
     plan = formatted_plan(df)
-    # the store arrives pre-banded from parquet: the probe side is the
-    # only simhash pipeline in the plan (one tree node — the formatted
-    # detail section repeats the name), and the store scan reads the
-    # band-row columns
+    # the store arrives pre-banded: the probe side is the ONLY simhash
+    # pipeline in the plan (one Arrow tally node — the union's lazy
+    # checkpoint surfaces the store as an RDD scan, so ReadSchema
+    # pruning is asserted on the documents side instead)
     assert plan.count("MapInPandas (") == 1, plan
-    assert any("band_key" in cols for cols in read_schemas(df)), read_schemas(df)
+    # per-state cap = one windowed running sum, no state-expansion join
+    assert "Window" in plan
+    assert any(cols == ["doc_id", "text", "source"] for cols in read_schemas(df))

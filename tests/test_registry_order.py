@@ -56,11 +56,12 @@ ROUND12_CHANGED_IDS = [
     # these two ride the migrated _SIMHASH_SIG_SQL_CTES
     "text_simhash",
     "simhash_near_pairs",
-    # ...and these four migrate their own oracles/impls directly
+    # ...and these five migrate their own oracles/impls directly
     "doc_fingerprint",
     "text_token_count",
     "text_quality_score",
     "vocab_oov_rate",
+    "source_vocab_overlap",
     # _capped_bands grew checkpoint= (ADVICE r11 item 4): helper
     # signature growth recertifies the banded-tail consumers
     "image_phash_neardup",
@@ -73,9 +74,10 @@ ROUND12_CHANGED_IDS = [
 ]
 
 #: oldest-first refresh: the r8 cohort (staleness 4 entering r12).
-#: vocab_oov_rate sits in the changed tier; the four alphabetically
+#: vocab_oov_rate sits in the changed tier; the five alphabetically
 #: last residents (user_event_paths, value_counts_topk,
-#: window_lag_value_delta, zscore_normalize) are evicted to lead r13.
+#: window_group_median_fill, window_lag_value_delta, zscore_normalize)
+#: are evicted to lead r13.
 ROUND12_R8_COHORT_IDS = [
     "asof_join_attribution",
     "cohort_retention",
@@ -107,7 +109,6 @@ ROUND12_R8_COHORT_IDS = [
     "stratified_hash_sample",
     "trend_group_avg_sort",
     "two_level_agg",
-    "window_group_median_fill",
 ]
 
 
@@ -144,9 +145,10 @@ def test_no_registry_entry_left_unchecked_after_r12():
 
 def test_r12_window_covers_every_pre_r8_certification():
     """The oldest-first policy invariant: after r12 lands green, no
-    op's latest driver certification is older than round 8 (the two
-    evicted r8 residents — window_lag_value_delta, zscore_normalize —
-    keep their r8 rows and lead the r13 window)."""
+    op's latest driver certification is older than round 8 (the five
+    evicted r8 residents — user_event_paths, value_counts_topk,
+    window_group_median_fill, window_lag_value_delta, zscore_normalize
+    — keep their r8 rows and lead the r13 window)."""
     import glob
     import json
     import os

@@ -230,8 +230,10 @@ def test_vertical_tab_is_the_known_dialect_divergence(spark):
     _SIMHASH_SIG_SQL_CTES (and their four oracle riders),
     doc_fingerprint, text_token_count, text_quality_score,
     vocab_oov_rate are migrated and agreement-pinned
-    (test_ascii_pair_dialects_agree_on_vertical_tab). This pin now
-    guards the 16 LEGACY consumers named in the r13 plan
+    (test_ascii_pair_dialects_agree_on_vertical_tab); source_vocab_overlap
+    joined the tranche in the round's review pass. This pin now guards
+    the 15 LEGACY consumers (+ doc_chunk_explode's inline \S+) named
+    in the r13 plan
     (operators/__init__.py rotation comment); when tranche 2 migrates
     them and deletes the legacy pair, DELETE THIS TEST with it — the
     agreement pins remain."""

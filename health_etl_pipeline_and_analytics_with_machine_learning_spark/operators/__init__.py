@@ -92,8 +92,13 @@ _RECHECK_FIRST = [
     #   _y4m_header hardened (r12 fuzz patrol, VERDICT r11 item 7:
     #   negative-dimension headers were ACCEPTED instead of raising
     #   into the opaque quarantine) — its two consumers recertify —
+    #   and the sibling sweep then hardened _ppm_parse (int()-leniency
+    #   header numbers, unchecked maxval) and _bmp_parse (pixel offset
+    #   inside the header), so their decode ops recertify too —
     "multimodal_decode_dispatch",
     "video_frame_sample",
+    "multimodal_ppm_decode",
+    "multimodal_bmp_decode",
     # — r8-cohort tier (policy b: oldest-first, alphabetical within
     #   the equal-staleness tie; vocab_oov_rate and source_vocab_overlap
     #   count in the changed tier above, and the FIVE alphabetically-
@@ -130,12 +135,11 @@ _RECHECK_FIRST = [
     "set_intersect_except",
     "set_ops_bag_semantics",
     "stratified_hash_sample",
-    "trend_group_avg_sort",
-    "two_level_agg",
     # — r13 window core (planned now so rotation stays mechanical):
-    #   FIRST the five evicted r8 residents (user_event_paths,
-    #   value_counts_topk, window_group_median_fill,
-    #   window_lag_value_delta, zscore_normalize),
+    #   FIRST the seven evicted r8 residents (trend_group_avg_sort,
+    #   two_level_agg, user_event_paths, value_counts_topk,
+    #   window_group_median_fill, window_lag_value_delta,
+    #   zscore_normalize),
     #   then the 16-op tokenizer tranche 2 (15 legacy-pair consumers +
     #   doc_chunk_explode's inline \S+) named
     #   above (every one is changed-text in r13 by construction), then

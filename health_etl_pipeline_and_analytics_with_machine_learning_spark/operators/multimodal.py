@@ -171,7 +171,13 @@ def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
     after maxval, then raw data. Returns (w, h, maxval, file_size,
     pixel mean with round_cmp's pinned tie-break). Malformed payloads
     raise ValueError (never assert — ``python -O`` strips asserts and
-    would turn truncation into a silently wrong px_mean)."""
+    would turn truncation into a silently wrong px_mean).
+
+    Header numbers must be CANONICAL decimals (r12, the same
+    int()-leniency class the _y4m_header fuzz patrol surfaced: bare
+    int() accepts b'1_0' and b'+2', so junk would classify as ppm with
+    dimensions no PPM writer ever spells), and maxval must sit in the
+    spec's (0, 65536) range."""
     import math
 
     if b[:2] != b"P6":
@@ -187,11 +193,16 @@ def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
         start = pos
         while pos < len(b) and not b[pos : pos + 1].isspace():
             pos += 1
-        toks.append(int(b[start:pos]))
+        tok = b[start:pos]
+        if not tok.isdigit():  # ASCII bytes: isdigit == [0-9]+, nonempty
+            raise ValueError("malformed PPM header number")
+        toks.append(int(tok))
     pos += 1  # exactly one whitespace byte separates maxval from data
     w, h, maxval = toks
     if w <= 0 or h <= 0:
         raise ValueError("non-positive PPM dimensions")
+    if not 0 < maxval < 65536:
+        raise ValueError("PPM maxval out of range")
     n_px = w * h * 3
     data = b[pos : pos + n_px]
     if len(data) != n_px:
@@ -317,6 +328,12 @@ def _bmp_parse(b: bytes) -> tuple[int, int, int, int, float]:
         # it, so the parser treats it as unsupported rather than
         # silently aggregating an empty pixel window
         raise ValueError("non-positive BMP dimensions")
+    if off < 54:
+        # r12 (the _y4m_header patrol's sibling sweep): an offset
+        # pointing inside the 54-byte BITMAPINFOHEADER layout would
+        # silently aggregate header bytes as "pixels" — junk accepted
+        # as bmp instead of falling to the opaque quarantine
+        raise ValueError("BMP pixel offset inside the header")
     row = w * 3
     pad = (4 - row % 4) % 4
     if len(b) < off + h * (row + pad):

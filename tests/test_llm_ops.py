@@ -1468,3 +1468,95 @@ def test_y4m_header_fuzz():
     ):
         with pytest.raises(ValueError):
             _y4m_header(bad)
+
+
+def test_container_parser_fuzz_ppm_bmp_wav():
+    """Sibling sweep of the _y4m_header patrol (r12): for arbitrary
+    junk AND adversarial header-shaped payloads, each container parser
+    either returns sane values or raises within the dispatch's
+    quarantine classes (ValueError / struct.error) — never another
+    exception, never a nonsense acceptance. Found and fixed in the
+    sweep: _ppm_parse accepted int()'s Python-only spellings
+    ('1_0', '+2') in header numbers and any maxval; _bmp_parse accepted
+    a pixel offset pointing inside the 54-byte header (aggregating
+    header bytes as pixels)."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
+        _bmp_parse,
+        _ppm_parse,
+        _wav_parse,
+    )
+
+    num = st.one_of(
+        st.integers(min_value=-3, max_value=300).map(str),
+        st.sampled_from(["1_0", "+2", "-0", "", "0x10", "７", "2e1"]),
+    )
+    ppmish = st.builds(
+        lambda a, b_, c, tail: f"P6 {a} {b_} {c} ".encode() + tail,
+        num,
+        num,
+        num,
+        st.binary(max_size=96),
+    )
+    bmpish = st.builds(
+        lambda off, w, h, bpp, tail: b"BM"
+        + struct.pack("<IHHI", 0, 0, 0, off)
+        + struct.pack("<IiiHH", 40, w, h, 1, bpp)
+        + b"\x00" * 24
+        + tail,
+        st.integers(min_value=0, max_value=120),
+        st.integers(min_value=-4, max_value=6),
+        st.integers(min_value=-4, max_value=6),
+        st.sampled_from([24, 1, 0]),
+        st.binary(max_size=160),
+    )
+    wavish = st.builds(
+        lambda codec, ch, bits, dlen, tail: b"RIFF\x00\x00\x00\x00WAVE"
+        + struct.pack("<4sIHHI", b"fmt ", 16, codec, ch, 8000)
+        + b"\x00" * 6
+        + struct.pack("<H", bits)
+        + struct.pack("<4sI", b"data", dlen)
+        + tail,
+        st.sampled_from([1, 0, 7]),
+        st.sampled_from([1, 2]),
+        st.sampled_from([16, 8]),
+        st.integers(min_value=0, max_value=64),
+        st.binary(max_size=96),
+    )
+    junk = st.one_of(st.binary(max_size=128), ppmish, bmpish, wavish)
+
+    @settings(max_examples=300, deadline=None)
+    @given(b=junk)
+    def _prop(b):
+        try:
+            w, h, maxval, _size, _mean = _ppm_parse(b)
+            assert w > 0 and h > 0 and 0 < maxval < 65536, b
+        except (ValueError, struct.error):
+            pass
+        try:
+            w, h, _bpp, _size, _mean = _bmp_parse(b)
+            assert w > 0 and h > 0, b
+        except (ValueError, struct.error):
+            pass
+        try:
+            _rate, n, size, _mean = _wav_parse(b)
+            assert n > 0 and size <= len(b) + 44, b
+        except (ValueError, struct.error):
+            pass
+
+    _prop()
+
+    # the specific holes the sweep found, pinned as regression cases
+    for bad in (b"P6 1_0 2 255 " + b"\x00" * 96, b"P6 +2 2 255 " + b"\x00" * 96,
+                b"P6 2 2 0 " + b"\x00" * 96, b"P6 2 2 99999 " + b"\x00" * 96):
+        with pytest.raises(ValueError):
+            _ppm_parse(bad)
+    inside_header = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 2)
+        + struct.pack("<IiiHH", 40, 2, 2, 1, 24) + b"\x00" * 64
+    )
+    with pytest.raises(ValueError):
+        _bmp_parse(inside_header)

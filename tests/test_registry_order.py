@@ -68,16 +68,19 @@ ROUND12_CHANGED_IDS = [
     "audio_fingerprint_neardup",
     # _y4m_header hardened (r12 fuzz patrol: negative-dimension headers
     # were accepted instead of raising into the opaque quarantine) —
-    # its two consumers recertify
+    # its two consumers recertify — and the sibling sweep hardened
+    # _ppm_parse / _bmp_parse, so their decode ops recertify too
     "multimodal_decode_dispatch",
     "video_frame_sample",
+    "multimodal_ppm_decode",
+    "multimodal_bmp_decode",
 ]
 
 #: oldest-first refresh: the r8 cohort (staleness 4 entering r12).
-#: vocab_oov_rate sits in the changed tier; the five alphabetically
-#: last residents (user_event_paths, value_counts_topk,
-#: window_group_median_fill, window_lag_value_delta, zscore_normalize)
-#: are evicted to lead r13.
+#: vocab_oov_rate sits in the changed tier; the seven alphabetically
+#: last residents (trend_group_avg_sort, two_level_agg,
+#: user_event_paths, value_counts_topk, window_group_median_fill,
+#: window_lag_value_delta, zscore_normalize) are evicted to lead r13.
 ROUND12_R8_COHORT_IDS = [
     "asof_join_attribution",
     "cohort_retention",
@@ -107,8 +110,6 @@ ROUND12_R8_COHORT_IDS = [
     "set_intersect_except",
     "set_ops_bag_semantics",
     "stratified_hash_sample",
-    "trend_group_avg_sort",
-    "two_level_agg",
 ]
 
 
@@ -145,10 +146,11 @@ def test_no_registry_entry_left_unchecked_after_r12():
 
 def test_r12_window_covers_every_pre_r8_certification():
     """The oldest-first policy invariant: after r12 lands green, no
-    op's latest driver certification is older than round 8 (the five
-    evicted r8 residents — user_event_paths, value_counts_topk,
-    window_group_median_fill, window_lag_value_delta, zscore_normalize
-    — keep their r8 rows and lead the r13 window)."""
+    op's latest driver certification is older than round 8 (the seven
+    evicted r8 residents — trend_group_avg_sort, two_level_agg,
+    user_event_paths, value_counts_topk, window_group_median_fill,
+    window_lag_value_delta, zscore_normalize — keep their r8 rows and
+    lead the r13 window)."""
     import glob
     import json
     import os

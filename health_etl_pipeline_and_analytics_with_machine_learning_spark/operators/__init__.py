@@ -101,12 +101,12 @@ _RECHECK_FIRST = [
     "multimodal_bmp_decode",
     # — r8-cohort tier (policy b: oldest-first, alphabetical within
     #   the equal-staleness tie; vocab_oov_rate and source_vocab_overlap
-    #   count in the changed tier above, and the FIVE alphabetically-
-    #   last residents (user_event_paths, value_counts_topk,
-    #   window_group_median_fill, window_lag_value_delta,
-    #   zscore_normalize) are evicted to r13 to fund the recert slots —
-    #   they lead the r13 window together with the tranche-2
-    #   migration) —
+    #   count in the changed tier above, and the SEVEN alphabetically-
+    #   last residents (trend_group_avg_sort, two_level_agg,
+    #   user_event_paths, value_counts_topk, window_group_median_fill,
+    #   window_lag_value_delta, zscore_normalize) are evicted to r13
+    #   to fund the recert slots — they lead the r13 window together
+    #   with the tranche-2 migration) —
     "asof_join_attribution",
     "cohort_retention",
     "corr_matrix",

@@ -555,6 +555,17 @@ def _simhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.bk", "b.band_key")
 
 
+def _bands_with_src(sig: DataFrame, src_of: DataFrame) -> DataFrame:
+    """Band rows carrying the ingest source number — THE one
+    construction of the maintained store's row layout (doc_id, simhash,
+    bk, band_key, src): :func:`_simhash_bands` over ``sig`` joined back
+    to ``src_of``'s (doc_id, src) map. Extracted (r12 second review:
+    the idiom had been inlined five times across the streaming module,
+    the plan showcase, and three tests — any change to how src attaches
+    would have had to move in lockstep everywhere)."""
+    return _simhash_bands(sig).join(src_of.select("doc_id", "src"), "doc_id")
+
+
 def _cap_bands(bands: DataFrame) -> DataFrame:
     """Hot-bucket cap over band rows (any source: a fresh explode or a
     persisted band table): broadcast bucket-size filter at
@@ -569,30 +580,21 @@ def _cap_bands(bands: DataFrame) -> DataFrame:
     ).drop("bucket_n")
 
 
-def _capped_bands(sig: DataFrame, checkpoint: bool = True) -> DataFrame:
+def _capped_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, simhash) → hot-bucket-capped band rows (doc_id, simhash,
-    bk, band_key): the store-side half of the banded tail, extracted
-    (r11 review) so the streaming probe can band + cap its signature
-    store ONCE and reuse it across micro-batches instead of rebuilding
-    it per foreachBatch call. Lazy-checkpointed band explode (bands
-    feed the bucket-size pass and the join side; a fresh call gets a
-    fresh RDD so repeated bench runs stay honest — executor-loss/
-    pre-AQE caveat as elsewhere), broadcast hot-bucket cap
-    (:func:`_cap_bands`).
+    bk, band_key): the self-join mode's store-side half of the banded
+    tail. Lazy-checkpointed band explode (bands feed the bucket-size
+    pass and the join side; a fresh call gets a fresh RDD so repeated
+    bench runs stay honest — executor-loss/pre-AQE caveat as
+    elsewhere), broadcast hot-bucket cap (:func:`_cap_bands`).
 
-    ``checkpoint=False`` (ADVICE r11) skips the inner cut — but the
-    r12 review showed that for a caller that merely eager-checkpoints
-    the capped RESULT, dropping the inner cut re-runs the signature
-    subtree (the Arrow tally — the dominant cost) once per consumer;
-    streaming/neardup._store_bands therefore builds its store from an
-    EAGER inner cut + :func:`_cap_bands` instead, releasing the inner
-    blocks to the ContextCleaner after the capped copy materializes.
-    ``checkpoint=False`` remains for callers whose input really is
-    cheap to recompute twice."""
-    bands = _simhash_bands(sig)
-    if checkpoint:
-        bands = bands.localCheckpoint(eager=False)
-    return _cap_bands(bands)
+    History note (ADVICE r11 → two r12 review passes): a ``checkpoint=``
+    opt-out was added for the streaming store build, shown to re-run
+    the Arrow tally once per consumer, and then removed as DEAD once
+    streaming/neardup._store_bands moved to its own eager-inner-cut +
+    :func:`_cap_bands` composition — callers that cannot afford the
+    lazy cut should compose those primitives directly the same way."""
+    return _cap_bands(_simhash_bands(sig).localCheckpoint(eager=False))
 
 
 def _banded_hamming_pairs(

@@ -176,8 +176,12 @@ def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
     Header numbers must be CANONICAL decimals (r12, the same
     int()-leniency class the _y4m_header fuzz patrol surfaced: bare
     int() accepts b'1_0' and b'+2', so junk would classify as ppm with
-    dimensions no PPM writer ever spells), and maxval must sit in the
-    spec's (0, 65536) range."""
+    dimensions no PPM writer ever spells), and maxval must sit in
+    (0, 256) — the 1-byte-per-sample range this reader implements: the
+    spec's 256..65535 values mean TWO bytes per sample, which the
+    second review pass showed this parser would silently misparse
+    (half the data read as 8-bit samples), so they are rejected as
+    unsupported the way _bmp_parse rejects top-down BMPs."""
     import math
 
     if b[:2] != b"P6":
@@ -201,8 +205,8 @@ def _ppm_parse(b: bytes) -> tuple[int, int, int, int, float]:
     w, h, maxval = toks
     if w <= 0 or h <= 0:
         raise ValueError("non-positive PPM dimensions")
-    if not 0 < maxval < 65536:
-        raise ValueError("PPM maxval out of range")
+    if not 0 < maxval < 256:
+        raise ValueError("unsupported PPM maxval (2-byte samples)")
     n_px = w * h * 3
     data = b[pos : pos + n_px]
     if len(data) != n_px:

@@ -327,18 +327,17 @@ def _init_store_bands_dir(spark: SparkSession, sf_dir: str) -> str:
     banded store the maintenance loop appends to: UNCAPPED band rows —
     the hot-bucket cap is recomputed per batch because the store (and
     so each bucket's population) grows as ingest is accepted."""
-    from ..operators.dedup import _simhash_bands
+    from ..operators.dedup import _bands_with_src
     from ..operators.registry import load
     from ..operators.text import simhash_sig
 
     store_dir = _mkdtemp("neardup_store_bands_")
     d = load(spark, sf_dir, "documents")
     hist = d.filter(_store_pred(F.col("source")))
-    sig = simhash_sig(hist, spark)
     src_of = hist.select("doc_id", _src_num(F.col("source")).cast("int").alias("src"))
-    _simhash_bands(sig).join(src_of, "doc_id").write.mode("overwrite").parquet(
-        store_dir
-    )
+    _bands_with_src(simhash_sig(hist, spark), src_of).write.mode(
+        "overwrite"
+    ).parquet(store_dir)
     return store_dir
 
 
@@ -397,7 +396,7 @@ def _run_maintenance_phase(
     ONCE, probes the store as of its earliest source, and appends its
     bands back — so the store a later batch reads already holds every
     earlier batch, whatever the chunking."""
-    from ..operators.dedup import _simhash_bands
+    from ..operators.dedup import _bands_with_src
     from ..operators.text import simhash_sig
 
     raw = (
@@ -411,11 +410,9 @@ def _run_maintenance_phase(
         # side, store append) — cut once so the Arrow tally runs once
         # per micro-batch (executor-loss/pre-AQE caveat as elsewhere;
         # a lost block here re-runs one micro-batch's tally)
-        batch_bands = (
-            _simhash_bands(simhash_sig(batch_df, spark))
-            .join(batch_df.select("doc_id", "src"), "doc_id")
-            .localCheckpoint(eager=True)
-        )
+        batch_bands = _bands_with_src(
+            simhash_sig(batch_df, spark), batch_df
+        ).localCheckpoint(eager=True)
         _probe_and_grow(spark, store_dir, batch_bands, out_dir)
 
     writer = raw.writeStream.foreachBatch(_maint_batch)

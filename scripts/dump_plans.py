@@ -214,7 +214,7 @@ def _neardup_maintenance_join(spark):
 
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
         _banded_prefix_pairs,
-        _simhash_bands,
+        _bands_with_src,
         _NEARDUP_STORE_SOURCES,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
@@ -232,9 +232,7 @@ def _neardup_maintenance_join(spark):
     batch = docs.filter(~_store_pred(F.col("source"))).select(
         "doc_id", "text", _src_num(F.col("source")).alias("src")
     )
-    batch_bands = _simhash_bands(simhash_sig(batch, spark)).join(
-        batch.select("doc_id", "src"), "doc_id"
-    )
+    batch_bands = _bands_with_src(simhash_sig(batch, spark), batch)
     store = (
         spark.read.schema(_STORE_BANDS_SCHEMA)
         .parquet(store_dir)

@@ -1233,7 +1233,7 @@ def _run_maint_over_sig_rows(spark, rows, batch_size=1):
 
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
         _NEARDUP_STORE_SOURCES,
-        _simhash_bands,
+        _bands_with_src,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
         _final_pairs,
@@ -1250,9 +1250,7 @@ def _run_maint_over_sig_rows(spark, rows, batch_size=1):
             if sig_df is not None
             else spark.createDataFrame([], schema)
         )
-        _simhash_bands(hist).join(hist.select("doc_id", "src"), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(store_dir)
+        _bands_with_src(hist, hist).write.mode("overwrite").parquet(store_dir)
         import os as _os
 
         _os.makedirs(out_dir, exist_ok=True)
@@ -1263,11 +1261,7 @@ def _run_maint_over_sig_rows(spark, rows, batch_size=1):
         for i in range(0, len(ingest_srcs), batch_size):
             batch = ingest_srcs[i : i + batch_size]
             sub = sig_df.filter(F.col("src").isin(batch))
-            batch_bands = (
-                _simhash_bands(sub)
-                .join(sub.select("doc_id", "src"), "doc_id")
-                .localCheckpoint(eager=True)
-            )
+            batch_bands = _bands_with_src(sub, sub).localCheckpoint(eager=True)
             _probe_and_grow(spark, store_dir, batch_bands, out_dir)
         return [tuple(r) for r in _final_pairs(spark, out_dir).collect()]
     finally:
@@ -1533,7 +1527,9 @@ def test_container_parser_fuzz_ppm_bmp_wav():
     def _prop(b):
         try:
             w, h, maxval, _size, _mean = _ppm_parse(b)
-            assert w > 0 and h > 0 and 0 < maxval < 65536, b
+            # maxval capped at the 1-byte-sample range the reader
+            # implements (2-byte-sample files would misparse silently)
+            assert w > 0 and h > 0 and 0 < maxval < 256, b
         except (ValueError, struct.error):
             pass
         try:
@@ -1551,9 +1547,16 @@ def test_container_parser_fuzz_ppm_bmp_wav():
 
     # the specific holes the sweep found, pinned as regression cases
     for bad in (b"P6 1_0 2 255 " + b"\x00" * 96, b"P6 +2 2 255 " + b"\x00" * 96,
-                b"P6 2 2 0 " + b"\x00" * 96, b"P6 2 2 99999 " + b"\x00" * 96):
+                b"P6 2 2 0 " + b"\x00" * 96, b"P6 2 2 99999 " + b"\x00" * 96,
+                # second review pass: spec-valid 16-bit maxval means TWO
+                # bytes per sample — this 1-byte reader must reject it,
+                # not average half the data as 8-bit samples
+                b"P6 2 2 256 " + b"\x00" * 96,
+                b"P6 2 2 65535 " + b"\x00" * 96):
         with pytest.raises(ValueError):
             _ppm_parse(bad)
+    w, h, maxval, _, _ = _ppm_parse(b"P6 2 2 255 " + b"\x00" * 12)
+    assert (w, h, maxval) == (2, 2, 255)  # the boundary's legal side
     inside_header = (
         b"BM" + struct.pack("<IHHI", 0, 0, 0, 2)
         + struct.pack("<IiiHH", 40, 2, 2, 1, 24) + b"\x00" * 64

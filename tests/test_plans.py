@@ -872,7 +872,7 @@ def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path)
 
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
         _banded_prefix_pairs,
-        _simhash_bands,
+        _bands_with_src,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
         _STORE_BANDS_SCHEMA,
@@ -889,9 +889,7 @@ def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path)
     batch_docs = docs.filter(~_store_pred(F.col("source"))).select(
         "doc_id", "text", _src_num(F.col("source")).alias("src")
     )
-    batch_bands = _simhash_bands(simhash_sig(batch_docs, spark)).join(
-        batch_docs.select("doc_id", "src"), "doc_id"
-    )
+    batch_bands = _bands_with_src(simhash_sig(batch_docs, spark), batch_docs)
     store = (
         spark.read.schema(_STORE_BANDS_SCHEMA)
         .parquet(store_dir)

@@ -73,8 +73,9 @@ _RECHECK_FIRST = [
     #   dedup_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
     #   doc_self_repetition, sequence_pack_scaled, sequence_pack_stats,
     #   split_leakage_ngram, truncation_loss_curve — plus
-    #   doc_chunk_explode, whose oracle INLINES the \S+ idiom instead
-    #   of consuming the shared pair) is PINNED for r13, after which
+    #   text_repetition_flags, whose oracle INLINES the \S+ idiom
+    #   instead of consuming the shared pair) is PINNED for r13, after
+    #   which
     #   the legacy pair is deleted and the divergence pin in
     #   tests/test_text_helpers.py flips to an agreement pin —
     "text_simhash",
@@ -141,7 +142,7 @@ _RECHECK_FIRST = [
     #   window_group_median_fill, window_lag_value_delta,
     #   zscore_normalize),
     #   then the 16-op tokenizer tranche 2 (15 legacy-pair consumers +
-    #   doc_chunk_explode's inline \S+) named
+    #   text_repetition_flags's inline \S+) named
     #   above (every one is changed-text in r13 by construction), then
     #   r13 changed-text, then the r9 cohort alphabetical with
     #   whatever slots remain (the 46-op r9 cohort will itself need

@@ -232,7 +232,7 @@ def test_vertical_tab_is_the_known_dialect_divergence(spark):
     vocab_oov_rate are migrated and agreement-pinned
     (test_ascii_pair_dialects_agree_on_vertical_tab); source_vocab_overlap
     joined the tranche in the round's review pass. This pin now guards
-    the 15 LEGACY consumers (+ doc_chunk_explode's inline \S+) named
+    the 15 LEGACY consumers (+ text_repetition_flags's inline \S+) named
     in the r13 plan
     (operators/__init__.py rotation comment); when tranche 2 migrates
     them and deletes the legacy pair, DELETE THIS TEST with it — the
@@ -461,3 +461,60 @@ def test_wordish_and_punct_class_dialects_agree_on_vertical_tab(spark):
     # \x0B is whitespace, not punct, on both: '!\x0B!' has 2 punct
     (p_vt,) = [r["p"] for r, t in zip(got, texts) if t == "!\x0b!"]
     assert p_vt == 2
+
+
+def test_legacy_pair_consumers_match_the_pinned_tranche2_plan():
+    """Burn-down drift guard (r12): the set of registry oracles still
+    interpolating the LEGACY \\s-based pair must equal EXACTLY the 15
+    ops pinned for tranche 2 in the r13 rotation plan, and the only
+    oracle inlining a raw \\S+ must be text_repetition_flags (this
+    guard's first run corrected the plan: the inline site had been
+    misattributed to doc_chunk_explode, which uses no \\s idiom at
+    all). New code must
+    adopt the explicit ASCII-class pair (this test fails if a fresh op
+    reaches for the legacy one), and migrating an op off the legacy
+    pair without updating the pinned plan fails it too — the r13
+    planner inherits a list that is correct by construction."""
+    import health_etl_pipeline_and_analytics_with_machine_learning_spark.operators  # noqa: F401
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        REGISTRY,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _NORM_SQL,
+    )
+
+    TRANCHE2 = {
+        "bpe_pair_counts",
+        "c4_heuristic_filter",
+        "contamination_ngram_check",
+        "corpus_curation",
+        "dedup_common_spans",
+        "dedup_connected_components",
+        "dedup_exact_text",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "doc_self_repetition",
+        "sequence_pack_scaled",
+        "sequence_pack_stats",
+        "split_leakage_ngram",
+        "truncation_loss_curve",
+    }
+    legacy_norm = {
+        n for n, q in REGISTRY.items() if q.oracle and _NORM_SQL in q.oracle
+    }
+    legacy_count = {
+        n for n, q in REGISTRY.items() if q.oracle and WS_TOKEN_COUNT_SQL in q.oracle
+    }
+    inline_ws = {
+        n
+        for n, q in REGISTRY.items()
+        if q.oracle
+        and "\\S+" in q.oracle
+        and WS_TOKEN_COUNT_SQL not in q.oracle
+        and _NORM_SQL not in q.oracle
+    }
+    assert legacy_norm | legacy_count == TRANCHE2, (
+        sorted((legacy_norm | legacy_count) ^ TRANCHE2)
+    )
+    assert inline_ws == {"text_repetition_flags"}, sorted(inline_ws)

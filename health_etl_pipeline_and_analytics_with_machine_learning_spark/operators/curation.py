@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rank_math import interp_col, rank_spec_col
 from .registry import load, query, round_cmp, round_cmp_sql
-from .text import _NORM_SQL, WS_TOKEN_COUNT_SQL, _norm, ws_token_count
+from .text import _NORM_ASCII_SQL, ASCII_TOKEN_COUNT_SQL, _norm_ascii, ascii_token_count
 
 
 @query(
@@ -34,9 +34,9 @@ from .text import _NORM_SQL, WS_TOKEN_COUNT_SQL, _norm, ws_token_count
     WITH scored AS (
       SELECT doc_id, lang, source,
              length(text) AS n_chars,
-             md5({_NORM_SQL}) AS fp,
+             md5({_NORM_ASCII_SQL}) AS fp,
              len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
-             {WS_TOKEN_COUNT_SQL} AS n_tokens
+             {ASCII_TOKEN_COUNT_SQL} AS n_tokens
       FROM documents
     ),
     quality AS (
@@ -61,13 +61,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → fingerprint-dedup → per-(lang, source) stats."""
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
-    n_tokens = ws_token_count()
+    n_tokens = ascii_token_count()
     scored = d.select(
         "doc_id",
         "lang",
         "source",
         F.length(t).alias("n_chars"),
-        F.md5(F.encode(_norm(t), "UTF-8")).alias("fp"),
+        F.md5(F.encode(_norm_ascii(t), "UTF-8")).alias("fp"),
         (F.regexp_count(t, F.lit("[A-Za-z]")) / F.length(t)).alias("alpha_ratio"),
         n_tokens.alias("n_tokens"),
     )
@@ -95,7 +95,7 @@ _DECON_SHINGLES_SQL = f"""
   SELECT DISTINCT doc_id, unnest(list_transform(
            generate_series(1, greatest(len(t) - {_DECON_N - 1}, 0)),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
-  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS t FROM documents)
 """
 
 
@@ -134,7 +134,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.split(_norm(F.col("text")), " ").alias("t")
+        "doc_id", F.split(_norm_ascii(F.col("text")), " ").alias("t")
     )
     t = F.col("t")
     starts = F.when(
@@ -187,9 +187,9 @@ _MAX_WORD_LEN = 20
     oracle=f"""
     WITH m AS (
       SELECT source,
-             CASE WHEN regexp_matches({_NORM_SQL}, '{_BLOCKLIST}') THEN 1 ELSE 0 END AS f_block,
-             CASE WHEN len(regexp_split_to_array({_NORM_SQL}, ' ')) < {_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
-             CASE WHEN list_max(list_transform(regexp_split_to_array({_NORM_SQL}, ' '),
+             CASE WHEN regexp_matches({_NORM_ASCII_SQL}, '{_BLOCKLIST}') THEN 1 ELSE 0 END AS f_block,
+             CASE WHEN len(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) < {_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN list_max(list_transform(regexp_split_to_array({_NORM_ASCII_SQL}, ' '),
                                                x -> length(x))) > {_MAX_WORD_LEN} THEN 1 ELSE 0 END AS f_longword
       FROM documents
     )
@@ -218,7 +218,7 @@ def c4_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fire on the synthetic vocabulary.
     """
     d = load(spark, sf_dir, "documents")
-    norm = _norm(F.col("text"))
+    norm = _norm_ascii(F.col("text"))
     toks = F.split(norm, " ")
     f_block = norm.rlike(_BLOCKLIST).cast("int")
     f_short = (F.size(toks) < _MIN_TOKENS).cast("int")
@@ -505,7 +505,7 @@ _LEAKN_SH_SQL = f"""
       SELECT DISTINCT doc_id, md5(g) AS h FROM (
         SELECT doc_id, unnest({word3_shingles_sql("toks")}) AS g
         FROM (SELECT doc_id,
-                     regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+                     regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS toks
               FROM documents)
       )
 """
@@ -604,7 +604,7 @@ def _leakage_ngram_audit(d: DataFrame, cap: int = _LEAKN_CAP) -> DataFrame:
         < _LEAKN_SPLIT_HEX
     )
     toks = d.select(
-        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+        "doc_id", F.split(_norm_ascii(F.col("text")), " ").alias("toks")
     )
     sh0 = (
         toks.select(

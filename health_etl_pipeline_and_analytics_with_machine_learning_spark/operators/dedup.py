@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 
 from .registry import load, query, spread
 from .text import (
-    _NORM_SQL,
+    _NORM_ASCII_SQL,
     _SIMHASH_SIG_SQL_CTES,
-    _norm,
+    _norm_ascii,
     word3_shingles,
     word3_shingles_sql,
 )
@@ -34,7 +34,7 @@ from .text import (
 @query(
     "dedup_exact_text",
     oracle=f"""
-    WITH n AS (SELECT text, {_NORM_SQL} AS norm FROM documents)
+    WITH n AS (SELECT text, {_NORM_ASCII_SQL} AS norm FROM documents)
     SELECT COUNT(*) AS n_total,
            COUNT(DISTINCT text) AS n_distinct_text,
            COUNT(DISTINCT norm) AS n_distinct_norm,
@@ -48,7 +48,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation on the text (or better, its fingerprint) — at scale
     you group on md5(text) so shuffle rows are 16 bytes, not documents."""
     d = load(spark, sf_dir, "documents").select(
-        "text", _norm(F.col("text")).alias("norm")
+        "text", _norm_ascii(F.col("text")).alias("norm")
     )
     return d.agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -76,7 +76,7 @@ _SHINGLES_RAW_SQL = f"""
         SELECT doc_id, lang,
                unnest({word3_shingles_sql("toks")}) AS sh
         FROM (SELECT doc_id, lang,
-                     regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+                     regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS toks
               FROM documents)
       ) GROUP BY doc_id, lang, sh
 """
@@ -117,7 +117,7 @@ def _shingle_index(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     because the consumer references it more than once.
     """
     tok_tbl = d.select(
-        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
+        "doc_id", "lang", F.split(_norm_ascii(F.col("text")), " ").alias("toks")
     )
     sh = (
         tok_tbl.select(
@@ -203,7 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle=f"""
     WITH fp AS (
-      SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+      SELECT doc_id, source, md5({_NORM_ASCII_SQL}) AS fp FROM documents
     ),
     hist AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
     new_batch AS (SELECT * FROM fp WHERE source <> 'src0')
@@ -232,7 +232,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     fp = d.select(
-        "doc_id", "source", F.md5(F.encode(_norm(F.col("text")), "UTF-8")).alias("fp")
+        "doc_id", "source", F.md5(F.encode(_norm_ascii(F.col("text")), "UTF-8")).alias("fp")
     )
     hist = fp.filter(F.col("source") == "src0").select("fp").distinct()
     new_batch = fp.filter(F.col("source") != "src0")
@@ -261,7 +261,7 @@ SPAN_MIN_DOCS = 3  # spans in fewer docs aren't boilerplate
     "dedup_common_spans",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS t FROM documents
     ),
     spans AS (
       SELECT doc_id, sp FROM (
@@ -296,7 +296,7 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-comparable.
     """
     d = load(spark, sf_dir, "documents")
-    tok_tbl = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("t"))
+    tok_tbl = d.select("doc_id", F.split(_norm_ascii(F.col("text")), " ").alias("t"))
     t = F.col("t")
     # NB: F.sequence(1, 0) yields a DESCENDING [1, 0] in Spark (it is not
     # empty like DuckDB's generate_series) — docs shorter than the window
@@ -340,7 +340,7 @@ _UH_B = [999_983 * (i + 7) + 271 for i in range(N_MINHASH)]
 
 _MINHASH_ORACLE = f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
       FROM documents
     ),
     tokf AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
@@ -418,7 +418,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks_arr = d.select(
         "doc_id",
-        F.array_distinct(F.filter(F.split(_norm(F.col("text")), " "), lambda t: t != "")).alias(
+        F.array_distinct(F.filter(F.split(_norm_ascii(F.col("text")), " "), lambda t: t != "")).alias(
             "toks"
         ),
     ).filter(F.size("toks") > 0)

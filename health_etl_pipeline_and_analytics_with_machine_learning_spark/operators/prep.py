@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
+from .text import _WS_CHARS
 
 DP = ROUND_DP
 
@@ -212,7 +213,7 @@ _TOP_WORD_SHARE = 0.10
     oracle=f"""
     WITH words AS (
       SELECT doc_id, lang,
-             regexp_extract_all(text, '\\S+') AS w
+             regexp_extract_all(text, '[^{_WS_CHARS}]+') AS w
       FROM documents
     ),
     words2 AS (SELECT * FROM words WHERE len(w) > 0),
@@ -250,8 +251,11 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang rollup, which is what you want at 100 TB for bounded-size
     documents.
 
-    Words are the ``\\S+`` runs (r9 — same fix as the shared
-    ws_token_count pair): the previous trim-then-split form let
+    Words are the non-whitespace runs over the explicit ASCII
+    whitespace class (``text._WS_CHARS`` — r13 moved this op's inline
+    ``\\S+`` onto the shared class so both regex dialects parse the
+    identical set; r9 originally fixed the run shape): the previous
+    trim-then-split form let
     edge tabs/newlines produce phantom EMPTY-STRING words on BOTH
     engines — consistently oracle-green, but they depressed ttr,
     inflated top_word_share, and let a tab-only document through the
@@ -265,7 +269,7 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct word per row inside transform/filter
     words = d.select(
         "lang",
-        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0).alias("w"),
+        F.regexp_extract_all(F.col("text"), F.lit(f"[^{_WS_CHARS}]+"), 0).alias("w"),
     ).filter(F.size("w") > 0)
     w = F.col("w")
     scored = words.select(
@@ -415,14 +419,17 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed training-sequence capacity (tokens) for concat-and-chunk packing
 _SEQ_CAP = 2048
 
-#: whitespace-token count — the SHARED text.ws_token_count pair
-#: (hoisted r9; this module previously carried a mirrored copy)
-from .text import WS_TOKEN_COUNT_SQL as _TOK_SQL  # noqa: E402
-from .text import ws_token_count as _ws_token_count  # noqa: E402
+#: whitespace-token count — the SHARED text.ascii_token_count pair
+#: (hoisted r9; this module previously carried a mirrored copy.
+#: r13: moved with the rest of the repo onto the explicit
+#: ASCII-whitespace-class pair — identical Spark-side, \x0B-agreeing
+#: SQL-side)
+from .text import ASCII_TOKEN_COUNT_SQL as _TOK_SQL  # noqa: E402
+from .text import ascii_token_count as _ascii_token_count  # noqa: E402
 
 
 def _ws_tokens():
-    return _ws_token_count().cast("long")
+    return _ascii_token_count().cast("long")
 
 
 _PACK_ORACLE = f"""
@@ -577,7 +584,7 @@ def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's tokens is lost — the curve that picks a training context
     length (packing efficiency vs content loss; the complement of
     sequence_pack_stats, which assumes the length is already chosen).
-    Token counts come from the SHARED ``text.ws_token_count`` pair
+    Token counts come from the SHARED ``text.ascii_token_count`` pair
     (hoisted r9 — the same definition ``text_token_count`` certifies;
     until then this op carried a mirrored copy patrolled by a lockstep
     test).

@@ -26,55 +26,32 @@ ALPHA_TOKENIZE_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
 )
 
-# shared normalization: collapse whitespace, trim, lowercase
-def _norm(col):
-    return F.lower(F.regexp_replace(F.regexp_replace(col, r"\s+", " "), r"^ | $", ""))
-
-
-_NORM_SQL = "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '^ | $', '', 'g'))"
-
-#: the SHARED whitespace-token COUNT over the ``text`` column: Spark
-#: expression and its DuckDB twin (hoisted r9 per VERDICT r8 item 1 —
-#: until then text_token_count, text_quality_score, corpus_curation,
-#: the sequence-pack family, and truncation_loss_curve each carried a
-#: mirrored copy patrolled only by lockstep tests). Every token COUNT
-#: over raw text consumes THIS pair — edit here, never inline.
-#:
-#: Definition: the number of non-whitespace runs (``\S+`` matches).
-#: The hoist's original trim-guard-plus-split form miscounted edges
-#: the unification's new dialect-parity test surfaced (r9): SQL
-#: ``trim`` strips SPACES only, so ANY leading/trailing tab/newline
-#: survived the trim and split into a phantom empty-string token —
-#: tab-only text counted 2, ``"\tfoo"`` counted 2 — consistently on
-#: both engines, so oracles stayed green while the count lied. The
-#: run-count form needs no guard at all: 0 for empty/whitespace-only,
-#: one per actual word when edge whitespace is non-space, identical to
-#: the old form for texts whose edges are spaces or non-whitespace.
-WS_TOKEN_COUNT_SQL = "len(regexp_extract_all(text, '\\S+'))"
-
-
-def ws_token_count():
-    """Spark twin of :data:`WS_TOKEN_COUNT_SQL`: whitespace-token count
-    of the ``text`` column — the number of ``\\S+`` runs (0 for empty
-    or whitespace-only text, any whitespace class). Row-local,
-    codegen'd."""
-    return F.regexp_count(F.col("text"), F.lit(r"\S+"))
-
-
 # --------------------------------------------------------------------------
-# \x0B dialect-class burn-down (r12, VERDICT r11 item 3) — the explicit
-# ASCII-whitespace-class twin pair. The legacy pair above leans on each
-# dialect's \s: Java's (Spark) is [ \t\n\x0B\f\r]; RE2's (DuckDB) LACKS
-# \x0B — the one divergent character the r10 edge audit found,
-# corpus-guarded since (tests/test_text_helpers.py). Writing the class
-# OUT makes both dialects parse the identical set, so twins built from
-# it agree on EVERY input, vertical tab included; on the Spark side the
-# explicit class is bit-identical to \s (Java semantics chosen: \x0B IS
-# whitespace). Tranche 1 (this round): simhash_sig/_SIMHASH_SIG_SQL_CTES
-# and their four oracle riders, doc_fingerprint, text_token_count,
-# text_quality_score, vocab_oov_rate. Tranche 2 (r13, pinned in
-# operators/__init__.py): the remaining legacy consumers, after which
-# the legacy pair is deleted and the divergence pin flips to agreement.
+# The SHARED whitespace normalizer + token-count pairs — the explicit
+# ASCII-whitespace-class form. History: the original pair spelled
+# whitespace as each dialect's \s, but Java's (Spark) \s is
+# [ \t\n\x0B\f\r] while RE2's (DuckDB) LACKS \x0B — the one divergent
+# character the r10 edge audit found (corpus-guarded until fixed).
+# Writing the class OUT makes both dialects parse the identical set, so
+# twins built from it agree on EVERY input, vertical tab included; on
+# the Spark side the explicit class is bit-identical to \s (Java
+# semantics chosen: \x0B IS whitespace — pinned by
+# test_ascii_class_equals_java_whitespace_on_spark). The burn-down
+# shipped in two tranches (r12: simhash_sig + riders, doc_fingerprint,
+# text_token_count, text_quality_score, vocab_oov_rate,
+# source_vocab_overlap; r13: the 15 remaining consumers +
+# text_repetition_flags's inline \S+), after which the legacy \s-based
+# pair was DELETED — every whitespace tokenization in the repo now
+# consumes these definitions. Edit here, never inline.
+#
+# Token-count definition: the number of non-whitespace runs. The r9
+# hoist's original trim-guard-plus-split form miscounted edges: SQL
+# ``trim`` strips SPACES only, so ANY leading/trailing tab/newline
+# survived the trim and split into a phantom empty-string token —
+# tab-only text counted 2, ``"\tfoo"`` counted 2 — consistently on
+# both engines, so oracles stayed green while the count lied. The
+# run-count form needs no guard at all: 0 for empty/whitespace-only,
+# one per actual word when edge whitespace is non-space.
 # --------------------------------------------------------------------------
 
 #: the class body — ONE source string interpolated into BOTH dialects'
@@ -84,10 +61,11 @@ _WS_CHARS = r" \t\n\x0B\f\r"
 
 
 def _norm_ascii(col):
-    """Explicit-class twin of :func:`_norm`: collapse ASCII whitespace,
-    trim, lowercase — Spark-side behavior identical to ``\\s`` (pinned
-    by test_norm_ascii_equals_legacy_norm_on_spark), SQL-side now
-    agreeing on ``\\x0B``."""
+    """Collapse ASCII whitespace to single spaces, trim, lowercase —
+    the ONE normalizer every fingerprint/shingle/token pipeline
+    consumes. Spark-side behavior identical to ``\\s`` (pinned by
+    test_ascii_class_equals_java_whitespace_on_spark); the explicit
+    class keeps the DuckDB twin agreeing on ``\\x0B``."""
     return F.lower(
         F.regexp_replace(F.regexp_replace(col, f"[{_WS_CHARS}]+", " "), r"^ | $", "")
     )
@@ -102,9 +80,9 @@ ASCII_TOKEN_COUNT_SQL = f"len(regexp_extract_all(text, '[^{_WS_CHARS}]+'))"
 
 
 def ascii_token_count():
-    """Explicit-class twin of :func:`ws_token_count`: the number of
-    non-ASCII-whitespace runs of the ``text`` column. Row-local,
-    codegen'd."""
+    """Spark twin of :data:`ASCII_TOKEN_COUNT_SQL`: the number of
+    non-ASCII-whitespace runs of the ``text`` column (0 for empty or
+    whitespace-only text). Row-local, codegen'd."""
     return F.regexp_count(F.col("text"), F.lit(f"[^{_WS_CHARS}]+"))
 
 
@@ -721,7 +699,7 @@ _BPE_TOP = 50
     WITH w AS (
       SELECT tok AS w, COUNT(*) AS wn
       FROM (
-        SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+        SELECT unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
         FROM documents
       )
       WHERE tok <> ''
@@ -755,7 +733,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("w"))
+        d.select(F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
@@ -1083,7 +1061,7 @@ _SELF_REP_FLAG = 0.01
              greatest(len(toks) - 2, 0) AS total,
              len(list_distinct({word3_shingles_sql("toks")})) AS uniq
       FROM (SELECT doc_id, lang,
-                   regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+                   regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS toks
             FROM documents)
     ),
     rr AS (
@@ -1128,7 +1106,7 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (same answers, shingle rows shuffled instead of held
     in one array cell — measured equal-speed here)."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("lang", F.split(_norm(F.col("text")), " ").alias("toks"))
+    t = d.select("lang", F.split(_norm_ascii(F.col("text")), " ").alias("toks"))
     tk = F.col("toks")
     n = F.size(tk)
     shingles = word3_shingles(tk)

@@ -568,8 +568,9 @@ def test_truncation_loss_curve_is_monotone_and_consistent(spark):
     )
     assert [r["max_len"] for r in rows] == list(_TRUNC_LENS)
     # End-to-end tie: totals recomputed from text_token_count's OUTPUT.
-    # Both ops now consume the SHARED text.ws_token_count pair (hoisted
-    # r9), so this pins the shared definition's two consumers agree —
+    # Both ops now consume the SHARED text.ascii_token_count pair
+    # (hoisted r9; explicit-class since r13), so this pins that the
+    # shared definition's two consumers agree —
     # a regression here means the helper itself broke, not drift
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         text_token_count,
@@ -604,7 +605,7 @@ def test_doc_self_repetition_bounds_and_population(spark):
     least one shingle (>= 3 normalized tokens)."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
         doc_self_repetition,
-        _norm,
+        _norm_ascii,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
         load,
@@ -616,7 +617,7 @@ def test_doc_self_repetition_bounds_and_population(spark):
         assert 0.0 <= r["avg_rep"] <= r["max_rep"] <= 1.0, r
         assert 0 <= r["n_flagged"] <= r["n_docs"], r
     d = load(spark, SF_CORRECT, "documents")
-    eligible = d.filter(F.size(F.split(_norm(F.col("text")), " ")) >= 3).count()
+    eligible = d.filter(F.size(F.split(_norm_ascii(F.col("text")), " ")) >= 3).count()
     assert sum(r["n_docs"] for r in rows) == eligible
 
 
@@ -632,7 +633,7 @@ def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
         load,
     )
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
-        _norm,
+        _norm_ascii,
         word3_shingles,
     )
 
@@ -645,7 +646,7 @@ def test_self_repetition_shingles_lockstep_with_dedup_index(spark):
         .collect()
     }
     # the op's in-row uniq expression, replicated doc-level
-    t = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    t = d.select("doc_id", F.split(_norm_ascii(F.col("text")), " ").alias("toks"))
     op_counts = {
         r["doc_id"]: r["uniq"]
         for r in t.select(

@@ -1,5 +1,5 @@
 """Dialect-parity pins for the shared text helpers hoisted in r9
-(text.ws_token_count / WS_TOKEN_COUNT_SQL, text.word3_shingles /
+(text.ascii_token_count / ASCII_TOKEN_COUNT_SQL, text.word3_shingles /
 word3_shingles_sql, text._bigram_pairs / _BIGRAM_PAIRS_SQL).
 
 The op-level oracles exercise these pairs over the synthetic corpus;
@@ -8,7 +8,15 @@ cases the corpus may never contain — empty text, whitespace-only text,
 exotic whitespace runs, 1/2/3-token boundaries, repeated shingles —
 and assert the Spark expression and the DuckDB twin agree exactly.
 Same patrol shape as the rank_math lockstep test: one definition, two
-executions, one test."""
+executions, one test.
+
+History: until r13 the repo carried TWO whitespace pairs — a legacy
+``\\s``-based one (Java's \\s contains \\x0B, RE2's does not — a
+known, corpus-guarded cross-dialect divergence) and the explicit
+ASCII-class one. The two-tranche burn-down (r12 + r13) migrated every
+consumer onto the explicit class and deleted the legacy pair; the
+divergence pin that documented the \\x0B gap was deleted with it, and
+the agreement pins below are what remain."""
 
 from __future__ import annotations
 
@@ -18,13 +26,13 @@ from pyspark.sql import functions as F
 
 from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
     _BIGRAM_PAIRS_SQL,
-    _NORM_SQL,
-    WS_TOKEN_COUNT_SQL,
+    _NORM_ASCII_SQL,
+    ASCII_TOKEN_COUNT_SQL,
     _bigram_pairs,
-    _norm,
+    _norm_ascii,
+    ascii_token_count,
     word3_shingles,
     word3_shingles_sql,
-    ws_token_count,
 )
 
 EDGE_TEXTS = [
@@ -78,16 +86,16 @@ def _spark_docs(spark):
     )
 
 
-def test_ws_token_count_dialects_agree_on_edges(spark, ducked):
+def test_ascii_token_count_dialects_agree_on_edges(spark, ducked):
     got = {
         r["doc_id"]: r["n"]
         for r in _spark_docs(spark)
-        .select("doc_id", ws_token_count().cast("long").alias("n"))
+        .select("doc_id", ascii_token_count().cast("long").alias("n"))
         .collect()
     }
     want = dict(
         ducked.execute(
-            f"SELECT doc_id, CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM documents"
+            f"SELECT doc_id, CAST({ASCII_TOKEN_COUNT_SQL} AS BIGINT) FROM documents"
         ).fetchall()
     )
     assert got == want
@@ -106,7 +114,7 @@ def test_word3_shingles_dialects_agree_on_edges(spark, ducked):
         r["doc_id"]: r["sh"]
         for r in _spark_docs(spark)
         .select(
-            "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+            "doc_id", F.split(_norm_ascii(F.col("text")), " ").alias("toks")
         )
         .select("doc_id", word3_shingles(F.col("toks")).alias("sh"))
         .collect()
@@ -114,7 +122,7 @@ def test_word3_shingles_dialects_agree_on_edges(spark, ducked):
     want = dict(
         ducked.execute(
             f"""SELECT doc_id, {word3_shingles_sql("toks")} FROM
-            (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+            (SELECT doc_id, regexp_split_to_array({_NORM_ASCII_SQL}, ' ') AS toks
              FROM documents)"""
         ).fetchall()
     )
@@ -201,12 +209,12 @@ def test_non_ascii_whitespace_is_not_a_separator_in_either_dialect(spark):
         for r in spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
-        .select(ws_token_count().cast("long").alias("n"))
+        .select(ascii_token_count().cast("long").alias("n"))
         .collect()
     ]
     want = [
         con.execute(
-            f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
+            f"SELECT CAST({ASCII_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
             [t],
         ).fetchone()[0]
         for t in texts
@@ -216,82 +224,15 @@ def test_non_ascii_whitespace_is_not_a_separator_in_either_dialect(spark):
     assert want == [1] * len(texts), want
 
 
-def test_vertical_tab_is_the_known_dialect_divergence(spark):
-    """KNOWN, DOCUMENTED divergence of the LEGACY pair — \\x0B (vertical
-    tab) is whitespace to Java's \\s but NOT to RE2's: 'a\\x0Bb' is 2
-    tokens in Spark, 1 in the DuckDB oracle dialect. Unreachable
-    through the driver corpus
-    (test_corpus_contains_no_divergent_whitespace proves the generated
-    documents carry none of these characters), so every certified row
-    is unaffected. BURN-DOWN STATUS (r12): the fix — the explicit
-    ASCII-whitespace-class pair (_norm_ascii/_NORM_ASCII_SQL,
-    ascii_token_count/ASCII_TOKEN_COUNT_SQL, Java semantics on both
-    engines) — SHIPPED as tranche 1 this round: simhash_sig +
-    _SIMHASH_SIG_SQL_CTES (and their four oracle riders),
-    doc_fingerprint, text_token_count, text_quality_score,
-    vocab_oov_rate are migrated and agreement-pinned
-    (test_ascii_pair_dialects_agree_on_vertical_tab); source_vocab_overlap
-    joined the tranche in the round's review pass. This pin now guards
-    the 15 LEGACY consumers (+ text_repetition_flags's inline \S+) named
-    in the r13 plan
-    (operators/__init__.py rotation comment); when tranche 2 migrates
-    them and deletes the legacy pair, DELETE THIS TEST with it — the
-    agreement pins remain."""
-    con = duckdb.connect()
-    (spark_n,) = [
-        r["n"]
-        for r in spark.createDataFrame([(0, "a\x0bb")], "doc_id long, text string")
-        .select(ws_token_count().cast("long").alias("n"))
-        .collect()
-    ]
-    duck_n = con.execute(
-        f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
-        ["a\x0bb"],
-    ).fetchone()[0]
-    con.close()
-    assert spark_n == 2  # Java \s contains \x0B
-    assert duck_n == 1  # RE2 \s does not
-
-    # r11: two more manifestations of the SAME \x0B class, pinned so
-    # the eventual fix's blast radius is fully mapped. (a) vtab-only
-    # text: Spark's norm collapses it to '' (0 tokens), DuckDB keeps
-    # the raw byte (1 token). (b) 'a\x0C\x0Bb': the COUNTS agree (2 on
-    # both — \x0C is shared whitespace) but the token CONTENT differs
-    # (Spark: 'b'; DuckDB: '\x0Bb'), so fingerprint/shingle ops would
-    # diverge even where token counts mask it.
-    con = duckdb.connect()
-    for text, want_spark_n, want_duck_n in (("\x0b", 0, 1), ("a\x0c\x0bb", 2, 2)):
-        (s_n,) = [
-            r["n"]
-            for r in spark.createDataFrame([(0, text)], "doc_id long, text string")
-            .select(ws_token_count().cast("long").alias("n"))
-            .collect()
-        ]
-        d_n = con.execute(
-            f"SELECT CAST({WS_TOKEN_COUNT_SQL} AS BIGINT) FROM (SELECT ? AS text)",
-            [text],
-        ).fetchone()[0]
-        assert s_n == want_spark_n, (text, s_n)
-        assert d_n == want_duck_n, (text, d_n)
-    s_norm = (
-        spark.createDataFrame([(0, "a\x0c\x0bb")], "doc_id long, text string")
-        .select(_norm(F.col("text")).alias("n"))
-        .collect()[0]["n"]
-    )
-    d_norm = con.execute(
-        f"SELECT {_NORM_SQL} FROM (SELECT ? AS text)", ["a\x0c\x0bb"]
-    ).fetchone()[0]
-    con.close()
-    assert s_norm == "a b"
-    assert d_norm == "a \x0bb"
-
-
 def test_corpus_contains_no_divergent_whitespace():
-    """The deferral guard: the driver-generated documents tables must
-    contain NONE of the characters the dialects disagree on (\\x0B) or
-    agree-but-diverge-from-Python on (\\x1C-\\x1F, Unicode spaces). If
-    the driver ever regenerates the corpus with such characters, this
-    fails BEFORE a driver-row mismatch can."""
+    """Corpus canary (kept after the r13 burn-down retired the \\x0B
+    cross-engine divergence): the driver-generated documents tables
+    must contain none of the characters where the shared ASCII class
+    deliberately diverges from Python's Unicode-aware \\s (\\x1C-\\x1F,
+    Unicode spaces) — nor \\x0B, which is now handled identically by
+    both engines but stays in the canary so a corpus regeneration that
+    introduces exotic whitespace is flagged loudly rather than
+    silently exercised."""
     import os
 
     con = duckdb.connect()
@@ -308,39 +249,13 @@ def test_corpus_contains_no_divergent_whitespace():
     con.close()
 
 
-def test_norm_dialects_agree_on_edges(spark):
-    """The shared normalizer pair (_norm / _NORM_SQL) — the tokenizer
-    under text_simhash, the dedup shingle index, doc_fingerprint and
-    split_leakage_ngram — must produce the IDENTICAL normalized string
-    on both engines for every edge text (whitespace-only, exotic ASCII
-    runs, agreed non-separators)."""
-    con = duckdb.connect()
-    texts = EDGE_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
-    got = [
-        r["norm"]
-        for r in spark.createDataFrame(
-            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-        )
-        .select(_norm(F.col("text")).alias("norm"))
-        .collect()
-    ]
-    want = [
-        con.execute(
-            f"SELECT {_NORM_SQL} FROM (SELECT ? AS text)", [t]
-        ).fetchone()[0]
-        for t in texts
-    ]
-    con.close()
-    assert got == want
-
-
 # --------------------------------------------------------------------------
-# r12 \x0B burn-down tranche 1: the explicit ASCII-whitespace-class pair
-# (text._norm_ascii/_NORM_ASCII_SQL, ascii_token_count/
-# ASCII_TOKEN_COUNT_SQL) must agree across dialects on EVERYTHING —
-# including the \x0B inputs the legacy pair diverges on — and must be
-# bit-identical to the legacy pair on the Spark side (Java \s IS the
-# explicit class, so migrating an op changes no Spark result).
+# The ASCII-whitespace-class pair (text._norm_ascii/_NORM_ASCII_SQL,
+# ascii_token_count/ASCII_TOKEN_COUNT_SQL) — since r13 the repo's ONLY
+# whitespace tokenizer — must agree across dialects on EVERYTHING,
+# including the \x0B inputs the deleted \s-based pair diverged on, and
+# must be bit-identical to Java's \s on the Spark side (so the r12/r13
+# migrations changed no Spark result).
 
 DIVERGENT_TEXTS = [
     "a\x0bb",
@@ -351,25 +266,25 @@ DIVERGENT_TEXTS = [
 ]
 
 
-def test_norm_ascii_equals_legacy_norm_on_spark(spark):
-    """Spark-side no-op proof for the tranche-1 migration: Java's \\s
-    is exactly [ \\t\\n\\x0B\\f\\r], so _norm_ascii ≡ _norm and
-    ascii_token_count ≡ ws_token_count on every input, divergent
-    characters included."""
-    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
-        _norm_ascii,
-        ascii_token_count,
+def test_ascii_class_equals_java_whitespace_on_spark(spark):
+    """Spark-side no-op proof for the r12/r13 migrations: Java's \\s
+    is exactly [ \\t\\n\\x0B\\f\\r], so the explicit-class pair is
+    bit-identical to the deleted \\s-based forms (restated inline here,
+    the only place the \\s idiom is allowed to survive) on every input,
+    divergent characters included."""
+    legacy_norm = F.lower(
+        F.regexp_replace(F.regexp_replace(F.col("text"), r"\s+", " "), r"^ | $", "")
     )
-
+    legacy_count = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     texts = EDGE_TEXTS + DIVERGENT_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
     rows = (
         spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         .select(
-            _norm(F.col("text")).alias("legacy_norm"),
+            legacy_norm.alias("legacy_norm"),
             _norm_ascii(F.col("text")).alias("ascii_norm"),
-            ws_token_count().cast("long").alias("legacy_n"),
+            legacy_count.cast("long").alias("legacy_n"),
             ascii_token_count().cast("long").alias("ascii_n"),
         )
         .collect()
@@ -380,20 +295,13 @@ def test_norm_ascii_equals_legacy_norm_on_spark(spark):
 
 
 def test_ascii_pair_dialects_agree_on_vertical_tab(spark):
-    """THE agreement pin the burn-down earns: on every input the legacy
-    pair diverges on (vertical tab in all three r10/r11-mapped
+    """THE agreement pin the burn-down earned: on every input the old
+    \\s-based pair diverged on (vertical tab in all three r10/r11-mapped
     manifestations: count, vanishing text, token content), the explicit
-    ASCII-class pair produces IDENTICAL results on both engines — 
-    normalized string AND token count. When tranche 2 deletes the
-    legacy pair (r13), test_vertical_tab_is_the_known_dialect_divergence
-    is deleted with it and this pin remains."""
-    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
-        _NORM_ASCII_SQL,
-        ASCII_TOKEN_COUNT_SQL,
-        _norm_ascii,
-        ascii_token_count,
-    )
-
+    ASCII-class pair produces IDENTICAL results on both engines —
+    normalized string AND token count. Tranche 2 (r13) deleted the
+    legacy pair and its divergence pin; this agreement pin is the
+    permanent record."""
     con = duckdb.connect()
     texts = EDGE_TEXTS + DIVERGENT_TEXTS + [f"a{ch}b" for ch in NON_SEPARATORS_BOTH]
     got = (
@@ -463,58 +371,25 @@ def test_wordish_and_punct_class_dialects_agree_on_vertical_tab(spark):
     assert p_vt == 2
 
 
-def test_legacy_pair_consumers_match_the_pinned_tranche2_plan():
-    """Burn-down drift guard (r12): the set of registry oracles still
-    interpolating the LEGACY \\s-based pair must equal EXACTLY the 15
-    ops pinned for tranche 2 in the r13 rotation plan, and the only
-    oracle inlining a raw \\S+ must be text_repetition_flags (this
-    guard's first run corrected the plan: the inline site had been
-    misattributed to doc_chunk_explode, which uses no \\s idiom at
-    all). New code must
-    adopt the explicit ASCII-class pair (this test fails if a fresh op
-    reaches for the legacy one), and migrating an op off the legacy
-    pair without updating the pinned plan fails it too — the r13
-    planner inherits a list that is correct by construction."""
+def test_no_oracle_uses_the_dialect_divergent_whitespace_idiom():
+    """Burn-down completion guard (r13, flipped from the r12 tranche-2
+    plan pin): NO registry oracle may spell whitespace as the regex
+    ``\\s``/``\\S`` shorthand — Java's and RE2's classes differ on
+    \\x0B, which is exactly the divergence the two-tranche migration
+    retired. New oracles must consume the shared explicit-class pair
+    (text._NORM_ASCII_SQL / ASCII_TOKEN_COUNT_SQL) or spell the class
+    out via text._WS_CHARS; this test fails the moment a fresh op
+    reaches for the shorthand."""
+    import re
+
     import health_etl_pipeline_and_analytics_with_machine_learning_spark.operators  # noqa: F401
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
         REGISTRY,
     )
-    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
-        _NORM_SQL,
-    )
 
-    TRANCHE2 = {
-        "bpe_pair_counts",
-        "c4_heuristic_filter",
-        "contamination_ngram_check",
-        "corpus_curation",
-        "dedup_common_spans",
-        "dedup_connected_components",
-        "dedup_exact_text",
-        "dedup_incremental",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "doc_self_repetition",
-        "sequence_pack_scaled",
-        "sequence_pack_stats",
-        "split_leakage_ngram",
-        "truncation_loss_curve",
-    }
-    legacy_norm = {
-        n for n, q in REGISTRY.items() if q.oracle and _NORM_SQL in q.oracle
-    }
-    legacy_count = {
-        n for n, q in REGISTRY.items() if q.oracle and WS_TOKEN_COUNT_SQL in q.oracle
-    }
-    inline_ws = {
+    offenders = {
         n
         for n, q in REGISTRY.items()
-        if q.oracle
-        and "\\S+" in q.oracle
-        and WS_TOKEN_COUNT_SQL not in q.oracle
-        and _NORM_SQL not in q.oracle
+        if q.oracle and re.search(r"\\[sS]", q.oracle)
     }
-    assert legacy_norm | legacy_count == TRANCHE2, (
-        sorted((legacy_norm | legacy_count) ^ TRANCHE2)
-    )
-    assert inline_ws == {"text_repetition_flags"}, sorted(inline_ws)
+    assert offenders == set(), sorted(offenders)

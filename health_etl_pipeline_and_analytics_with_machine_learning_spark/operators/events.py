@@ -668,14 +668,18 @@ def streaming_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct users (r12, VERDICT r11 item 4): exact DISTINCT isn't
     expressible inside a streaming aggregate (documented engine
     boundary), so the stream carries HyperLogLog++
-    ``approx_count_distinct(user_id, rsd=0.02)`` — the production
+    ``approx_count_distinct(user_id, rsd=HLL_RSD)`` — the production
     answer — certified with the approx_distinct_bound pattern: the
     oracle pins the batch-exact count and a constant TRUE the sketch
-    must earn by landing within max(5%, 5 users) — the absolute floor
-    covers tiny per-window cardinalities where HLL++ register noise
-    (Spark has no sparse mode) is a few users regardless of rsd. Second entry in the
-    certified-streaming family next to streaming_sessionization; see
-    streaming/sessionize.py for replay mechanics and scale notes."""
+    must earn by landing within max(4·rsd relative, 5 users) — the
+    margin is DERIVED from the sketch's rsd (r13, ADVICE r12: a
+    hand-tuned envelope validated only at small SFs would misdiagnose
+    a large-SF or Spark-version breach as a correctness bug), and the
+    absolute floor covers tiny per-window cardinalities where HLL++
+    register noise (Spark has no sparse mode) is a few users
+    regardless of rsd. Second entry in the certified-streaming family
+    next to streaming_sessionization; see streaming/sessionize.py for
+    replay mechanics, the envelope constants, and scale notes."""
     from ..streaming.sessionize import stream_hour_rollup
 
     return stream_hour_rollup(spark, sf_dir)

@@ -57,6 +57,28 @@ def _fmt_wall(col, fmt: str):
 #: batch twin's inactivity gap (operators/events.py sessionization)
 SESSION_GAP_S = 30 * 60
 
+#: HLL++ relative standard deviation for the streaming distinct-user
+#: sketch (stream_hour_rollup) — the knob everything below derives from
+HLL_RSD = 0.02
+
+#: certified relative envelope DERIVED from the sketch's rsd (ADVICE
+#: r12: the previous hand-tuned 5% was only ~2.5 sigma of headroom —
+#: validated at sf0.01/sf0.1 where measured max error is 1-3 users,
+#: but a single unlucky window at a larger SF, or a Spark-version
+#: change to the HLL++ register math, could breach it and fail the
+#: op's certification as if it were a correctness bug). 4 standard
+#: deviations keeps the per-window breach probability ~1e-4 AT ANY
+#: SCALE FACTOR, so a future red row here should be diagnosed as a
+#: sketch-implementation change, not an envelope issue.
+HLL_REL_MARGIN = 4 * HLL_RSD
+
+#: absolute floor (users) for tiny per-window cardinalities: Spark's
+#: HLL++ implements no sparse representation, so register noise is a
+#: few users regardless of rsd (measured |err| up to 3 at sf0.1, which
+#: is 25% relative on a 4-user window — a relative margin alone can
+#: never cover that regime)
+HLL_ABS_FLOOR = 5.0
+
 _OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
 _STATE_SCHEMA = "last_ts_s long, n_sessions long, n_events long"
 
@@ -292,13 +314,13 @@ def stream_hour_rollup(
     ``approx_count_distinct`` INSIDE the streaming aggregate, certified
     with the approx_distinct_bound pattern — the oracle pins the exact
     per-window count and a constant TRUE that the stream's sketch must
-    EARN by landing within max(5%, 5 users) of the batch-exact count
-    (sketch values themselves can't be oracle-compared across HLL
-    implementations; the absolute floor covers tiny per-window
-    cardinalities, where Spark's HLL++ — which implements no sparse
-    representation — carries register noise of a few users: measured
-    max |err| is 1 at sf0.01 and 3 at sf0.1, i.e. up to 25% relative
-    on a 4-user window).
+    EARN by landing within max(4·rsd relative, HLL_ABS_FLOOR users) of
+    the batch-exact count (sketch values themselves can't be
+    oracle-compared across HLL implementations; the envelope constants
+    and the rsd→margin derivation live on HLL_REL_MARGIN /
+    HLL_ABS_FLOOR above — measured max |err| is 1 at sf0.01 and 3 at
+    sf0.1, i.e. up to 25% relative on a 4-user window, which is why
+    the absolute floor exists).
 
     The bounded replay runs in COMPLETE output mode, so the memory sink
     holds the full window table at stream end — no watermark races, and
@@ -314,7 +336,7 @@ def stream_hour_rollup(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n_users_approx"),
         )
     )
     name = "hour_rollup_replay"
@@ -368,7 +390,9 @@ def stream_hour_rollup(
             "n_users_exact",
             (
                 F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
-                <= F.greatest(0.05 * F.col("n_users_exact"), F.lit(5.0))
+                <= F.greatest(
+                    HLL_REL_MARGIN * F.col("n_users_exact"), F.lit(HLL_ABS_FLOOR)
+                )
             ).alias("approx_users_within_bound"),
         )
         .orderBy("hour", "event_type")

@@ -232,7 +232,14 @@ def _neardup_maintenance_join(spark):
     batch = docs.filter(~_store_pred(F.col("source"))).select(
         "doc_id", "text", _src_num(F.col("source")).alias("src")
     )
-    batch_bands = _bands_with_src(simhash_sig(batch, spark), batch)
+    # mirror _maint_batch exactly: production eagerly checkpoints the
+    # band rows before _banded_prefix_pairs (the helper's documented
+    # contract — it references the frame twice), so the dumped plan
+    # must show the probe side as an RDD scan, not the inlined simhash
+    # pipeline
+    batch_bands = _bands_with_src(simhash_sig(batch, spark), batch).localCheckpoint(
+        eager=True
+    )
     store = (
         spark.read.schema(_STORE_BANDS_SCHEMA)
         .parquet(store_dir)

@@ -910,3 +910,24 @@ def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path)
     # per-state cap = one windowed running sum, no state-expansion join
     assert "Window" in plan
     assert any(cols == ["doc_id", "text", "source"] for cols in read_schemas(df))
+
+
+def test_store_compaction_plan_is_scan_distinct_no_join(spark):
+    """r13 compaction plan pin: the OPTIMIZE rewrite is one parquet
+    scan -> partial/final hash-aggregate distinct on the five band-row
+    columns -> write. No join of any strategy, exactly one exchange
+    (the distinct's hash repartition) — compaction cost is linear in
+    the store at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _STORE_BANDS_SCHEMA,
+        _init_store_bands_dir,
+    )
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    df = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).distinct()
+    assert join_strategies(df) == []
+    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan

@@ -216,3 +216,126 @@ def test_neardup_store_maintenance_recovery_and_chunk_invariance(spark, tmp_path
             ).collect()
         ]
         assert alt == want, f"n_chunks={n} diverged"
+
+
+def test_store_compaction_is_answer_preserving(spark, tmp_path):
+    """r13 compaction certification at the unit layer (the registry op
+    certifies the whole loop against the maintenance oracle): with
+    fault-injected duplicate appends in the persisted store, the
+    whole-batch probe's answer is IDENTICAL (a) before injection,
+    (b) with the duplicates present (read-side DISTINCT), and
+    (c) after compaction — and the compaction itself halves the
+    injected row count back to the distinct set and is idempotent."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _banded_prefix_pairs,
+        _bands_with_src,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _STORE_BANDS_SCHEMA,
+        _init_store_bands_dir,
+        _inject_duplicate_appends,
+        _src_num,
+        _store_pred,
+        compact_store_bands,
+    )
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents")
+    batch_docs = docs.filter(~_store_pred(F.col("source"))).select(
+        "doc_id", "text", _src_num(F.col("source")).alias("src")
+    )
+    batch_bands = _bands_with_src(
+        simhash_sig(batch_docs, spark), batch_docs
+    ).localCheckpoint(eager=True)
+
+    def probe():
+        store = (
+            spark.read.schema(_STORE_BANDS_SCHEMA)
+            .parquet(store_dir)
+            .filter(F.col("src") < 10)
+            .distinct()
+        )
+        return [tuple(r) for r in _banded_prefix_pairs(batch_bands, store).collect()]
+
+    want = probe()
+    assert want
+
+    _inject_duplicate_appends(store_dir)
+    n_dup = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).count()
+    assert probe() == want  # duplicates absorbed by the read-side DISTINCT
+
+    n_before, n_after = compact_store_bands(spark, store_dir)
+    assert n_before == n_dup and n_before == 2 * n_after
+    assert probe() == want  # compaction moved no answer
+
+    # idempotent: a second compaction finds nothing to drop
+    n_before2, n_after2 = compact_store_bands(spark, store_dir)
+    assert n_before2 == n_after2 == n_after
+
+
+def test_maintenance_replay_survives_an_empty_micro_batch(spark, tmp_path):
+    """VERDICT r12 item 7: a micro-batch with ZERO accepted docs must
+    flow through the STREAMING maintenance path end-to-end (the
+    min_src-None guard in _probe_and_grow was previously exercised only
+    at the unit layer) — an empty chunk file spliced into the replay
+    order must change nothing: same final pairs, same store growth."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _MAINT_DOC_SCHEMA,
+        _chunked_ingest_dir,
+        _final_pairs,
+        _init_store_bands_dir,
+        _run_maintenance_phase,
+        stream_neardup_store_maintenance,
+    )
+
+    src = _chunked_ingest_dir(spark, SF_SMOKE, 3)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            shutil.copy2(os.path.join(src, f), os.path.join(watch, f))
+
+    # an empty micro-batch between chunk 0 and chunk 1 (FileStreamSource
+    # replays in mtime order; the chunker pins 1_700_000_000 + i)
+    staging = str(tmp_path / "empty_staging")
+    spark.createDataFrame([], _MAINT_DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    empty_path = os.path.join(watch, "chunk_000_b.parquet")
+    shutil.copy2(os.path.join(staging, part), empty_path)
+    os.utime(empty_path, (1_700_000_000.5, 1_700_000_000.5))
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    out = str(tmp_path / "pairs")
+    _run_maintenance_phase(spark, store_dir, watch, out)
+    want = [
+        tuple(r) for r in stream_neardup_store_maintenance(spark, SF_SMOKE).collect()
+    ]
+    got = [tuple(r) for r in _final_pairs(spark, out).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_compaction_op_equals_maintenance_op(spark):
+    """The registry-level invariance pin: the compaction op (duplicate
+    injection + mid-stream compaction + split replay) returns the
+    maintenance op's exact rows — they certify against the same oracle
+    by construction, and this ties the two Spark paths directly."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        stream_neardup_store_compaction,
+        stream_neardup_store_maintenance,
+    )
+
+    want = [
+        tuple(r) for r in stream_neardup_store_maintenance(spark, SF_SMOKE).collect()
+    ]
+    got = [
+        tuple(r) for r in stream_neardup_store_compaction(spark, SF_SMOKE).collect()
+    ]
+    assert got == want and len(got) > 0

@@ -573,7 +573,19 @@ def _wav_encode(doc_id: int, hex_digest: str) -> bytes:
 
 def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
     """Parse the RIFF headers back and aggregate the PCM samples — the
-    byte-level decode the oracle certifies end-to-end."""
+    byte-level decode the oracle certifies end-to-end.
+
+    Accept-only-what-you-implement (the r12 PPM/BMP doctrine, extended
+    here by the r13 fuzz patrol): the reader implements exactly the
+    16-byte-fmt, mono, 16-bit-PCM layout the encoder writes.
+    ``fmt_len`` is VALIDATED, not just read — every later offset (bits
+    at 34, the data chunk at 36) is computed assuming a 16-byte fmt
+    chunk, so an 18-byte WAVE_FORMAT_EX spelling (the most common real
+    variant) parsed as if 16 would read ``bits`` out of cbSize and
+    could silently aggregate misaligned bytes as samples. An odd
+    ``data_len`` is likewise rejected: 16-bit PCM can't carry a half
+    sample, and the old ``// 2`` floored the trailing byte away
+    silently."""
     import math
     import struct
 
@@ -582,10 +594,14 @@ def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
     fmt_id, fmt_len, codec, ch, rate = struct.unpack("<4sIHHI", b[12:28])
     if fmt_id != b"fmt " or codec != 1 or ch != 1:
         raise ValueError("unexpected fmt chunk")
+    if fmt_len != 16:
+        raise ValueError("unsupported fmt chunk length (only plain 16-byte PCM fmt)")
     bits = struct.unpack("<H", b[34:36])[0]
     data_id, data_len = struct.unpack("<4sI", b[36:44])
     if data_id != b"data" or bits != 16:
         raise ValueError("unexpected data chunk / bit depth")
+    if data_len % 2:
+        raise ValueError("odd data length for 16-bit samples")
     if len(b) < _WAV_HDR + data_len:
         raise ValueError("truncated PCM data")
     n = data_len // 2

@@ -1509,16 +1509,25 @@ def test_container_parser_fuzz_ppm_bmp_wav():
         st.binary(max_size=160),
     )
     wavish = st.builds(
-        lambda codec, ch, bits, dlen, tail: b"RIFF\x00\x00\x00\x00WAVE"
-        + struct.pack("<4sIHHI", b"fmt ", 16, codec, ch, 8000)
+        lambda fmt_id, fmt_len, codec, ch, bits, data_id, dlen, tail: b"RIFF"
+        + b"\x00\x00\x00\x00WAVE"
+        + struct.pack("<4sIHHI", fmt_id, fmt_len, codec, ch, 8000)
         + b"\x00" * 6
         + struct.pack("<H", bits)
-        + struct.pack("<4sI", b"data", dlen)
+        + struct.pack("<4sI", data_id, dlen)
         + tail,
-        st.sampled_from([1, 0, 7]),
-        st.sampled_from([1, 2]),
-        st.sampled_from([16, 8]),
-        st.integers(min_value=0, max_value=64),
+        # r13 WAV deep-patrol (VERDICT r12 item 6 — WAV was the least-
+        # fuzzed container): junk fmt ids, WAVE_FORMAT_EX-style fmt
+        # lengths, non-PCM codecs, stereo, wrong bit depths, junk data
+        # ids, odd data lengths, and truncation at every boundary via
+        # the free tail length
+        st.sampled_from([b"fmt ", b"fmt\x00", b"LIST"]),
+        st.sampled_from([16, 18, 14, 0, 4096]),
+        st.sampled_from([1, 0, 7, 3, 0xFFFE]),
+        st.sampled_from([1, 2, 0]),
+        st.sampled_from([16, 8, 24, 0]),
+        st.sampled_from([b"data", b"LIST", b"fact"]),
+        st.integers(min_value=0, max_value=65),
         st.binary(max_size=96),
     )
     junk = st.one_of(st.binary(max_size=128), ppmish, bmpish, wavish)
@@ -1540,11 +1549,34 @@ def test_container_parser_fuzz_ppm_bmp_wav():
             pass
         try:
             _rate, n, size, _mean = _wav_parse(b)
-            assert n > 0 and size <= len(b) + 44, b
+            assert n > 0 and size <= len(b), b
+            assert size == 44 + 2 * n, b  # even data, 16-byte fmt only
         except (ValueError, struct.error):
             pass
 
     _prop()
+
+    # r13 WAV holes found by the deepened patrol, pinned as regressions:
+    # (a) fmt_len was read but never validated — an 18-byte
+    # WAVE_FORMAT_EX fmt chunk parsed with 16-byte offsets reads `bits`
+    # out of cbSize and can silently aggregate misaligned bytes;
+    # (b) an odd data_len floored the trailing byte away silently.
+    def _wav_hdr(fmt_len, data_len):
+        return (
+            b"RIFF\x00\x00\x00\x00WAVE"
+            + struct.pack("<4sIHHI", b"fmt ", fmt_len, 1, 1, 8000)
+            + b"\x00" * 6
+            + struct.pack("<H", 16)
+            + struct.pack("<4sI", b"data", data_len)
+            + b"\x00" * data_len
+        )
+
+    with pytest.raises(ValueError):
+        _wav_parse(_wav_hdr(18, 4))
+    with pytest.raises(ValueError):
+        _wav_parse(_wav_hdr(16, 5))
+    rate, n, size, _ = _wav_parse(_wav_hdr(16, 4))  # the legal side
+    assert (rate, n, size) == (8000, 2, 48)
 
     # the specific holes the sweep found, pinned as regression cases
     for bad in (b"P6 1_0 2 255 " + b"\x00" * 96, b"P6 +2 2 255 " + b"\x00" * 96,

@@ -24,129 +24,112 @@ from .registry import REGISTRY as _R
 #: ids that must occupy the driver's 50-entry correctness-window PREFIX,
 #: in priority order. WINDOW POLICY (formalized in r7, VERDICT r6 item
 #: 3): (a) every op whose impl or oracle text changed this round gets a
-#: slot — no exceptions (the r6 window broke this rule for the two
-#: streaming ops and the frame sampler, flagged by ADVICE r6); (b) the
-#: remaining slots go to OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's
-#: latest driver row can age past ~3 rounds as the rotation cycles.
-#: r11 window recap: 9 r6-stale TPC-H head + 9 changed-text (the new
-#: streaming probe, the simhash_sig/_SIMHASH_SIG_SQL_CTES extraction
-#: recerts, the _hashed_src/_wav_encode/_y4m_header container recerts,
-#: one docstring-only) + 32 of the 39-op r7 cohort; the
-#: alphabetically-last 7 r7 ops slipped to r12 and lead below.
+#: slot — no exceptions; (b) the remaining slots go to
+#: OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's latest driver row can
+#: age past ~3 rounds as the rotation cycles.
+#: r12 window recap: 7 r7-stale streaming/text ops + the tranche-1
+#: tokenizer migrations + the maintained-store op (new) + the banded
+#: helper split recerts (_capped_bands was DECOMPOSED into the
+#: _simhash_bands + _cap_bands composition — an earlier draft grew a
+#: checkpoint= parameter that was added and removed within the round;
+#: ADVICE r12 corrected the stale claim) + the PPM/BMP/Y4M hardening
+#: recerts + 28 of the r8 cohort.
 _RECHECK_FIRST = [
-    # r12 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r11 rotation comment and VERDICT r11 item 1:
-    # — staleness tier FIRST (policy b): the seven r7-cohort ops that
-    #   slipped the r11 window — the oldest driver rows anywhere
-    #   (staleness 5) — streaming_hour_rollup ALSO changed text this
-    #   round (approx-distinct users column, VERDICT r11 item 4), so
-    #   its slot satisfies both tiers at once —
-    "streaming_countmin_replay",
-    "streaming_dedup_replay",
+    # r13 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r12 rotation comment and VERDICT r12 item 1:
+    # — staleness tier FIRST (policy b): the seven r8-cohort residents
+    #   evicted from the r12 window — the oldest driver rows anywhere
+    #   (staleness 5 entering r13) —
+    "trend_group_avg_sort",
+    "two_level_agg",
+    "user_event_paths",
+    "value_counts_topk",
+    "window_group_median_fill",
+    "window_lag_value_delta",
+    "zscore_normalize",
+    # — changed-text tier (policy a): the \x0B tokenizer burn-down
+    #   TRANCHE 2 — the 15 remaining legacy _norm/_NORM_SQL /
+    #   ws_token_count/WS_TOKEN_COUNT_SQL consumers plus
+    #   text_repetition_flags (whose oracle inlined the \S+ idiom)
+    #   migrated to the explicit ASCII-whitespace-class pair
+    #   (text._WS_CHARS), after which the legacy pair was DELETED and
+    #   the divergence pin flipped to the agreement guard
+    #   (tests/test_text_helpers.py:
+    #   test_no_oracle_uses_the_dialect_divergent_whitespace_idiom).
+    #   Spark-side results are bit-identical (Java \s IS the explicit
+    #   class — pinned); only the DuckDB oracle texts changed —
+    "bpe_pair_counts",
+    "c4_heuristic_filter",
+    "contamination_ngram_check",
+    "corpus_curation",
+    "dedup_common_spans",
+    "dedup_connected_components",
+    "dedup_exact_text",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_self_repetition",
+    "sequence_pack_scaled",
+    "sequence_pack_stats",
+    "split_leakage_ngram",
+    "text_repetition_flags",
+    "truncation_loss_curve",
+    #   r13 changed-text, continued: streaming_hour_rollup's HLL
+    #   certification envelope is now DERIVED from the sketch rsd
+    #   (4*rsd relative + 5-user floor, ADVICE r12 item 3);
+    #   streaming_neardup_store_maintenance recertifies for the oracle
+    #   hoist to the shared _MAINT_ORACLE constant;
+    #   streaming_neardup_store_compaction is NEW (VERDICT r12 item 3:
+    #   the answer-preserving OPTIMIZE of the maintained banded store,
+    #   certified against the maintenance oracle VERBATIM with
+    #   fault-injected duplicate appends and a mid-stream compaction);
+    #   the two _wav_parse consumers recertify for the r13 WAV patrol
+    #   hardening (fmt_len validation, odd-data_len reject) —
     "streaming_hour_rollup",
-    "streaming_sessionization",
-    "streaming_view_purchase_join",
-    "text_lang_id",
-    "window_moving_avg",
-    # — changed-text tier (policy a: changed impl/oracle text ⇒ slot,
-    #   no exceptions):
-    #   streaming_neardup_store_maintenance is NEW (VERDICT r11 item
-    #   2: the maintained-store/self-deduplicating-ingest form of the
-    #   probe); streaming_neardup_probe recertifies for the four
-    #   ADVICE r11 closures (substr lockstep, temp hygiene, cache
-    #   fingerprint, single-checkpoint store) and the tokenizer
-    #   migration below —
     "streaming_neardup_store_maintenance",
-    "streaming_neardup_probe",
-    #   the \x0B dialect-class burn-down, tranche 1 of 2 (VERDICT r11
-    #   item 3): these six move off the divergent _norm/_NORM_SQL +
-    #   ws_token_count/WS_TOKEN_COUNT_SQL pairs onto the explicit
-    #   ASCII-whitespace-class pair (operators/text.py), whose two
-    #   regex dialects agree on EVERY input, vertical tab included.
-    #   text_simhash + simhash_near_pairs ride the migrated
-    #   _SIMHASH_SIG_SQL_CTES (as do the two streaming ops above);
-    #   doc_fingerprint / text_token_count / text_quality_score /
-    #   vocab_oov_rate / source_vocab_overlap migrate directly.
-    #   Tranche 2 (the remaining 15 legacy consumers: bpe_pair_counts,
-    #   c4_heuristic_filter, contamination_ngram_check, corpus_curation,
-    #   dedup_common_spans, dedup_connected_components, dedup_exact_text,
-    #   dedup_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
-    #   doc_self_repetition, sequence_pack_scaled, sequence_pack_stats,
-    #   split_leakage_ngram, truncation_loss_curve — plus
-    #   text_repetition_flags, whose oracle INLINES the \S+ idiom
-    #   instead of consuming the shared pair) is PINNED for r13, after
-    #   which
-    #   the legacy pair is deleted and the divergence pin in
-    #   tests/test_text_helpers.py flips to an agreement pin —
-    "text_simhash",
-    "simhash_near_pairs",
-    "doc_fingerprint",
-    "text_token_count",
-    "text_quality_score",
-    "vocab_oov_rate",
-    "source_vocab_overlap",
-    #   _capped_bands grew the checkpoint= parameter (ADVICE r11 item
-    #   4) — helper-signature growth recertifies consumers, the
-    #   _banded_hamming_pairs precedent from r10/r11 —
-    "image_phash_neardup",
-    "audio_fingerprint_neardup",
-    #   _y4m_header hardened (r12 fuzz patrol, VERDICT r11 item 7:
-    #   negative-dimension headers were ACCEPTED instead of raising
-    #   into the opaque quarantine) — its two consumers recertify —
-    #   and the sibling sweep then hardened _ppm_parse (int()-leniency
-    #   header numbers, unchecked maxval) and _bmp_parse (pixel offset
-    #   inside the header), so their decode ops recertify too —
+    "streaming_neardup_store_compaction",
+    "multimodal_wav_decode",
     "multimodal_decode_dispatch",
-    "video_frame_sample",
-    "multimodal_ppm_decode",
-    "multimodal_bmp_decode",
-    # — r8-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; vocab_oov_rate and source_vocab_overlap
-    #   count in the changed tier above, and the SEVEN alphabetically-
-    #   last residents (trend_group_avg_sort, two_level_agg,
-    #   user_event_paths, value_counts_topk, window_group_median_fill,
-    #   window_lag_value_delta, zscore_normalize) are evicted to r13
-    #   to fund the recert slots — they lead the r13 window together
-    #   with the tranche-2 migration) —
-    "asof_join_attribution",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_exact",
-    "eq_filter_group_agg",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "filter_group2_avg2_count_sort",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "global_sort_rowid",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "group_avg_sum2_topk",
-    "group_quantiles",
-    "json_props_extract",
-    "mad_outlier_detect",
-    "overview_scalars",
-    "pivot_event_counts",
-    "project_dropna",
-    "range_filter_agg",
-    "running_distinct_users",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
-    "stratified_hash_sample",
-    # — r13 window core (planned now so rotation stays mechanical):
-    #   FIRST the seven evicted r8 residents (trend_group_avg_sort,
-    #   two_level_agg, user_event_paths, value_counts_topk,
-    #   window_group_median_fill, window_lag_value_delta,
-    #   zscore_normalize),
-    #   then the 16-op tokenizer tranche 2 (15 legacy-pair consumers +
-    #   text_repetition_flags's inline \S+) named
-    #   above (every one is changed-text in r13 by construction), then
-    #   r13 changed-text, then the r9 cohort alphabetical with
-    #   whatever slots remain (the 46-op r9 cohort will itself need
-    #   two rounds — oldest-first keeps the ~3-round invariant).
+    # — r9-cohort tier (policy b: oldest-first, alphabetical within
+    #   the equal-staleness tie; ten r9 residents — bpe_pair_counts,
+    #   corpus_curation, dedup_connected_components, dedup_minhash_lsh,
+    #   dedup_ngram_jaccard, doc_self_repetition, sequence_pack_scaled,
+    #   sequence_pack_stats, text_repetition_flags,
+    #   truncation_loss_curve — already sit in the changed tier above,
+    #   so the tranche-2 migration doubles as r9 drain) —
+    "assoc_rules_lift",
+    "benford_law_check",
+    "bigram_cross_entropy",
+    "bigram_cross_entropy_hashed",
+    "brand_copurchase_triangles",
+    "cdc_latest_compaction",
+    "countmin_estimate",
+    "cusum_changepoint",
+    "dedup_semantic_cluster",
+    "ewma_smoothing",
+    "group_quantiles_scaled",
+    "heavy_hitters_twopass",
+    "incremental_agg_update",
+    "inverted_index_topk",
+    "iqr_clip_scaled",
+    "kmv_distinct_sketch",
+    "kmv_join_cardinality",
+    "largest_remainder_alloc",
+    "mann_kendall_trend",
+    "median_fill_scaled",
+    "merge_upsert_counts",
+    "mode_per_group",
+    # — r14 window plan (pinned now so the rotation stays mechanical,
+    #   VERDICT r12 item 2): FIRST the twelve r9 residents that slipped
+    #   this window (pagerank_nation_trade, path_regex_match,
+    #   rolling_correlation, scd2_dimension_update, sessionization,
+    #   similarity_ivf_topk, similarity_lsh_bucketed, skyline_pareto,
+    #   source_quantile_normalize, split_leakage_check,
+    #   split_leakage_lsh, unigram_cross_entropy — staleness 5 entering
+    #   r14, the oldest rows anywhere), then r14 changed-text, then the
+    #   43-op r10 cohort alphabetical with the remaining ~35 slots
+    #   (its tail lands in r15 at staleness 5, same two-round drain as
+    #   the r9 cohort).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

@@ -83,13 +83,17 @@ _RECHECK_FIRST = [
     #   the answer-preserving OPTIMIZE of the maintained banded store,
     #   certified against the maintenance oracle VERBATIM with
     #   fault-injected duplicate appends and a mid-stream compaction);
-    #   the two _wav_parse consumers recertify for the r13 WAV patrol
-    #   hardening (fmt_len validation, odd-data_len reject) —
+    #   the WAV consumers recertify for the r13 patrol hardening
+    #   (fmt_len validation, odd-data_len reject) — including
+    #   audio_fingerprint_neardup, whose fingerprint reader the round
+    #   review routed through the shared validated header walk
+    #   (_wav_header_walk) after catching its own unvalidated copy —
     "streaming_hour_rollup",
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
     "multimodal_wav_decode",
     "multimodal_decode_dispatch",
+    "audio_fingerprint_neardup",
     # — r9-cohort tier (policy b: oldest-first, alphabetical within
     #   the equal-staleness tie; ten r9 residents — bpe_pair_counts,
     #   corpus_curation, dedup_connected_components, dedup_minhash_lsh,
@@ -118,7 +122,6 @@ _RECHECK_FIRST = [
     "mann_kendall_trend",
     "median_fill_scaled",
     "merge_upsert_counts",
-    "mode_per_group",
     # — r14 window plan (pinned now so the rotation stays mechanical,
     #   VERDICT r12 item 2): FIRST the twelve r9 residents that slipped
     #   this window (pagerank_nation_trade, path_regex_match,
@@ -126,7 +129,9 @@ _RECHECK_FIRST = [
     #   similarity_ivf_topk, similarity_lsh_bucketed, skyline_pareto,
     #   source_quantile_normalize, split_leakage_check,
     #   split_leakage_lsh, unigram_cross_entropy — staleness 5 entering
-    #   r14, the oldest rows anywhere), then r14 changed-text, then the
+    #   r14, the oldest rows anywhere) plus mode_per_group (evicted
+    #   from this window to fund the audio_fingerprint_neardup recert),
+    #   then r14 changed-text, then the
     #   43-op r10 cohort alphabetical with the remaining ~35 slots
     #   (its tail lands in r15 at staleness 5, same two-round drain as
     #   the r9 cohort).

@@ -571,12 +571,15 @@ def _wav_encode(doc_id: int, hex_digest: str) -> bytes:
     return hdr + body
 
 
-def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
-    """Parse the RIFF headers back and aggregate the PCM samples — the
-    byte-level decode the oracle certifies end-to-end.
+def _wav_header_walk(b: bytes) -> tuple[int, int]:
+    """Validate the RIFF/fmt/data headers and return (sample_rate,
+    n_samples) — the ONE WAV header walk BOTH readers consume
+    (:func:`_wav_parse` and :func:`_wav_fingerprint_parse`; r13 review
+    caught the fingerprint reader carrying its own unvalidated copy
+    with exactly the holes the patrol had just closed here).
 
     Accept-only-what-you-implement (the r12 PPM/BMP doctrine, extended
-    here by the r13 fuzz patrol): the reader implements exactly the
+    by the r13 fuzz patrol): the reader implements exactly the
     16-byte-fmt, mono, 16-bit-PCM layout the encoder writes.
     ``fmt_len`` is VALIDATED, not just read — every later offset (bits
     at 34, the data chunk at 36) is computed assuming a 16-byte fmt
@@ -586,7 +589,6 @@ def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
     ``data_len`` is likewise rejected: 16-bit PCM can't carry a half
     sample, and the old ``// 2`` floored the trailing byte away
     silently."""
-    import math
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -607,12 +609,23 @@ def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
     n = data_len // 2
     if n <= 0:
         raise ValueError("empty PCM data")
+    return rate, n
+
+
+def _wav_parse(b: bytes) -> tuple[int, int, int, float]:
+    """Parse the RIFF headers back (:func:`_wav_header_walk` — the
+    shared, fuzz-hardened walk) and aggregate the PCM samples — the
+    byte-level decode the oracle certifies end-to-end."""
+    import math
+    import struct
+
+    rate, n = _wav_header_walk(b)
     total = 0
     for i in range(n):
         (s,) = struct.unpack_from("<h", b, _WAV_HDR + 2 * i)
         total += s
     mean = total / n
-    return rate, n, _WAV_HDR + data_len, math.floor(
+    return rate, n, _WAV_HDR + 2 * n, math.floor(
         round(mean, 7) * 10000.0 + 0.5
     ) / 10000.0
 
@@ -1054,19 +1067,16 @@ _AUDIO_FRAMES = _PHASH_BITS + 1
 
 
 def _wav_fingerprint_parse(b: bytes) -> int:
-    """Decode a WAV payload's PCM samples (the same byte-level header
-    walk :func:`_wav_parse` certifies) and fold them into the 60-bit
+    """Decode a WAV payload's PCM samples via the SHARED
+    :func:`_wav_header_walk` (r13 review: this reader previously
+    carried its own copy of the walk with none of the fmt_len / codec /
+    channel / bit-depth / odd-length validation the fuzz patrol added —
+    hardening one of two parallel walks leaves the silent-misparse
+    class alive in the other) and fold them into the 60-bit
     energy-delta fingerprint."""
-    import struct
-
     import numpy as np
 
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    data_id, data_len = struct.unpack("<4sI", b[36:44])
-    if data_id != b"data":
-        raise ValueError("unexpected data chunk")
-    n = data_len // 2
+    _rate, n = _wav_header_walk(b)
     if n < _AUDIO_FRAMES:
         raise ValueError("too few samples to frame")
     s = np.frombuffer(b, dtype="<i2", offset=_WAV_HDR, count=n).astype(np.int64)

@@ -456,31 +456,36 @@ def compact_store_bands(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     """Rewrite the persisted banded store to its DISTINCT band rows and
     return (rows_before, rows_after).
 
-    The rewrite stages to a fresh directory and swaps the part files in
-    only after the staged write commits — a crash mid-compaction leaves
-    either the old files or the full new set, never a half-store (the
-    poor man's form of the atomic OPTIMIZE a transactional table format
-    gives you; at 100 TB this is Delta/Iceberg OPTIMIZE or an
-    INSERT OVERWRITE of the store partition, same invariant).
+    The rewrite stages to a fresh directory, and the swap moves the
+    staged files IN before the old files go — new-then-delete, never
+    delete-then-new (r13 review: the first draft removed the old part
+    files first, so a crash between the two loops left a gutted store
+    that later probes would read as silently-missing history). Staged
+    part names are fresh UUIDs, so they cannot collide with the
+    existing files; a crash at ANY point leaves the store holding the
+    old rows, the new rows, or both — and "both" is just duplicates,
+    exactly the state the probe's read-side DISTINCT already absorbs
+    by design. At 100 TB this is Delta/Iceberg OPTIMIZE or an
+    INSERT OVERWRITE of the store partition, same invariant.
 
     Scale shape: one scan → hash aggregate on all five columns (the
     same dedup the probe's read-side DISTINCT pays per batch) → write.
-    No join, no window, no driver materialization — the two counts are
-    bounded aggregates. Runs out-of-band of the ingest loop; the store
-    is only unavailable during the file swap."""
+    ``rows_after`` is counted from the STAGED output before the swap —
+    it both avoids re-scanning the live store and validates the staged
+    write before any old file is touched. No join, no window, no
+    driver materialization — the two counts are bounded aggregates.
+    Runs out-of-band of the ingest loop."""
     before = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir)
     n_before = before.count()
     staging = _mkdtemp("neardup_store_compact_")
     before.distinct().write.mode("overwrite").parquet(staging)
-    for f in os.listdir(store_dir):
-        if f.endswith(".parquet"):
-            os.remove(os.path.join(store_dir, f))
+    n_after = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(staging).count()
+    old = [f for f in os.listdir(store_dir) if f.endswith(".parquet")]
     for f in os.listdir(staging):
         if f.endswith(".parquet"):
             os.rename(os.path.join(staging, f), os.path.join(store_dir, f))
-    n_after = (
-        spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).count()
-    )
+    for f in old:
+        os.remove(os.path.join(store_dir, f))
     return n_before, n_after
 
 

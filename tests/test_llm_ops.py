@@ -1482,6 +1482,7 @@ def test_container_parser_fuzz_ppm_bmp_wav():
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.multimodal import (
         _bmp_parse,
         _ppm_parse,
+        _wav_fingerprint_parse,
         _wav_parse,
     )
 
@@ -1551,6 +1552,14 @@ def test_container_parser_fuzz_ppm_bmp_wav():
             _rate, n, size, _mean = _wav_parse(b)
             assert n > 0 and size <= len(b), b
             assert size == 44 + 2 * n, b  # even data, 16-byte fmt only
+        except (ValueError, struct.error):
+            pass
+        # the fingerprint reader consumes the SAME validated header
+        # walk (r13 review) — anything _wav_parse rejects it must
+        # reject too, and an acceptance implies frameable samples
+        try:
+            fp = _wav_fingerprint_parse(b)
+            assert 0 <= fp < (1 << 60), b
         except (ValueError, struct.error):
             pass
 

@@ -71,20 +71,23 @@ ROUND13_CHANGED_IDS = [
     # duplicate appends, mid-stream compaction, certified against the
     # maintenance oracle VERBATIM
     "streaming_neardup_store_compaction",
-    # r13 WAV fuzz patrol (VERDICT r12 item 6) hardened _wav_parse
-    # (fmt_len validation, odd-data_len reject) — its two consumers
-    # recertify (_wav_fingerprint_parse is an independent walk, so
-    # audio_fingerprint_neardup is unaffected)
+    # r13 WAV fuzz patrol (VERDICT r12 item 6) hardened the header
+    # walk (fmt_len validation, odd-data_len reject), and the round
+    # review then routed the fingerprint reader's own unvalidated copy
+    # of the walk through the shared _wav_header_walk — all three WAV
+    # consumers recertify
     "multimodal_wav_decode",
     "multimodal_decode_dispatch",
+    "audio_fingerprint_neardup",
 ]
 
 #: oldest-first refresh: the r9 cohort (staleness 4 entering r13).
 #: Ten r9 residents already sit in the changed tier (the tranche-2
-#: migration doubles as r9 drain); the twelve alphabetically-last
-#: remaining residents (pagerank_nation_trade .. unigram_cross_entropy)
-#: slip to lead the r14 window — the plan is pinned in the
-#: _RECHECK_FIRST rotation comment.
+#: migration doubles as r9 drain); the thirteen remaining residents
+#: (mode_per_group — evicted to fund the audio_fingerprint_neardup
+#: recert — plus pagerank_nation_trade .. unigram_cross_entropy) slip
+#: to lead the r14 window — the plan is pinned in the _RECHECK_FIRST
+#: rotation comment.
 ROUND13_R9_COHORT_IDS = [
     "assoc_rules_lift",
     "benford_law_check",
@@ -107,7 +110,6 @@ ROUND13_R9_COHORT_IDS = [
     "mann_kendall_trend",
     "median_fill_scaled",
     "merge_upsert_counts",
-    "mode_per_group",
 ]
 
 

@@ -227,6 +227,7 @@ def test_store_compaction_is_answer_preserving(spark, tmp_path):
     (c) after compaction — and the compaction itself halves the
     injected row count back to the distinct set and is idempotent."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _NEARDUP_STORE_SOURCES,
         _banded_prefix_pairs,
         _bands_with_src,
     )
@@ -258,7 +259,7 @@ def test_store_compaction_is_answer_preserving(spark, tmp_path):
         store = (
             spark.read.schema(_STORE_BANDS_SCHEMA)
             .parquet(store_dir)
-            .filter(F.col("src") < 10)
+            .filter(F.col("src") < _NEARDUP_STORE_SOURCES)
             .distinct()
         )
         return [tuple(r) for r in _banded_prefix_pairs(batch_bands, store).collect()]

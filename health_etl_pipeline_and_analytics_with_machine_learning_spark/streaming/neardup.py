@@ -322,22 +322,48 @@ def _chunked_ingest_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     return out
 
 
+#: INITIAL-store cache: the historical corpus's banded form is a PURE
+#: FUNCTION of the immutable source table (same replay-input doctrine
+#: as _PROBE_CHUNK_CACHE — generation is setup, not the loop being
+#: measured), so the simhash tally over src0..src9 runs once per
+#: (corpus, process). Keyed by the documents fingerprint so an
+#: in-place corpus regeneration invalidates it; band rows derive from
+#: text alone, so no session-TZ key is needed.
+_INIT_STORE_CACHE: dict[tuple, str] = {}
+
+
 def _init_store_bands_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the historical corpus (src0..src9) as the persisted
     banded store the maintenance loop appends to: UNCAPPED band rows —
     the hot-bucket cap is recomputed per batch because the store (and
-    so each bucket's population) grows as ingest is accepted."""
+    so each bucket's population) grows as ingest is accepted.
+
+    Every call returns its OWN fresh directory (the loop mutates its
+    store: appends per batch, file swap on compaction), seeded from the
+    cached build by hard link — safe because store part files are never
+    modified in place (appends create new UUID-named files; compaction
+    unlinks, which leaves the cached originals untouched)."""
     from ..operators.dedup import _bands_with_src
     from ..operators.registry import load
     from ..operators.text import simhash_sig
 
+    key = ("store0", sf_dir, _documents_fingerprint(sf_dir))
+    cached = _INIT_STORE_CACHE.get(key)
+    if cached is None or not os.path.isdir(cached):
+        cached = _mkdtemp("neardup_store_bands_cache_")
+        d = load(spark, sf_dir, "documents")
+        hist = d.filter(_store_pred(F.col("source")))
+        src_of = hist.select(
+            "doc_id", _src_num(F.col("source")).cast("int").alias("src")
+        )
+        _bands_with_src(simhash_sig(hist, spark), src_of).write.mode(
+            "overwrite"
+        ).parquet(cached)
+        _INIT_STORE_CACHE[key] = cached
     store_dir = _mkdtemp("neardup_store_bands_")
-    d = load(spark, sf_dir, "documents")
-    hist = d.filter(_store_pred(F.col("source")))
-    src_of = hist.select("doc_id", _src_num(F.col("source")).cast("int").alias("src"))
-    _bands_with_src(simhash_sig(hist, spark), src_of).write.mode(
-        "overwrite"
-    ).parquet(store_dir)
+    for f in os.listdir(cached):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(cached, f), os.path.join(store_dir, f))
     return store_dir
 
 
@@ -503,7 +529,7 @@ def _inject_duplicate_appends(store_dir: str) -> None:
 
 
 def stream_neardup_store_compaction(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4, compact_after: int = 2
+    spark: SparkSession, sf_dir: str, n_chunks: int = 2, compact_after: int = 1
 ) -> DataFrame:
     """The maintained-store loop WITH a mid-stream compaction under
     fault-injected duplicate appends, certified by the UNCHANGED
@@ -520,7 +546,12 @@ def stream_neardup_store_compaction(
     DISTINCT) and the compaction never drops a row a later probe needs
     (the rewrite keeps one copy of every band row). The chunk split is
     hard links into two watch directories, so the replay input is
-    byte-identical to the maintenance op's at the same chunk count."""
+    byte-identical to the maintenance op's at the same chunk count.
+    The default replay is the MINIMAL complete shape — one multi-source
+    micro-batch each side of the compaction — because multi-batch
+    replay mechanics are already certified by the maintenance op's
+    1/2/5-chunk invariance pins; what this op adds is the mid-stream
+    rewrite, and one batch per phase exercises it fully."""
     store_dir = _init_store_bands_dir(spark, sf_dir)
     watch_all = _chunked_ingest_dir(spark, sf_dir, n_chunks)
     out_dir = _mkdtemp("neardup_maint_pairs_")

@@ -340,3 +340,81 @@ def test_compaction_op_equals_maintenance_op(spark):
         tuple(r) for r in stream_neardup_store_compaction(spark, SF_SMOKE).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_compaction_swap_is_crash_safe_at_every_point(spark, tmp_path):
+    """Backs compact_store_bands' crash-safety claim by construction:
+    replay the swap protocol (stage distinct -> rename staged in ->
+    delete old) step by step — textually mirroring the helper's file
+    operations; update BOTH if the protocol changes — and probe the
+    store at EVERY intermediate state, including every partial-delete
+    prefix. The new-then-delete ordering guarantees each state holds a
+    superset of the distinct band rows (all-old before the renames, a
+    complete new set from the first delete onward), so the read-side
+    DISTINCT makes every crash point answer-identical."""
+    import shutil as _sh
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _NEARDUP_STORE_SOURCES,
+        _banded_prefix_pairs,
+        _bands_with_src,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _STORE_BANDS_SCHEMA,
+        _init_store_bands_dir,
+        _inject_duplicate_appends,
+        _src_num,
+        _store_pred,
+    )
+
+    store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+    _inject_duplicate_appends(store_dir)
+
+    docs = load(spark, SF_SMOKE, "documents")
+    batch_docs = docs.filter(~_store_pred(F.col("source"))).select(
+        "doc_id", "text", _src_num(F.col("source")).alias("src")
+    )
+    batch_bands = _bands_with_src(
+        simhash_sig(batch_docs, spark), batch_docs
+    ).localCheckpoint(eager=True)
+
+    def probe():
+        store = (
+            spark.read.schema(_STORE_BANDS_SCHEMA)
+            .parquet(store_dir)
+            .filter(F.col("src") < _NEARDUP_STORE_SOURCES)
+            .distinct()
+        )
+        return [tuple(r) for r in _banded_prefix_pairs(batch_bands, store).collect()]
+
+    want = probe()
+    assert want
+
+    # -- the swap protocol, replayed with a probe between every step --
+    before = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir)
+    n_distinct = before.distinct().count()  # captured while old files exist
+    staging = str(tmp_path / "staging")
+    before.distinct().write.mode("overwrite").parquet(staging)
+    assert probe() == want  # crash after staging: store untouched
+
+    old = sorted(f for f in os.listdir(store_dir) if f.endswith(".parquet"))
+    new = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    for i, f in enumerate(new):
+        os.rename(os.path.join(staging, f), os.path.join(store_dir, f))
+        if i == 0:
+            assert probe() == want  # crash mid-rename: old + partial new
+    assert probe() == want  # crash after renames: old + full new (dup-heavy)
+
+    for f in old:
+        os.remove(os.path.join(store_dir, f))
+        assert probe() == want  # crash after EVERY partial delete
+
+    # final state == a completed compaction: distinct rows only
+    n_final = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).count()
+    assert n_final == n_distinct

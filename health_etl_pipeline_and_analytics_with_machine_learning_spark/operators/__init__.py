@@ -94,6 +94,11 @@ _RECHECK_FIRST = [
     "multimodal_wav_decode",
     "multimodal_decode_dispatch",
     "audio_fingerprint_neardup",
+    #   similarity_pq_topk is NEW (r13): product-quantization ADC ANN
+    #   with exact re-rank — the memory-scale index family completing
+    #   the exact/IVF/LSH/PQ triad; per-subspace deterministic Lloyd
+    #   codebooks replayed by the oracle as unrolled CTE chains —
+    "similarity_pq_topk",
     # — r9-cohort tier (policy b: oldest-first, alphabetical within
     #   the equal-staleness tie; ten r9 residents — bpe_pair_counts,
     #   corpus_curation, dedup_connected_components, dedup_minhash_lsh,
@@ -121,7 +126,6 @@ _RECHECK_FIRST = [
     "largest_remainder_alloc",
     "mann_kendall_trend",
     "median_fill_scaled",
-    "merge_upsert_counts",
     # — r14 window plan (pinned now so the rotation stays mechanical,
     #   VERDICT r12 item 2): FIRST the twelve r9 residents that slipped
     #   this window (pagerank_nation_trade, path_regex_match,
@@ -129,8 +133,10 @@ _RECHECK_FIRST = [
     #   similarity_ivf_topk, similarity_lsh_bucketed, skyline_pareto,
     #   source_quantile_normalize, split_leakage_check,
     #   split_leakage_lsh, unigram_cross_entropy — staleness 5 entering
-    #   r14, the oldest rows anywhere) plus mode_per_group (evicted
-    #   from this window to fund the audio_fingerprint_neardup recert),
+    #   r14, the oldest rows anywhere) plus merge_upsert_counts and
+    #   mode_per_group (evicted from this window to fund the
+    #   similarity_pq_topk slot and the audio_fingerprint_neardup
+    #   recert),
     #   then r14 changed-text, then the
     #   43-op r10 cohort alphabetical with the remaining ~35 slots
     #   (its tail lands in r15 at staleness 5, same two-round drain as

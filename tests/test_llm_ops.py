@@ -61,6 +61,30 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_pq_topk_recall_and_structure_vs_bruteforce(spark):
+    """PQ-ADC with exact re-rank must recover a healthy fraction of the
+    exact top-k (recall@5 — measured ~0.8-0.9 on this near-isotropic
+    corpus), be deterministic (seeded per-subspace codebooks), and obey
+    the refine contract: every reported cosine must EQUAL the
+    brute-force cosine for that (query, neighbor) pair (the re-rank is
+    exact; only the shortlist membership is approximate)."""
+    exact = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = similarity.similarity_pq_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set, "brute force returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"PQ recall@5 too low: {recall:.2f}"
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        assert r.adc_d2 >= 0 or abs(r.adc_d2) < 1e-4, r  # quantized d2, FP floor
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key], key
+    again = similarity.similarity_pq_topk(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in approx]
+
+
 def test_bruteforce_topk_shape(spark):
     rows = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
     assert len(rows) == similarity.N_QUERIES * similarity.TOP_K

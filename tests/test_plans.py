@@ -931,3 +931,17 @@ def test_store_compaction_plan_is_scan_distinct_no_join(spark):
     assert count_exchanges(df) == 1
     plan = formatted_plan(df)
     assert "HashAggregate" in plan
+
+
+def test_pq_topk_plan_is_narrow_encode_broadcast_scan(spark):
+    """r13 PQ plan pin: the codebooks fold into the row expression, so
+    encoding is NARROW (no join anywhere except the ADC pair scan);
+    the pair scan is one BroadcastNestedLoopJoin with the tiny query
+    set broadcast — the same deliberate shape as the exact baseline
+    (10 rows x linear corpus stream, never a shuffled product) — and
+    the only exchanges are the per-query window and the final sort."""
+    df = similarity.similarity_pq_topk(spark, SF_SMOKE)
+    assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+    assert count_exchanges(df) <= 2
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan

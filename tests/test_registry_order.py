@@ -79,15 +79,20 @@ ROUND13_CHANGED_IDS = [
     "multimodal_wav_decode",
     "multimodal_decode_dispatch",
     "audio_fingerprint_neardup",
+    # NEW (r13): product-quantization ADC ANN with exact re-rank —
+    # completes the exact/IVF/LSH/PQ index-family triad; oracle replays
+    # all eight per-subspace codebook fits as unrolled CTE chains
+    "similarity_pq_topk",
 ]
 
 #: oldest-first refresh: the r9 cohort (staleness 4 entering r13).
 #: Ten r9 residents already sit in the changed tier (the tranche-2
-#: migration doubles as r9 drain); the thirteen remaining residents
-#: (mode_per_group — evicted to fund the audio_fingerprint_neardup
-#: recert — plus pagerank_nation_trade .. unigram_cross_entropy) slip
-#: to lead the r14 window — the plan is pinned in the _RECHECK_FIRST
-#: rotation comment.
+#: migration doubles as r9 drain); the fourteen remaining residents
+#: (merge_upsert_counts and mode_per_group — evicted to fund the
+#: similarity_pq_topk slot and the audio_fingerprint_neardup recert —
+#: plus pagerank_nation_trade .. unigram_cross_entropy) slip to lead
+#: the r14 window — the plan is pinned in the _RECHECK_FIRST rotation
+#: comment.
 ROUND13_R9_COHORT_IDS = [
     "assoc_rules_lift",
     "benford_law_check",
@@ -109,7 +114,6 @@ ROUND13_R9_COHORT_IDS = [
     "largest_remainder_alloc",
     "mann_kendall_trend",
     "median_fill_scaled",
-    "merge_upsert_counts",
 ]
 
 

@@ -274,47 +274,85 @@ def _det_kmeans_fit(
 
 
 def _fit_cached(
-    spark: SparkSession, sf_dir: str, k: int, iters: int, sample_hex: str
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    iters: int,
+    sample_hex: str,
+    *,
+    key_suffix: str = "",
+    e: DataFrame | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Memoized :func:`_det_kmeans_fit` keyed on the fit's full input
-    identity (source dir + geometry). At 100 TB this is the index-build
-    vs index-serve split: the quantizer is fit once and SHIPPED with the
-    index, not re-derived per query."""
-    key = (sf_dir, k, iters, sample_hex)
+    identity (source dir + geometry + ``key_suffix`` naming any derived
+    input, e.g. a PQ subspace slice handed in via ``e``). At 100 TB
+    this is the index-build vs index-serve split: the quantizer is fit
+    once and SHIPPED with the index, not re-derived per query."""
+    key = (sf_dir + key_suffix, k, iters, sample_hex)
     cents = _FIT_CACHE.get(key)
     if cents is None:
-        cents = _det_kmeans_fit(spark, _emb(spark, sf_dir), k, iters, sample_hex)
+        cents = _det_kmeans_fit(
+            spark, _emb(spark, sf_dir) if e is None else e, k, iters, sample_hex
+        )
         _FIT_CACHE[key] = cents
     return cents
 
 
-def _kmeans_cte_sql(k: int, iters: int, sample_hex: str) -> tuple[str, str]:
-    """DuckDB twin of :func:`_det_kmeans_fit` as unrolled CTEs.
-    Returns (cte_body, final_centroid_table_name)."""
+def _kmeans_cte_sql(
+    k: int,
+    iters: int,
+    sample_hex: str,
+    *,
+    prefix: str = "",
+    vsel: str = "v",
+    dims: str = "dims",
+    emit_head: bool = True,
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`_det_kmeans_fit` as unrolled CTEs — the ONE
+    textual statement of the pinned determinism contract (md5 sample,
+    lowest-vec_id init, round_cmp-pinned argmin with cell tiebreak,
+    round_cmp(·, 9) mean update), serving the IVF, semantic-dedup, AND
+    per-subspace PQ fits (r13 review: the PQ chain started as a textual
+    near-copy — a future change to any pinned rule had to land in two
+    places in lockstep). Returns (cte_body, final_centroid_table_name).
+
+    ``prefix`` namespaces every CTE so several chains coexist in one
+    query; ``vsel`` is the sample's vector projection (a subspace fit
+    passes ``v[a:b] AS v``); ``dims`` names the 1..subdim index table;
+    ``emit_head=False`` skips the shared ``e``/dims CTEs for callers
+    that emit them once for many chains."""
     d2 = _d2_sql("s.v", "c.cv")
-    parts = [
+    head = (
         f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    samp AS (SELECT vec_id, v FROM e
+    {prefix}samp AS (SELECT vec_id, {vsel} FROM e
              WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex}'),
-    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
-    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),"""
+        if emit_head
+        else f"""
+    {prefix}samp AS (SELECT vec_id, {vsel} FROM e
+             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex}'),"""
+    )
+    parts = [
+        head
+        + f"""
+    {prefix}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                   v AS cv
-           FROM samp ORDER BY vec_id LIMIT {k})"""
+           FROM {prefix}samp ORDER BY vec_id LIMIT {k})"""
     ]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for t in range(1, iters + 1):
         parts.append(
             f"""
-    a{t} AS (SELECT v, cell FROM (
+    {prefix}a{t} AS (SELECT v, cell FROM (
       SELECT s.v, c.cell,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2}, c.cell) AS rn
-      FROM samp s, {prev} c) WHERE rn = 1),
-    c{t} AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+      FROM {prefix}samp s, {prev} c) WHERE rn = 1),
+    {prefix}c{t} AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
       SELECT a.cell, d.i, {round_cmp_sql("AVG(a.v[d.i])", 9)} AS m
-      FROM a{t} a, dims d GROUP BY a.cell, d.i) GROUP BY cell)"""
+      FROM {prefix}a{t} a, {dims} d GROUP BY a.cell, d.i) GROUP BY cell)"""
         )
-        prev = f"c{t}"
+        prev = f"{prefix}c{t}"
     return ",".join(parts), prev
 
 
@@ -1006,53 +1044,40 @@ def _pq_codebooks(
     (sf_dir, subspace) like :func:`_fit_cached`: at 100 TB the
     codebooks are the index artifact, fit once and shipped."""
     e = _emb(spark, sf_dir)
-    books = []
-    for m in range(_PQ_M):
-        key = (f"{sf_dir}#pq{m}", _PQ_K, _PQ_ITERS, _PQ_SAMPLE_HEX)
-        cents = _FIT_CACHE.get(key)
-        if cents is None:
-            em = e.select(
+    return [
+        _fit_cached(
+            spark,
+            sf_dir,
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_SAMPLE_HEX,
+            key_suffix=f"#pq{m}",
+            e=e.select(
                 "vec_id",
                 F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v"),
-            )
-            cents = _det_kmeans_fit(spark, em, _PQ_K, _PQ_ITERS, _PQ_SAMPLE_HEX)
-            _FIT_CACHE[key] = cents
-        books.append(cents)
-    return books
+            ),
+        )
+        for m in range(_PQ_M)
+    ]
 
 
 def _pq_sub_kmeans_cte(m: int) -> tuple[str, str]:
-    """DuckDB twin of subspace ``m``'s codebook fit, as unrolled CTEs —
-    the per-subspace analogue of :func:`_kmeans_cte_sql` (same sample,
-    same init rule, same pinned rounding), over the slice
-    ``v[{m*_PQ_SUBDIM+1}:{(m+1)*_PQ_SUBDIM}]``. Returns
-    (cte_body, final_centroid_table_name); CTE names are prefixed
-    ``m{m}`` so all {_PQ_M} chains coexist in one query. Assumes an
-    ``e(vec_id, v)`` CTE and a ``dims8(i)`` CTE are already defined."""
+    """DuckDB twin of subspace ``m``'s codebook fit — the SHARED
+    :func:`_kmeans_cte_sql` chain (one textual statement of the pinned
+    determinism contract) namespaced ``m{m}``, fitting the slice
+    ``v[{m*_PQ_SUBDIM+1}:{(m+1)*_PQ_SUBDIM}]`` against the shared
+    ``dims8`` index table. Assumes the caller already emitted the
+    ``e(vec_id, v)`` and ``dims8(i)`` CTEs once for all chains."""
     a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
-    d2 = _d2_sql("s.v", "c.cv")
-    parts = [
-        f"""
-    m{m}samp AS (SELECT vec_id, v[{a}:{b}] AS v FROM e
-             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{_PQ_SAMPLE_HEX}'),
-    m{m}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-                  v AS cv
-           FROM m{m}samp ORDER BY vec_id LIMIT {_PQ_K})"""
-    ]
-    prev = f"m{m}c0"
-    for t in range(1, _PQ_ITERS + 1):
-        parts.append(
-            f"""
-    m{m}a{t} AS (SELECT v, cell FROM (
-      SELECT s.v, c.cell,
-             ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2}, c.cell) AS rn
-      FROM m{m}samp s, {prev} c) WHERE rn = 1),
-    m{m}c{t} AS (SELECT cell, list(x ORDER BY i) AS cv FROM (
-      SELECT a.cell, d.i, {round_cmp_sql("AVG(a.v[d.i])", 9)} AS x
-      FROM m{m}a{t} a, dims8 d GROUP BY a.cell, d.i) GROUP BY cell)"""
-        )
-        prev = f"m{m}c{t}"
-    return ",".join(parts), prev
+    return _kmeans_cte_sql(
+        _PQ_K,
+        _PQ_ITERS,
+        _PQ_SAMPLE_HEX,
+        prefix=f"m{m}",
+        vsel=f"v[{a}:{b}] AS v",
+        dims="dims8",
+        emit_head=False,
+    )
 
 
 def _pq_oracle_sql() -> str:
@@ -1093,9 +1118,8 @@ def _pq_oracle_sql() -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, x.vec_id AS neighbor_id,
-             {adc} AS adc_d2,
-             ROUND(list_cosine_similarity(q.qv, x.v), 6) AS cosine
-      FROM q, e x
+             {adc} AS adc_d2
+      FROM q, (SELECT vec_id FROM e) x
       {" ".join(joins)}
       WHERE x.vec_id <> q.query_id
     ),
@@ -1104,10 +1128,19 @@ def _pq_oracle_sql() -> str:
         PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn_adc
       FROM scored
     ),
+    -- exact cosine ONLY on the shortlist: the raw vectors re-attach by
+    -- point lookup after the ADC cut (the refine step never scans)
     ranked AS (
-      SELECT query_id, neighbor_id, adc_d2, cosine, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM shortlist WHERE rn_adc <= {_PQ_SHORTLIST}
+      SELECT s.query_id, s.neighbor_id, s.adc_d2,
+             ROUND(list_cosine_similarity(q2.qv, x2.v), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(q2.qv, x2.v), 6) DESC,
+                        s.neighbor_id) AS rank
+      FROM shortlist s
+      JOIN e x2 ON x2.vec_id = s.neighbor_id
+      JOIN q q2 ON q2.query_id = s.query_id
+      WHERE s.rn_adc <= {_PQ_SHORTLIST}
     )
     SELECT query_id, neighbor_id, adc_d2, cosine, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
@@ -1149,25 +1182,20 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmin transform)
     sl = e.select(
         "vec_id",
-        "v",
-        "nrm",
         *[
             F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"s{m}")
             for m in range(_PQ_M)
         ],
     ).select(
         "vec_id",
-        "v",
-        "nrm",
         *[F.col(f"s{m}") for m in range(_PQ_M)],
         *[_dot(F.col(f"s{m}"), F.col(f"s{m}")).alias(f"vv{m}") for m in range(_PQ_M)],
     )
-    # index build: ONE narrow encode pass — at 100 TB this table (codes
-    # only) is what gets stored and scanned
+    # index build: ONE narrow encode pass, codes only — at 100 TB this
+    # table IS the index ({_PQ_M} bytes/vector) and is all the ADC scan
+    # ever reads; the raw vectors re-enter only for the shortlist refine
     enc = sl.select(
         "vec_id",
-        "v",
-        "nrm",
         *[
             _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
                 f"code{m}"
@@ -1175,10 +1203,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ],
     )
-    q = sl.filter(F.col("vec_id") < N_QUERIES).select(
+    q_adc = sl.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
         *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
         *[F.col(f"vv{m}").alias(f"qvv{m}") for m in range(_PQ_M)],
     )
@@ -1193,24 +1219,44 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(1, _PQ_M):
         adc = adc + _adc_term(m)
     scored = (
-        enc.crossJoin(F.broadcast(q))
+        enc.crossJoin(F.broadcast(q_adc))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             round_cmp(adc, 6).alias("adc_d2"),
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
-            ).alias("cosine"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    # exact re-rank ONLY on the shortlist (review r13: the first draft
+    # computed the cosine for every pair BEFORE the cut, paying full
+    # brute-force work on top of ADC): the shortlist is queries×{_PQ_SHORTLIST}
+    # rows — broadcast it, point-look-up the raw vectors, re-rank
+    q_exact = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
     w_cos = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rn_adc", F.row_number().over(w_adc))
-        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
+        e.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q_exact), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w_cos).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", "cosine", "rank")

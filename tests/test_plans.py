@@ -935,13 +935,17 @@ def test_store_compaction_plan_is_scan_distinct_no_join(spark):
 
 def test_pq_topk_plan_is_narrow_encode_broadcast_scan(spark):
     """r13 PQ plan pin: the codebooks fold into the row expression, so
-    encoding is NARROW (no join anywhere except the ADC pair scan);
-    the pair scan is one BroadcastNestedLoopJoin with the tiny query
-    set broadcast — the same deliberate shape as the exact baseline
-    (10 rows x linear corpus stream, never a shuffled product) — and
-    the only exchanges are the per-query window and the final sort."""
+    encoding is NARROW (no join before the ADC pair scan); the pair
+    scan is ONE BroadcastNestedLoopJoin with the tiny query set
+    broadcast — the same deliberate shape as the exact baseline
+    (10 rows x linear CODE-table stream, never a shuffled product) —
+    and the exact refine re-attaches raw vectors to the shortlist via
+    broadcast hash joins only (the review-caught draft scored exact
+    cosine for EVERY pair before the cut)."""
     df = similarity.similarity_pq_topk(spark, SF_SMOKE)
-    assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
-    assert count_exchanges(df) <= 2
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastNestedLoopJoin") == 1
+    assert set(strategies) == {"BroadcastNestedLoopJoin", "BroadcastHashJoin"}
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -352,8 +352,6 @@ def test_compaction_swap_is_crash_safe_at_every_point(spark, tmp_path):
     superset of the distinct band rows (all-old before the renames, a
     complete new set from the first delete onward), so the read-side
     DISTINCT makes every crash point answer-identical."""
-    import shutil as _sh
-
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
         _NEARDUP_STORE_SOURCES,
         _banded_prefix_pairs,
@@ -399,7 +397,14 @@ def test_compaction_swap_is_crash_safe_at_every_point(spark, tmp_path):
     # -- the swap protocol, replayed with a probe between every step --
     before = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir)
     n_distinct = before.distinct().count()  # captured while old files exist
-    staging = str(tmp_path / "staging")
+    # staging must share the store dir's temp root: the swap replay
+    # uses os.rename exactly like compact_store_bands, and pytest's
+    # tmp_path can sit on a different mount (EXDEV)
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _mkdtemp,
+    )
+
+    staging = _mkdtemp("compact_crash_staging_")
     before.distinct().write.mode("overwrite").parquet(staging)
     assert probe() == want  # crash after staging: store untouched
 

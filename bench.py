@@ -152,6 +152,42 @@ def main() -> None:
         print(f"bench error in pipeline_clean: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Mechanical box-factor adjudication (VERDICT r13 item 3): three
+    # rounds running, cross-round totals needed a MANUAL sentinel
+    # normalization narrative in BASELINE.md because the box load
+    # differs between rounds. Emit the normalization itself: read the
+    # PRIOR round's committed BENCH_LOCAL.json (before overwriting it
+    # below), scale this run's common-set total by the mid-sentinel
+    # ratio, and report the per-op median ratio — the robust "did any
+    # plan actually move" statistic (a box-phase change moves every
+    # ratio together; a plan regression moves one op far off the
+    # median). Readers compare sentinel_normalized_common_total to the
+    # reference's common_total_reference directly.
+    box_normalization = None
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            ref = json.load(f)
+        ref_q = {k: v for k, v in ref.get("queries", {}).items() if v and v > 0}
+        if ref.get("sentinel_mid") and sentinel_mid and ref_q:
+            common = sorted(k for k, v in timings.items() if v > 0 and k in ref_q)
+            common_total = sum(timings[k] for k in common)
+            common_total_ref = sum(ref_q[k] for k in common)
+            box = sentinel_mid / ref["sentinel_mid"]
+            ratios = sorted(timings[k] / ref_q[k] for k in common)
+            box_normalization = {
+                "reference_sentinel_mid": ref["sentinel_mid"],
+                "box_factor_mid": round(box, 4),
+                "n_common": len(common),
+                "common_total_raw": round(common_total, 4),
+                "common_total_reference": round(common_total_ref, 4),
+                "sentinel_normalized_common_total": round(common_total / box, 4),
+                "per_op_median_ratio": round(ratios[len(ratios) // 2], 4),
+            }
+    except (OSError, ValueError, KeyError, ZeroDivisionError) as exc:
+        print(f"bench: no box normalization ({exc})", file=sys.stderr)
+
     payload = {
         "queries": timings,
         "metric": "steady_state_total_query_time",
@@ -162,6 +198,7 @@ def main() -> None:
         "sentinel_start": sentinel_start,
         "sentinel_mid": sentinel_mid,
         "sentinel_end": _sentinel(),
+        "box_normalization": box_normalization,
         # ADVICE r9: the headline total includes the pipeline_clean
         # end-to-end ETL entry since r9 (~26 s at sf0.1) — totals from
         # BENCH_r01–r08 artifacts are NOT directly comparable without
@@ -176,7 +213,6 @@ def main() -> None:
     # (BENCH_r05 kept only the last 72 of 170 per-query timings), so
     # also persist the complete result where it can't be clipped
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as exc:  # pragma: no cover - stdout is the contract

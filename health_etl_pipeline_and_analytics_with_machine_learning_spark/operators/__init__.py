@@ -27,120 +27,96 @@ from .registry import REGISTRY as _R
 #: slot — no exceptions; (b) the remaining slots go to
 #: OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's latest driver row can
 #: age past ~3 rounds as the rotation cycles.
-#: r12 window recap: 7 r7-stale streaming/text ops + the tranche-1
-#: tokenizer migrations + the maintained-store op (new) + the banded
-#: helper split recerts (_capped_bands was DECOMPOSED into the
-#: _simhash_bands + _cap_bands composition — an earlier draft grew a
-#: checkpoint= parameter that was added and removed within the round;
-#: ADVICE r12 corrected the stale claim) + the PPM/BMP/Y4M hardening
-#: recerts + 28 of the r8 cohort.
+#: r13 window recap: the seven r8-stale evictees + the tranche-2
+#: tokenizer burn-down (16 recerts, legacy pair deleted) + the HLL
+#: envelope derivation + the compaction op (new) + the WAV hardening
+#: recerts + similarity_pq_topk (new) + 20 of the r9 cohort — 50/50
+#: green, in pinned order.
 _RECHECK_FIRST = [
-    # r13 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r12 rotation comment and VERDICT r12 item 1:
-    # — staleness tier FIRST (policy b): the seven r8-cohort residents
-    #   evicted from the r12 window — the oldest driver rows anywhere
-    #   (staleness 5 entering r13) —
-    "trend_group_avg_sort",
-    "two_level_agg",
-    "user_event_paths",
-    "value_counts_topk",
-    "window_group_median_fill",
-    "window_lag_value_delta",
-    "zscore_normalize",
-    # — changed-text tier (policy a): the \x0B tokenizer burn-down
-    #   TRANCHE 2 — the 15 remaining legacy _norm/_NORM_SQL /
-    #   ws_token_count/WS_TOKEN_COUNT_SQL consumers plus
-    #   text_repetition_flags (whose oracle inlined the \S+ idiom)
-    #   migrated to the explicit ASCII-whitespace-class pair
-    #   (text._WS_CHARS), after which the legacy pair was DELETED and
-    #   the divergence pin flipped to the agreement guard
-    #   (tests/test_text_helpers.py:
-    #   test_no_oracle_uses_the_dialect_divergent_whitespace_idiom).
-    #   Spark-side results are bit-identical (Java \s IS the explicit
-    #   class — pinned); only the DuckDB oracle texts changed —
-    "bpe_pair_counts",
-    "c4_heuristic_filter",
-    "contamination_ngram_check",
-    "corpus_curation",
-    "dedup_common_spans",
-    "dedup_connected_components",
-    "dedup_exact_text",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_self_repetition",
-    "sequence_pack_scaled",
-    "sequence_pack_stats",
-    "split_leakage_ngram",
-    "text_repetition_flags",
-    "truncation_loss_curve",
-    #   r13 changed-text, continued: streaming_hour_rollup's HLL
-    #   certification envelope is now DERIVED from the sketch rsd
-    #   (4*rsd relative + 5-user floor, ADVICE r12 item 3);
-    #   streaming_neardup_store_maintenance recertifies for the oracle
-    #   hoist to the shared _MAINT_ORACLE constant;
-    #   streaming_neardup_store_compaction is NEW (VERDICT r12 item 3:
-    #   the answer-preserving OPTIMIZE of the maintained banded store,
-    #   certified against the maintenance oracle VERBATIM with
-    #   fault-injected duplicate appends and a mid-stream compaction);
-    #   the WAV consumers recertify for the r13 patrol hardening
-    #   (fmt_len validation, odd-data_len reject) — including
-    #   audio_fingerprint_neardup, whose fingerprint reader the round
-    #   review routed through the shared validated header walk
-    #   (_wav_header_walk) after catching its own unvalidated copy —
-    "streaming_hour_rollup",
+    # r14 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r13 rotation comment and VERDICT r13 item 1:
+    # — staleness tier FIRST (policy b): the fourteen r9 residents
+    #   whose driver rows are the oldest anywhere (staleness 5
+    #   entering r14) — the twelve that slipped the r13 window plus
+    #   merge_upsert_counts and mode_per_group (evicted in r13 to fund
+    #   the similarity_pq_topk slot and the audio_fingerprint_neardup
+    #   recert), alphabetical within the equal-staleness tie —
+    "merge_upsert_counts",
+    "mode_per_group",
+    "pagerank_nation_trade",
+    "path_regex_match",
+    "rolling_correlation",
+    "scd2_dimension_update",
+    "sessionization",
+    "similarity_ivf_topk",
+    "similarity_lsh_bucketed",
+    "skyline_pareto",
+    "source_quantile_normalize",
+    "split_leakage_check",
+    "split_leakage_lsh",
+    "unigram_cross_entropy",
+    # — changed-text tier (policy a):
+    #   similarity_ivf_pq_topk is NEW (r14, VERDICT r13 item 2): the
+    #   composed IVF-ADC serve path — coarse cells bound WHICH vectors
+    #   are scored, PQ codes bound WHAT is read per vector, exact
+    #   re-rank refines; both quantizer fits are REUSED byte-identical
+    #   from the certified halves, and the oracle is a CTE merge of the
+    #   two certified chains;
+    #   similarity_pq_topk recertifies for the shared-helper refactor
+    #   (_pq_chains_sql/_pq_slice_proj/_adc_expr/_exact_rerank now
+    #   serve both the flat and the composed op; generated oracle SQL
+    #   verified byte-identical) + the ADVICE r13 'triad' wording fix;
+    #   the two maintained-store ops recertify for the ADVICE r13
+    #   cache-key hardening (the initial-store cache key now folds in
+    #   the LIVE band geometry, so an in-process geometry change
+    #   self-invalidates instead of serving a stale store) —
+    "similarity_ivf_pq_topk",
+    "similarity_pq_topk",
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
-    "multimodal_wav_decode",
-    "multimodal_decode_dispatch",
-    "audio_fingerprint_neardup",
-    #   similarity_pq_topk is NEW (r13): product-quantization ADC ANN
-    #   with exact re-rank — the memory-scale index family completing
-    #   the exact/IVF/LSH/PQ triad; per-subspace deterministic Lloyd
-    #   codebooks replayed by the oracle as unrolled CTE chains —
-    "similarity_pq_topk",
-    # — r9-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; ten r9 residents — bpe_pair_counts,
-    #   corpus_curation, dedup_connected_components, dedup_minhash_lsh,
-    #   dedup_ngram_jaccard, doc_self_repetition, sequence_pack_scaled,
-    #   sequence_pack_stats, text_repetition_flags,
-    #   truncation_loss_curve — already sit in the changed tier above,
-    #   so the tranche-2 migration doubles as r9 drain) —
-    "assoc_rules_lift",
-    "benford_law_check",
-    "bigram_cross_entropy",
-    "bigram_cross_entropy_hashed",
-    "brand_copurchase_triangles",
-    "cdc_latest_compaction",
-    "countmin_estimate",
-    "cusum_changepoint",
-    "dedup_semantic_cluster",
-    "ewma_smoothing",
-    "group_quantiles_scaled",
-    "heavy_hitters_twopass",
-    "incremental_agg_update",
-    "inverted_index_topk",
-    "iqr_clip_scaled",
-    "kmv_distinct_sketch",
-    "kmv_join_cardinality",
-    "largest_remainder_alloc",
-    "mann_kendall_trend",
-    "median_fill_scaled",
-    # — r14 window plan (pinned now so the rotation stays mechanical,
-    #   VERDICT r12 item 2): FIRST the twelve r9 residents that slipped
-    #   this window (pagerank_nation_trade, path_regex_match,
-    #   rolling_correlation, scd2_dimension_update, sessionization,
-    #   similarity_ivf_topk, similarity_lsh_bucketed, skyline_pareto,
-    #   source_quantile_normalize, split_leakage_check,
-    #   split_leakage_lsh, unigram_cross_entropy — staleness 5 entering
-    #   r14, the oldest rows anywhere) plus merge_upsert_counts and
-    #   mode_per_group (evicted from this window to fund the
-    #   similarity_pq_topk slot and the audio_fingerprint_neardup
-    #   recert),
-    #   then r14 changed-text, then the
-    #   43-op r10 cohort alphabetical with the remaining ~35 slots
-    #   (its tail lands in r15 at staleness 5, same two-round drain as
-    #   the r9 cohort).
+    # — r10-cohort tier (policy b: oldest-first, alphabetical within
+    #   the equal-staleness tie; 32 of the 42 r10 residents fit the
+    #   remaining slots) —
+    "abtest_proportions_ztest",
+    "attribution_position_based",
+    "bloom_filter_semi_join",
+    "bootstrap_mean_ci",
+    "chi_square_independence",
+    "column_profile",
+    "cume_dist_price_bands",
+    "encoding_run_stats",
+    "entity_resolution_blocked",
+    "fd_discovery",
+    "gaps_islands_streaks",
+    "grouping_sets_agg",
+    "histogram_fixed_width",
+    "interval_concurrency_peak",
+    "iqr_clip",
+    "km_survival_estimate",
+    "median_fill",
+    "ntile_quartiles",
+    "quantile_profile",
+    "range_interval_window",
+    "rank_auc_mann_whitney",
+    "seasonal_baseline_anomaly",
+    "shannon_entropy_profile",
+    "skew_diagnosis_gini",
+    "snapshot_diff",
+    "source_jsd_pairs",
+    "spearman_rank_corr",
+    "star_join_revenue",
+    "supplier_revenue_rank",
+    "term_frequency_topk",
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    # — r15 window plan (pinned now so the rotation stays mechanical):
+    #   FIRST the ten r10 residents that slipped this window
+    #   (time_weighted_avg, token_pmi_topk, topk_per_group, tpch_q1,
+    #   tpch_q10, tpch_q13, tpch_q14, tpch_q15, weighted_sample_topk,
+    #   zorder_interleave — staleness 5 entering r15, the oldest rows
+    #   anywhere), then r15 changed-text, then the 34-op r11 cohort
+    #   alphabetical with the remaining ~36 slots (its tail lands in
+    #   r16, the same two-round drain as the r9 and r10 cohorts).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

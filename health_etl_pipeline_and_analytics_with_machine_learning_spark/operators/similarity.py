@@ -1080,12 +1080,15 @@ def _pq_sub_kmeans_cte(m: int) -> tuple[str, str]:
     )
 
 
-def _pq_oracle_sql() -> str:
-    """The full PQ oracle: {_PQ_M} codebook fits, per-subspace encode
-    (argmin over the final centroid table, cell-id tiebreak), ADC
-    scoring of every (query, vector) pair via the code-indexed
-    centroids, shortlist by (adc_d2, neighbor_id), exact-cosine
-    re-rank of the shortlist."""
+def _pq_chains_sql(nb_alias: str, q_alias: str) -> tuple[str, str, str, str]:
+    """The PQ oracle's shared building blocks, parameterized by which
+    CTE alias carries the candidate vec_ids (``nb_alias``) and which
+    carries the query vector as ``qv`` (``q_alias``) — ONE textual
+    statement of the fit/encode/ADC contract serving both the flat PQ
+    oracle (candidates = the whole corpus, r13) and the composed
+    IVF-ADC oracle (candidates = probed-cell members, r14). Returns
+    (fit_ctes, encode_ctes, code→centroid join clauses, rounded ADC
+    expression)."""
     fits, cents, encs = [], [], []
     for m in range(_PQ_M):
         body, cent = _pq_sub_kmeans_cte(m)
@@ -1105,22 +1108,32 @@ def _pq_oracle_sql() -> str:
     for m in range(_PQ_M):
         a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
         joins.append(
-            f"JOIN m{m}enc e{m} ON e{m}.vec_id = x.vec_id"
+            f"JOIN m{m}enc e{m} ON e{m}.vec_id = {nb_alias}.vec_id"
             f" JOIN {cents[m]} c{m} ON c{m}.cell = e{m}.code"
         )
-        adc_terms.append(_d2_sql(f"q.qv[{a}:{b}]", f"c{m}.cv"))
+        adc_terms.append(_d2_sql(f"{q_alias}.qv[{a}:{b}]", f"c{m}.cv"))
     adc = round_cmp_sql("(" + " + ".join(adc_terms) + ")", 6)
+    return ",".join(fits), ",".join(encs), " ".join(joins), adc
+
+
+def _pq_oracle_sql() -> str:
+    """The full PQ oracle: {_PQ_M} codebook fits, per-subspace encode
+    (argmin over the final centroid table, cell-id tiebreak), ADC
+    scoring of every (query, vector) pair via the code-indexed
+    centroids, shortlist by (adc_d2, neighbor_id), exact-cosine
+    re-rank of the shortlist."""
+    fits, encs, joins, adc = _pq_chains_sql("x", "q")
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
-    {",".join(fits)},
-    {",".join(encs)},
+    {fits},
+    {encs},
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, x.vec_id AS neighbor_id,
              {adc} AS adc_d2
       FROM q, (SELECT vec_id FROM e) x
-      {" ".join(joins)}
+      {joins}
       WHERE x.vec_id <> q.query_id
     ),
     shortlist AS (
@@ -1148,95 +1161,48 @@ def _pq_oracle_sql() -> str:
     """
 
 
-@query("similarity_pq_topk", oracle=_pq_oracle_sql())
-def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation —
-    the MEMORY-scale index family completing the ANN triad (exact
-    baseline / IVF cells / LSH buckets / PQ codes): {_PQ_M} deterministic
-    per-subspace codebooks ({_PQ_K} centroids over each {_PQ_SUBDIM}-dim
-    slice, fit by the SAME :func:`_det_kmeans_fit` contract the IVF op
-    certifies), every vector encoded ONCE to {_PQ_M} small codes, each
-    query ADC-scored against the code-indexed centroids, and the top
-    {_PQ_SHORTLIST} shortlist re-ranked by exact cosine.
-
-    Scale shape: encoding is a NARROW scan (codebooks fold into the row
-    expression as literals, like the IVF cell assignment — no join, no
-    shuffle), run once at index-build time; the serve-path scan reads
-    the (vec_id, code0..{_PQ_M - 1}) table — {_PQ_M} bytes of payload
-    per vector instead of {_DIM}×8, which is what makes a 100 TB corpus
-    scannable — and the query side is broadcast by definition. The ADC
-    pair scan is the same BroadcastNestedLoopJoin shape as the exact
-    baseline (tiny broadcast side × linear corpus stream); in
-    production PQ composes with the IVF op's coarse quantizer
-    (IVF-ADC: probe cells first, ADC only inside them) — both halves
-    are certified here separately. The exact re-rank touches only
-    shortlist×queries rows. Fully oracle-certified: the DuckDB twin
-    re-derives all {_PQ_M} codebooks, the codes, the ADC scores, the
-    shortlist cut, and the re-ranked top-{TOP_K}. Recall vs the exact
-    baseline is measured in tests/test_llm_ops.py."""
-    e = _emb(spark, sf_dir)
-    books = _pq_codebooks(spark, sf_dir)
-    arrs = [_cent_array(b) for b in books]
-    # project slices + their self-dots FIRST (the lambda-projection
-    # rule — an inlined slice/dot re-evaluates per centroid inside the
-    # argmin transform)
-    sl = e.select(
+def _pq_slice_proj(e: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """``vec_id`` (+ ``extra`` passthrough columns) + the {_PQ_M}
+    subspace slices ``s0..`` and their self-dots ``vv0..``, projected
+    FIRST (the lambda-projection rule — an inlined slice/dot
+    re-evaluates per centroid inside the argmin transform)."""
+    return e.select(
         "vec_id",
+        *extra,
         *[
             F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"s{m}")
             for m in range(_PQ_M)
         ],
     ).select(
         "vec_id",
+        *extra,
         *[F.col(f"s{m}") for m in range(_PQ_M)],
         *[_dot(F.col(f"s{m}"), F.col(f"s{m}")).alias(f"vv{m}") for m in range(_PQ_M)],
     )
-    # index build: ONE narrow encode pass, codes only — at 100 TB this
-    # table IS the index ({_PQ_M} bytes/vector) and is all the ADC scan
-    # ever reads; the raw vectors re-enter only for the shortlist refine
-    enc = sl.select(
-        "vec_id",
-        *[
-            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
-            for m in range(_PQ_M)
-        ],
-    )
-    q_adc = sl.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
-        *[F.col(f"vv{m}").alias(f"qvv{m}") for m in range(_PQ_M)],
-    )
 
-    def _adc_term(m: int) -> Column:
+
+def _adc_expr(arrs: list[Column]) -> Column:
+    """Code-indexed ADC distance Σ_m ‖qs_m − codebook_m[code_m]‖² over
+    a frame carrying query slices ``qs{{m}}``/``qvv{{m}}`` and candidate
+    codes ``code{{m}}`` — rounded with the same pin the oracle uses."""
+
+    def _term(m: int) -> Column:
         cm = F.element_at(
             F.filter(arrs[m], lambda c: c["cell"] == F.col(f"code{m}")), 1
         )
         return _d2s(F.col(f"qvv{m}"), F.col(f"qs{m}"), cm)
 
-    adc = _adc_term(0)
+    adc = _term(0)
     for m in range(1, _PQ_M):
-        adc = adc + _adc_term(m)
-    scored = (
-        enc.crossJoin(F.broadcast(q_adc))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            round_cmp(adc, 6).alias("adc_d2"),
-        )
-    )
-    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    shortlist = (
-        scored.withColumn("rn_adc", F.row_number().over(w_adc))
-        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id", "adc_d2")
-    )
-    # exact re-rank ONLY on the shortlist (review r13: the first draft
-    # computed the cosine for every pair BEFORE the cut, paying full
-    # brute-force work on top of ADC): the shortlist is queries×{_PQ_SHORTLIST}
-    # rows — broadcast it, point-look-up the raw vectors, re-rank
+        adc = adc + _term(m)
+    return round_cmp(adc, 6)
+
+
+def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """The PQ-family refine step: broadcast the (query_id, neighbor_id,
+    adc_d2) shortlist, point-look-up the raw vectors by broadcast hash
+    join (the refine never scans), exact-cosine re-rank, keep the
+    top-{TOP_K}."""
     q_exact = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1262,3 +1228,234 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_d2", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query("similarity_pq_topk", oracle=_pq_oracle_sql())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the MEMORY-scale path completing the IVF/LSH/PQ ANN index triad
+    next to the exact baseline: {_PQ_M} deterministic
+    per-subspace codebooks ({_PQ_K} centroids over each {_PQ_SUBDIM}-dim
+    slice, fit by the SAME :func:`_det_kmeans_fit` contract the IVF op
+    certifies), every vector encoded ONCE to {_PQ_M} small codes, each
+    query ADC-scored against the code-indexed centroids, and the top
+    {_PQ_SHORTLIST} shortlist re-ranked by exact cosine.
+
+    Scale shape: encoding is a NARROW scan (codebooks fold into the row
+    expression as literals, like the IVF cell assignment — no join, no
+    shuffle), run once at index-build time; the serve-path scan reads
+    the (vec_id, code0..{_PQ_M - 1}) table — {_PQ_M} bytes of payload
+    per vector instead of {_DIM}×8, which is what makes a 100 TB corpus
+    scannable — and the query side is broadcast by definition. The ADC
+    pair scan is the same BroadcastNestedLoopJoin shape as the exact
+    baseline (tiny broadcast side × linear corpus stream); in
+    production PQ composes with the IVF op's coarse quantizer — that
+    composed serve path is :func:`similarity_ivf_pq_topk` (r14). The
+    exact re-rank touches only shortlist×queries rows. Fully
+    oracle-certified: the DuckDB twin re-derives all {_PQ_M} codebooks,
+    the codes, the ADC scores, the shortlist cut, and the re-ranked
+    top-{TOP_K}. Recall vs the exact baseline is measured (and
+    floor-bounded, so a geometry change cannot silently gut answer
+    quality the oracle cannot see) in tests/test_llm_ops.py; a larger
+    {_PQ_SHORTLIST} buys recall linearly in re-rank cost."""
+    e = _emb(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    arrs = [_cent_array(b) for b in books]
+    sl = _pq_slice_proj(e)
+    # index build: ONE narrow encode pass, codes only — at 100 TB this
+    # table IS the index ({_PQ_M} bytes/vector) and is all the ADC scan
+    # ever reads; the raw vectors re-enter only for the shortlist refine
+    enc = sl.select(
+        "vec_id",
+        *[
+            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
+                f"code{m}"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+    q_adc = sl.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
+        *[F.col(f"vv{m}").alias(f"qvv{m}") for m in range(_PQ_M)],
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q_adc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_expr(arrs).alias("adc_d2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    # exact re-rank ONLY on the shortlist (review r13: the first draft
+    # computed the cosine for every pair BEFORE the cut, paying full
+    # brute-force work on top of ADC)
+    return _exact_rerank(e, shortlist)
+
+
+# --------------------------------------------------------------------------
+# IVF-ADC (r14) — the composed serve path the PQ op's docstring
+# promises: the IVF coarse quantizer prunes the corpus to probed-cell
+# members, PQ-ADC ranks ONLY inside them from the 8-byte code table,
+# and exact cosine refines the shortlist. This is the architecture of
+# every production billion-vector ANN stack (FAISS IVFADC, SCANN,
+# Milvus IVF_PQ): cells bound WHICH vectors are scored, codes bound
+# WHAT is read per scored vector. Both halves reuse the certified fits
+# verbatim (the coarse centroids ARE similarity_ivf_topk's, the
+# codebooks ARE similarity_pq_topk's — cache-shared), so the oracle is
+# a CTE merge of the two certified chains.
+# --------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """The composed oracle: the IVF chain (coarse fit, cell assignment,
+    {N_PROBE}-cell probes) merged with the PQ chain ({_PQ_M} codebook
+    fits + encodes via :func:`_pq_chains_sql`), ADC scored only on
+    probes⋈assigned cell matches, shortlist cut, exact re-rank."""
+    fits, encs, joins, adc = _pq_chains_sql("a", "p")
+    return f"""
+    WITH {_IVF_CTE},
+    dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
+    {fits},
+    {encs},
+    assigned AS (SELECT vec_id, cell FROM (
+      SELECT s.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {_d2_sql("s.v", "c.cv")}, c.cell) AS rn
+      FROM e s, {_IVF_CENT} c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (SELECT query_id, qv, cell FROM (
+      SELECT s.query_id, s.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY {_d2_sql("s.qv", "c.cv")}, c.cell) AS rn
+      FROM q s, {_IVF_CENT} c) WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {adc} AS adc_d2
+      FROM probes p JOIN assigned a USING (cell)
+      {joins}
+      WHERE a.vec_id <> p.query_id
+    ),
+    shortlist AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn_adc
+      FROM scored
+    ),
+    ranked AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_d2,
+             ROUND(list_cosine_similarity(q2.qv, x2.v), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(q2.qv, x2.v), 6) DESC,
+                        s.neighbor_id) AS rank
+      FROM shortlist s
+      JOIN e x2 ON x2.vec_id = s.neighbor_id
+      JOIN q q2 ON q2.query_id = s.query_id
+      WHERE s.rn_adc <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, adc_d2, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("similarity_ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC: the composed production ANN serve path — coarse IVF
+    cells bound WHICH vectors each query scores ({N_PROBE} of
+    {N_IVF_CELLS} probed cells, never the corpus), PQ codes bound WHAT
+    is read per scored vector ({_PQ_M} bytes, never the raw {_DIM}×8),
+    and exact cosine refines only the {_PQ_SHORTLIST}-row shortlist.
+    Both quantizers are REUSED from the separately-certified halves:
+    the coarse centroids are :func:`similarity_ivf_topk`'s fit and the
+    codebooks are :func:`similarity_pq_topk`'s, byte-identical via the
+    shared fit cache — an index artifact is built once and serves every
+    index shape over it. (The classic refinement this op deliberately
+    omits: production IVFADC usually encodes the RESIDUAL v − coarse
+    centroid, which needs residual-fit codebooks; with shared
+    raw-vector codebooks the composition stays a pure reuse of two
+    certified artifacts, at some recall cost the shortlist absorbs.)
+
+    Scale shape: index build is ONE narrow scan emitting
+    (vec_id, cell, code0..{_PQ_M - 1}) — both quantizers fold into the
+    row expression as literals (no join, no shuffle); on disk this
+    table is partitioned BY cell so a probe is a partition-pruned
+    9-byte-per-vector scan. The serve-path ADC scan is a broadcast
+    HASH join on cell (the probe list is queries×{N_PROBE} rows), so
+    scored rows are bounded by probed-cell membership — compare the
+    flat PQ op's full-corpus BroadcastNestedLoopJoin stream. Fully
+    oracle-certified: the DuckDB twin merges the two certified CTE
+    chains and re-derives cells, probes, codes, ADC scores, shortlist,
+    and the re-ranked top-{TOP_K}. Recall vs brute force is measured
+    and floor-bounded in tests/test_llm_ops.py."""
+    e = _emb(spark, sf_dir)
+    cents = _fit_cached(spark, sf_dir, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
+    arr = _cent_array(cents)
+    arrs = [_cent_array(b) for b in _pq_codebooks(spark, sf_dir)]
+    sl = _pq_slice_proj(e, extra=("v",)).withColumn(
+        "__vv", _dot(F.col("v"), F.col("v"))
+    )
+    # index build: ONE narrow pass — coarse cell AND the PQ codes fold
+    # into the same row expression; (vec_id, cell, code0..) IS the index
+    enc = sl.select(
+        "vec_id",
+        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+        *[
+            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
+                f"code{m}"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+    # per-query probe list, the same narrow array expression as the IVF op
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                arr,
+                lambda c: F.struct(
+                    _d2s(F.col("__vv"), F.col("v"), c).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    probes = (
+        sl.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_cells).alias("pc"),
+            *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
+            *[F.col(f"vv{m}").alias(f"qvv{m}") for m in range(_PQ_M)],
+        )
+        .select(
+            "query_id",
+            F.col("pc.cell").alias("cell"),
+            *[F.col(f"qs{m}") for m in range(_PQ_M)],
+            *[F.col(f"qvv{m}") for m in range(_PQ_M)],
+        )
+    )
+    # ADC only inside probed cells: a broadcast HASH join on cell — the
+    # scored row count is bounded by cell membership, not the corpus
+    scored = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_expr(arrs).alias("adc_d2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    return _exact_rerank(e, shortlist)

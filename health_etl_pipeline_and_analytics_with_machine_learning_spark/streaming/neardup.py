@@ -343,11 +343,22 @@ def _init_store_bands_dir(spark: SparkSession, sf_dir: str) -> str:
     cached build by hard link — safe because store part files are never
     modified in place (appends create new UUID-named files; compaction
     unlinks, which leaves the cached originals untouched)."""
+    from ..operators import dedup
     from ..operators.dedup import _bands_with_src
     from ..operators.registry import load
     from ..operators.text import simhash_sig
 
-    key = ("store0", sf_dir, _documents_fingerprint(sf_dir))
+    # the banding geometry is part of the key, read LIVE at call time
+    # (ADVICE r13): an in-process change to band count/width — e.g. a
+    # test monkeypatching the geometry — self-invalidates the cache
+    # instead of silently serving a store banded under the old math
+    key = (
+        "store0",
+        sf_dir,
+        _documents_fingerprint(sf_dir),
+        dedup._SIMHASH_BANDS,
+        dedup._SIMHASH_BAND_BITS,
+    )
     cached = _INIT_STORE_CACHE.get(key)
     if cached is None or not os.path.isdir(cached):
         cached = _mkdtemp("neardup_store_bands_cache_")

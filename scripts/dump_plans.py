@@ -78,6 +78,14 @@ SHOWCASE = {
         "BroadcastNestedLoopJoin streams the corpus once; per-query top-k via "
         "partitioned window."
     ),
+    "similarity_ivf_pq_topk": (
+        "Composed IVF-ADC ANN serve path: both quantizers fold into one "
+        "narrow index-build expression (no join/shuffle to encode); the ADC "
+        "scan is a broadcast HASH join ON THE CELL KEY, so scored rows are "
+        "bounded by probed-cell membership — compare the flat PQ op's "
+        "full-corpus BroadcastNestedLoopJoin stream; exact refine touches "
+        "only the shortlist via two broadcast point-lookups."
+    ),
     "two_level_agg": (
         "Avg-of-avgs re-aggregation: the second groupBy consumes the first's "
         "tiny output — partial aggregation on both levels."

@@ -949,3 +949,26 @@ def test_pq_topk_plan_is_narrow_encode_broadcast_scan(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_topk_plan_is_cell_pruned_hash_join_only(spark):
+    """r14 composed IVF-ADC plan pin: unlike the flat PQ op's
+    deliberate full-corpus BroadcastNestedLoopJoin stream, the composed
+    serve path's ADC scan must be a broadcast HASH join ON THE CELL KEY
+    — scored rows bounded by probed-cell membership, not the corpus —
+    and the only other joins are the refine step's two broadcast hash
+    point-lookups. No BNLJ, no cartesian, no shuffle join anywhere:
+    at 100 TB the probe is a partition-pruned scan of a cell-partitioned
+    9-byte-per-vector code table."""
+    import re
+
+    df = similarity.similarity_ivf_pq_topk(spark, SF_SMOKE)
+    assert join_strategies(df) == ["BroadcastHashJoin"]
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly three: ADC-on-cell + the refine's two point-lookups
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    # the ADC join keys on the coarse cell (the pruning key), not vec_id
+    assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan

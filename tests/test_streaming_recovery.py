@@ -423,3 +423,145 @@ def test_compaction_swap_is_crash_safe_at_every_point(spark, tmp_path):
     # final state == a completed compaction: distinct rows only
     n_final = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).count()
     assert n_final == n_distinct
+
+
+def test_store_lifecycle_interleaving_patrol(spark):
+    """Hypothesis patrol over the seam the compaction op opened in the
+    store lifecycle (VERDICT r13 item 5): the crash-point test above
+    walks SEQUENTIAL crash points of one compaction, but nothing
+    exercised compactions/crashes INTERLEAVED with appends. Drive the
+    maintenance loop batch-by-batch (three contiguous multi-source
+    batches over the ten ingest sources — the certified batch shape)
+    with a Hypothesis-chosen lifecycle action in every gap:
+
+    - ``compact``      — a full compaction between appends
+    - ``inject``       — at-least-once duplicate appends land
+    - ``crash_swap``   — a compaction dies between its two swap loops
+                         (staged files IN, old files never removed:
+                         the dup-heaviest crash state)
+    - ``only_retry``   — every live part file is a retry_-named
+                         duplicate copy (original names gone)
+
+    Invariant: the pairs each batch emits AND the final store's
+    distinct row set are IDENTICAL to the action-free run — no
+    interleaving of maintenance operations can move an answer.
+    Also pins the empty-store edge: compacting a store with no part
+    files is a (0, 0) no-op, not a crash."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.dedup import (
+        _bands_with_src,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        simhash_sig,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.streaming.neardup import (
+        _STORE_BANDS_SCHEMA,
+        _init_store_bands_dir,
+        _inject_duplicate_appends,
+        _mkdtemp,
+        _probe_and_grow,
+        _src_num,
+        _store_pred,
+        compact_store_bands,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    ingest = docs.filter(~_store_pred(F.col("source"))).select(
+        "doc_id", "text", _src_num(F.col("source")).cast("int").alias("src")
+    )
+    srcs = sorted(r["src"] for r in ingest.select("src").distinct().collect())
+    groups = [srcs[:4], srcs[4:7], srcs[7:]]  # contiguous multi-source batches
+    batches = [
+        _bands_with_src(
+            simhash_sig(ingest.filter(F.col("src").isin(g)), spark),
+            ingest.filter(F.col("src").isin(g)),
+        ).localCheckpoint(eager=True)
+        for g in groups
+    ]
+
+    def _store_rows(store_dir):
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(_STORE_BANDS_SCHEMA)
+            .parquet(store_dir)
+            .distinct()
+            .collect()
+        )
+
+    def _pairs_rows(out_dir):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).distinct().collect()
+        )
+
+    def _crashed_swap(store_dir):
+        before = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir)
+        staging = _mkdtemp("patrol_crash_staging_")
+        before.distinct().write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(staging, f), os.path.join(store_dir, f))
+        # crash: the old files are never removed — store holds old+new
+
+    def _only_retry(store_dir):
+        for f in sorted(os.listdir(store_dir)):
+            if f.endswith(".parquet") and not f.startswith("retry_"):
+                os.rename(
+                    os.path.join(store_dir, f),
+                    os.path.join(store_dir, "retry_" + f),
+                )
+
+    ACT = {
+        "none": lambda d: None,
+        "compact": lambda d: compact_store_bands(spark, d),
+        "inject": _inject_duplicate_appends,
+        "crash_swap": _crashed_swap,
+        "only_retry": _only_retry,
+    }
+
+    def run(schedule):
+        store_dir = _init_store_bands_dir(spark, SF_SMOKE)
+        out_dir = tempfile.mkdtemp(prefix="patrol_pairs_")
+        for gap_action, batch in zip(schedule, batches + [None]):
+            ACT[gap_action](store_dir)
+            if batch is not None:
+                _probe_and_grow(spark, store_dir, batch, out_dir)
+        return _pairs_rows(out_dir), _store_rows(store_dir)
+
+    want_pairs, want_store = run(["none"] * 4)
+    assert want_pairs and want_store
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        st.lists(
+            st.sampled_from(
+                ["none", "compact", "inject", "crash_swap", "only_retry"]
+            ),
+            min_size=4,
+            max_size=4,
+        )
+    )
+    def patrol(schedule):
+        pairs, store = run(schedule)
+        assert pairs == want_pairs, schedule
+        assert store == want_store, schedule
+
+    patrol()
+
+    # the dup-heaviest deterministic composition, pinned explicitly so
+    # it always runs even if Hypothesis never draws it
+    pairs, store = run(["inject", "crash_swap", "only_retry", "compact"])
+    assert (pairs, store) == (want_pairs, want_store)
+
+    # empty store: compaction is a (0, 0) no-op, not a crash
+    empty = tempfile.mkdtemp(prefix="patrol_empty_store_")
+    assert compact_store_bands(spark, empty) == (0, 0)

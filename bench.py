@@ -158,24 +158,35 @@ def main() -> None:
     # rounds running, cross-round totals needed a MANUAL sentinel
     # normalization narrative in BASELINE.md because the box load
     # differs between rounds. Emit the normalization itself: read the
-    # PRIOR round's committed BENCH_LOCAL.json (before overwriting it
-    # below), scale this run's common-set total by the mid-sentinel
-    # ratio, and report the per-op median ratio — the robust "did any
-    # plan actually move" statistic (a box-phase change moves every
-    # ratio together; a plan regression moves one op far off the
-    # median). Readers compare sentinel_normalized_common_total to the
-    # reference's common_total_reference directly.
+    # prior COMMITTED BENCH_LOCAL.json (via git, NOT the working tree —
+    # a discarded same-round run overwrites the file on disk, and
+    # comparing a retry against the discarded run would defeat the
+    # cross-round adjudication), scale this run's common-set total by
+    # the mid-sentinel ratio, and report the per-op median ratio — the
+    # robust "did any plan actually move" statistic (a box-phase change
+    # moves every ratio together; a plan regression moves one op far
+    # off the median). Readers compare
+    # sentinel_normalized_common_total to the emitted
+    # common_total_reference directly.
     box_normalization = None
     try:
-        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
-            ref = json.load(f)
+        import statistics
+        import subprocess
+
+        ref = json.loads(
+            subprocess.run(
+                ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+        )
         ref_q = {k: v for k, v in ref.get("queries", {}).items() if v and v > 0}
-        if ref.get("sentinel_mid") and sentinel_mid and ref_q:
-            common = sorted(k for k, v in timings.items() if v > 0 and k in ref_q)
+        common = sorted(k for k, v in timings.items() if v > 0 and k in ref_q)
+        if ref.get("sentinel_mid") and sentinel_mid and common:
             common_total = sum(timings[k] for k in common)
             common_total_ref = sum(ref_q[k] for k in common)
             box = sentinel_mid / ref["sentinel_mid"]
-            ratios = sorted(timings[k] / ref_q[k] for k in common)
             box_normalization = {
                 "reference_sentinel_mid": ref["sentinel_mid"],
                 "box_factor_mid": round(box, 4),
@@ -183,9 +194,13 @@ def main() -> None:
                 "common_total_raw": round(common_total, 4),
                 "common_total_reference": round(common_total_ref, 4),
                 "sentinel_normalized_common_total": round(common_total / box, 4),
-                "per_op_median_ratio": round(ratios[len(ratios) // 2], 4),
+                "per_op_median_ratio": round(
+                    statistics.median(timings[k] / ref_q[k] for k in common), 4
+                ),
             }
-    except (OSError, ValueError, KeyError, ZeroDivisionError) as exc:
+    except Exception as exc:  # pragma: no cover - the block must never
+        # kill a completed run: losing ~190 timed ops to a normalization
+        # guard would invert its purpose
         print(f"bench: no box normalization ({exc})", file=sys.stderr)
 
     payload = {

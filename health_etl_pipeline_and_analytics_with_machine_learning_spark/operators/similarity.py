@@ -215,6 +215,28 @@ def _best_cell(v: Column, vv: Column, cent_arr: Column) -> Column:
     )
 
 
+def _probe_cells_expr(cent_arr: Column, v: str, vv: str) -> Column:
+    """Per-query probe list: rank centroids by pinned d2, keep
+    ``N_PROBE`` — all inside ONE narrow array expression (sort the
+    struct array). ``v``/``vv`` name the query-vector column and its
+    precomputed self-dot. Shared by the flat IVF op and the composed
+    IVF-ADC op (r14 review: the composed op started as a verbatim
+    copy of this expression)."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _d2s(F.col(vv), F.col(v), c).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+
+
 #: quantizer-fit cache: the Lloyd fit is a PURE FUNCTION of the
 #: immutable source table + (k, iters, sample_hex) — md5-hash sample,
 #: deterministic init, pinned rounding — so refitting per query run is
@@ -359,11 +381,17 @@ def _kmeans_cte_sql(
 _IVF_CTE, _IVF_CENT = _kmeans_cte_sql(N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
 
 
-@query(
-    "similarity_ivf_topk",
-    oracle=f"""
-    WITH {_IVF_CTE},
-    assigned AS (SELECT vec_id, v, cell FROM (
+def _ivf_assign_probe_ctes(assigned_cols: str = "vec_id, v, cell") -> str:
+    """The IVF oracle's assigned/q/probes CTE block — ONE textual
+    statement of the pinned coarse-quantizer serve contract (round_cmp
+    d2 argmin with cell tiebreak for assignment, rn <= {N_PROBE} for
+    the probe list), shared by the flat IVF oracle and the composed
+    IVF-ADC oracle (r14 review: the composed oracle started as a
+    textual copy). ``assigned_cols`` is the assignment projection —
+    the flat op re-scores raw vectors so it carries ``v``; the
+    composed op scores codes and needs only ``vec_id, cell``."""
+    return f"""
+    assigned AS (SELECT {assigned_cols} FROM (
       SELECT s.vec_id, s.v, c.cell,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {_d2_sql("s.v", "c.cv")}, c.cell) AS rn
       FROM e s, {_IVF_CENT} c) WHERE rn = 1),
@@ -371,7 +399,13 @@ _IVF_CTE, _IVF_CENT = _kmeans_cte_sql(N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
     probes AS (SELECT query_id, qv, cell FROM (
       SELECT s.query_id, s.qv, c.cell,
              ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY {_d2_sql("s.qv", "c.cv")}, c.cell) AS rn
-      FROM q s, {_IVF_CENT} c) WHERE rn <= {N_PROBE}),
+      FROM q s, {_IVF_CENT} c) WHERE rn <= {N_PROBE}),"""
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_CTE},{_ivf_assign_probe_ctes()}
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cosine
@@ -412,21 +446,6 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
     )
-    # per-query probe list: rank centroids by pinned d2, keep N_PROBE —
-    # all inside one narrow array expression (sort the struct array)
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                arr,
-                lambda c: F.struct(
-                    _d2s(F.col("__qvv"), F.col("qv"), c).alias("d2"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        ),
-        1,
-        N_PROBE,
-    )
     probes = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -435,7 +454,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("qnrm"),
         )
         .withColumn("__qvv", _dot(F.col("qv"), F.col("qv")))
-        .select("query_id", "qv", "qnrm", F.explode(probe_cells).alias("pc"))
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            F.explode(_probe_cells_expr(arr, "qv", "__qvv")).alias("pc"),
+        )
         .select("query_id", "qv", "qnrm", F.col("pc.cell").alias("cell"))
     )
     scored = (
@@ -1116,26 +1140,15 @@ def _pq_chains_sql(nb_alias: str, q_alias: str) -> tuple[str, str, str, str]:
     return ",".join(fits), ",".join(encs), " ".join(joins), adc
 
 
-def _pq_oracle_sql() -> str:
-    """The full PQ oracle: {_PQ_M} codebook fits, per-subspace encode
-    (argmin over the final centroid table, cell-id tiebreak), ADC
-    scoring of every (query, vector) pair via the code-indexed
-    centroids, shortlist by (adc_d2, neighbor_id), exact-cosine
-    re-rank of the shortlist."""
-    fits, encs, joins, adc = _pq_chains_sql("x", "q")
+def _pq_tail_sql() -> str:
+    """The PQ-family oracle tail — shortlist cut by (adc_d2,
+    neighbor_id), exact-cosine re-rank of the shortlist only, final
+    top-{TOP_K} select — ONE textual statement of the refine contract
+    shared by the flat PQ oracle and the composed IVF-ADC oracle (r14
+    review: the composed oracle started as a textual copy). Assumes
+    the caller emitted ``e(vec_id, v)``, ``q(query_id, qv)``, and
+    ``scored(query_id, neighbor_id, adc_d2)``."""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
-    {fits},
-    {encs},
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-    scored AS (
-      SELECT q.query_id, x.vec_id AS neighbor_id,
-             {adc} AS adc_d2
-      FROM q, (SELECT vec_id FROM e) x
-      {joins}
-      WHERE x.vec_id <> q.query_id
-    ),
     shortlist AS (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn_adc
@@ -1159,6 +1172,27 @@ def _pq_oracle_sql() -> str:
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
+
+
+def _pq_oracle_sql() -> str:
+    """The full PQ oracle: {_PQ_M} codebook fits, per-subspace encode
+    (argmin over the final centroid table, cell-id tiebreak), ADC
+    scoring of every (query, vector) pair via the code-indexed
+    centroids, then the shared shortlist/re-rank tail."""
+    fits, encs, joins, adc = _pq_chains_sql("x", "q")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
+    {fits},
+    {encs},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             {adc} AS adc_d2
+      FROM q, (SELECT vec_id FROM e) x
+      {joins}
+      WHERE x.vec_id <> q.query_id
+    ),{_pq_tail_sql()}"""
 
 
 def _pq_slice_proj(e: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
@@ -1196,6 +1230,19 @@ def _adc_expr(arrs: list[Column]) -> Column:
     for m in range(1, _PQ_M):
         adc = adc + _term(m)
     return round_cmp(adc, 6)
+
+
+def _adc_shortlist(scored: DataFrame) -> DataFrame:
+    """Cut ``scored(query_id, neighbor_id, adc_d2)`` to the
+    {_PQ_SHORTLIST} best rows per query by the pinned (adc_d2,
+    neighbor_id) order — the shortlist the exact re-rank refines.
+    Shared by the flat PQ op and the composed IVF-ADC op."""
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
 
 
 def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
@@ -1288,16 +1335,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _adc_expr(arrs).alias("adc_d2"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    shortlist = (
-        scored.withColumn("rn_adc", F.row_number().over(w_adc))
-        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id", "adc_d2")
-    )
     # exact re-rank ONLY on the shortlist (review r13: the first draft
     # computed the cosine for every pair BEFORE the cut, paying full
     # brute-force work on top of ADC)
-    return _exact_rerank(e, shortlist)
+    return _exact_rerank(e, _adc_shortlist(scored))
 
 
 # --------------------------------------------------------------------------
@@ -1315,53 +1356,25 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_oracle_sql() -> str:
-    """The composed oracle: the IVF chain (coarse fit, cell assignment,
-    {N_PROBE}-cell probes) merged with the PQ chain ({_PQ_M} codebook
-    fits + encodes via :func:`_pq_chains_sql`), ADC scored only on
-    probes⋈assigned cell matches, shortlist cut, exact re-rank."""
+    """The composed oracle is a MERGE of shared certified pieces, not
+    new text: the IVF chain (coarse fit + the shared assigned/probes
+    block, :func:`_ivf_assign_probe_ctes`), the PQ chain ({_PQ_M}
+    codebook fits + encodes, :func:`_pq_chains_sql`), ADC scored only
+    on probes⋈assigned cell matches, and the shared shortlist/re-rank
+    tail (:func:`_pq_tail_sql`)."""
     fits, encs, joins, adc = _pq_chains_sql("a", "p")
     return f"""
     WITH {_IVF_CTE},
     dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
     {fits},
-    {encs},
-    assigned AS (SELECT vec_id, cell FROM (
-      SELECT s.vec_id, c.cell,
-             ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {_d2_sql("s.v", "c.cv")}, c.cell) AS rn
-      FROM e s, {_IVF_CENT} c) WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-    probes AS (SELECT query_id, qv, cell FROM (
-      SELECT s.query_id, s.qv, c.cell,
-             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY {_d2_sql("s.qv", "c.cv")}, c.cell) AS rn
-      FROM q s, {_IVF_CENT} c) WHERE rn <= {N_PROBE}),
+    {encs},{_ivf_assign_probe_ctes(assigned_cols="vec_id, cell")}
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              {adc} AS adc_d2
       FROM probes p JOIN assigned a USING (cell)
       {joins}
       WHERE a.vec_id <> p.query_id
-    ),
-    shortlist AS (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn_adc
-      FROM scored
-    ),
-    ranked AS (
-      SELECT s.query_id, s.neighbor_id, s.adc_d2,
-             ROUND(list_cosine_similarity(q2.qv, x2.v), 6) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY s.query_id
-               ORDER BY ROUND(list_cosine_similarity(q2.qv, x2.v), 6) DESC,
-                        s.neighbor_id) AS rank
-      FROM shortlist s
-      JOIN e x2 ON x2.vec_id = s.neighbor_id
-      JOIN q q2 ON q2.query_id = s.query_id
-      WHERE s.rn_adc <= {_PQ_SHORTLIST}
-    )
-    SELECT query_id, neighbor_id, adc_d2, cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {TOP_K}
-    ORDER BY query_id, rank
-    """
+    ),{_pq_tail_sql()}"""
 
 
 @query("similarity_ivf_pq_topk", oracle=_ivf_pq_oracle_sql())
@@ -1412,25 +1425,11 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ],
     )
-    # per-query probe list, the same narrow array expression as the IVF op
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                arr,
-                lambda c: F.struct(
-                    _d2s(F.col("__vv"), F.col("v"), c).alias("d2"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        ),
-        1,
-        N_PROBE,
-    )
     probes = (
         sl.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(probe_cells).alias("pc"),
+            F.explode(_probe_cells_expr(arr, "v", "__vv")).alias("pc"),
             *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
             *[F.col(f"vv{m}").alias(f"qvv{m}") for m in range(_PQ_M)],
         )
@@ -1452,10 +1451,4 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _adc_expr(arrs).alias("adc_d2"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    shortlist = (
-        scored.withColumn("rn_adc", F.row_number().over(w_adc))
-        .filter(F.col("rn_adc") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id", "adc_d2")
-    )
-    return _exact_rerank(e, shortlist)
+    return _exact_rerank(e, _adc_shortlist(scored))

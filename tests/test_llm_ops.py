@@ -127,11 +127,14 @@ def test_ivf_pq_topk_recall_structure_and_composition(spark):
         if k[0].startswith(SF_CORRECT) and "#pq" in k[0]
     ]
     assert len(pq_keys) == similarity._PQ_M
-    cold = dict(similarity._FIT_CACHE)
-    similarity._FIT_CACHE.clear()
+    # evict ONLY the entries this op owns (popping everything would
+    # force unrelated ops' ~0.9 s re-fits for the rest of the session)
+    warm_coarse = similarity._FIT_CACHE.pop(ivf_key)
+    for k in pq_keys:
+        similarity._FIT_CACHE.pop(k)
     again = similarity.similarity_ivf_pq_topk(spark, SF_CORRECT).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in approx]
-    assert similarity._FIT_CACHE[ivf_key] == cold[ivf_key]
+    assert similarity._FIT_CACHE[ivf_key] == warm_coarse
 
 
 def test_bruteforce_topk_shape(spark):

@@ -63,8 +63,8 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
 
 def test_pq_topk_recall_and_structure_vs_bruteforce(spark):
     """PQ-ADC with exact re-rank must recover a healthy fraction of the
-    exact top-k — FLOOR-BOUNDED at 0.6 (measured 0.68 on this
-    near-isotropic corpus at the certified {_PQ_SHORTLIST} shortlist;
+    exact top-k — FLOOR-BOUNDED at 0.75 (measured 0.82 on this
+    near-isotropic corpus at the certified 20×TOP_K shortlist;
     VERDICT r13: the oracle certifies the ADC math, not the recall
     level, so without this floor a geometry 'optimization' could
     silently gut answer quality) — be deterministic from a COLD fit
@@ -79,7 +79,7 @@ def test_pq_topk_recall_and_structure_vs_bruteforce(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     assert exact_set, "brute force returned nothing"
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.6, f"PQ recall@5 below floor: {recall:.2f}"
+    assert recall >= 0.75, f"PQ recall@5 below floor: {recall:.2f}"
     exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
     for r in approx:
         assert r.adc_d2 >= 0 or abs(r.adc_d2) < 1e-4, r  # quantized d2, FP floor
@@ -94,10 +94,12 @@ def test_pq_topk_recall_and_structure_vs_bruteforce(spark):
 
 def test_ivf_pq_topk_recall_structure_and_composition(spark):
     """The composed IVF-ADC serve path (r14): recall@5 floor-bounded at
-    0.4 (measured 0.5 — the IVF cell pruning AND the code quantization
-    both cut on this near-isotropic corpus, so the composition sits
-    below either half alone, exactly as FAISS IVFADC does on random
-    vectors), the refine contract holds (reported cosines EQUAL brute
+    0.5 (measured 0.6 at the 20×TOP_K shortlist — the ceiling is IVF
+    cell membership, not the shortlist: the IVF cell pruning AND the
+    code quantization both cut on this near-isotropic corpus, so the
+    composition sits below either half alone, exactly as FAISS IVFADC
+    does on random vectors), the refine contract holds (reported
+    cosines EQUAL brute
     force — the re-rank is exact), the run is deterministic from a COLD
     fit cache, and the composition REUSES the certified halves: the
     coarse centroids must be byte-identical to similarity_ivf_topk's
@@ -109,7 +111,7 @@ def test_ivf_pq_topk_recall_structure_and_composition(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     assert exact_set, "brute force returned nothing"
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.4, f"IVF-ADC recall@5 below floor: {recall:.2f}"
+    assert recall >= 0.5, f"IVF-ADC recall@5 below floor: {recall:.2f}"
     exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
     for r in approx:
         key = (r.query_id, r.neighbor_id)

@@ -56,8 +56,9 @@ ROUND14_CHANGED_IDS = [
     "similarity_ivf_pq_topk",
     # shared-helper refactor (_pq_chains_sql/_pq_slice_proj/_adc_expr/
     # _exact_rerank now serve both the flat and composed ops; the
-    # generated oracle SQL was verified byte-identical) + the ADVICE
-    # r13 'triad' docstring fix
+    # generated oracle SQL was verified byte-identical), the ADVICE
+    # r13 'triad' docstring fix, and the shortlist retune (20x TOP_K:
+    # recall@5 0.68 -> 0.82)
     "similarity_pq_topk",
     # ADVICE r13 cache-key hardening: the initial-store cache key now
     # folds in the LIVE band geometry (dedup._SIMHASH_BANDS/_BAND_BITS

@@ -74,6 +74,14 @@ _RECHECK_FIRST = [
     #   the LIVE band geometry, so an in-process geometry change
     #   self-invalidates instead of serving a stale store) —
     "similarity_ivf_pq_topk",
+    #   similarity_ivf_pq_residual_topk is NEW (r14, second tranche):
+    #   the residual-encoded IVFADC variant — codebooks fit on
+    #   v - centroid[cell] slices, per-(query, probed-cell) query
+    #   residuals, same pinned serve plan; certified with the honest
+    #   measurement that residuals rank WORSE at tight shortlists on
+    #   this isotropic corpus (the machinery, not a recall win, is the
+    #   certified artifact) —
+    "similarity_ivf_pq_residual_topk",
     "similarity_pq_topk",
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
@@ -111,14 +119,14 @@ _RECHECK_FIRST = [
     "supplier_revenue_rank",
     "term_frequency_topk",
     "tfidf_top_terms",
-    "theil_sen_slope",
     # — r15 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the ten r10 residents that slipped this window
-    #   (time_weighted_avg, token_pmi_topk, topk_per_group, tpch_q1,
+    #   FIRST the eleven r10 residents that slipped this window
+    #   (theil_sen_slope — evicted to fund the residual-IVFADC slot —
+    #   time_weighted_avg, token_pmi_topk, topk_per_group, tpch_q1,
     #   tpch_q10, tpch_q13, tpch_q14, tpch_q15, weighted_sample_topk,
     #   zorder_interleave — staleness 5 entering r15, the oldest rows
     #   anywhere), then r15 changed-text, then the 34-op r11 cohort
-    #   alphabetical with the remaining ~36 slots (its tail lands in
+    #   alphabetical with the remaining ~35 slots (its tail lands in
     #   r16, the same two-round drain as the r9 and r10 cohorts).
 ]
 

@@ -329,6 +329,7 @@ def _kmeans_cte_sql(
     vsel: str = "v",
     dims: str = "dims",
     emit_head: bool = True,
+    src: str = "e",
 ) -> tuple[str, str]:
     """DuckDB twin of :func:`_det_kmeans_fit` as unrolled CTEs — the ONE
     textual statement of the pinned determinism contract (md5 sample,
@@ -342,17 +343,19 @@ def _kmeans_cte_sql(
     query; ``vsel`` is the sample's vector projection (a subspace fit
     passes ``v[a:b] AS v``); ``dims`` names the 1..subdim index table;
     ``emit_head=False`` skips the shared ``e``/dims CTEs for callers
-    that emit them once for many chains."""
+    that emit them once for many chains; ``src`` names the (vec_id, v)
+    table the sample draws from (the residual-PQ fits pass a derived
+    residual CTE, r14)."""
     d2 = _d2_sql("s.v", "c.cv")
     head = (
         f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    {prefix}samp AS (SELECT vec_id, {vsel} FROM e
+    {prefix}samp AS (SELECT vec_id, {vsel} FROM {src}
              WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex}'),
     dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),"""
         if emit_head
         else f"""
-    {prefix}samp AS (SELECT vec_id, {vsel} FROM e
+    {prefix}samp AS (SELECT vec_id, {vsel} FROM {src}
              WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{sample_hex}'),"""
     )
     parts = [
@@ -1088,54 +1091,62 @@ def _pq_codebooks(
     ]
 
 
-def _pq_sub_kmeans_cte(m: int) -> tuple[str, str]:
+def _pq_sub_kmeans_cte(
+    m: int, *, src: str = "e", prefix: str = "m"
+) -> tuple[str, str]:
     """DuckDB twin of subspace ``m``'s codebook fit — the SHARED
     :func:`_kmeans_cte_sql` chain (one textual statement of the pinned
-    determinism contract) namespaced ``m{m}``, fitting the slice
-    ``v[{m*_PQ_SUBDIM+1}:{(m+1)*_PQ_SUBDIM}]`` against the shared
-    ``dims8`` index table. Assumes the caller already emitted the
-    ``e(vec_id, v)`` and ``dims8(i)`` CTEs once for all chains."""
+    determinism contract) namespaced ``{prefix}{m}``, fitting the slice
+    ``v[{m*_PQ_SUBDIM+1}:{(m+1)*_PQ_SUBDIM}]`` of ``src`` against the
+    shared ``dims8`` index table. Assumes the caller already emitted
+    the ``src(vec_id, v)`` and ``dims8(i)`` CTEs once for all chains."""
     a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
     return _kmeans_cte_sql(
         _PQ_K,
         _PQ_ITERS,
         _PQ_SAMPLE_HEX,
-        prefix=f"m{m}",
+        prefix=f"{prefix}{m}",
         vsel=f"v[{a}:{b}] AS v",
         dims="dims8",
         emit_head=False,
+        src=src,
     )
 
 
-def _pq_chains_sql(nb_alias: str, q_alias: str) -> tuple[str, str, str, str]:
+def _pq_chains_sql(
+    nb_alias: str, q_alias: str, *, src: str = "e", prefix: str = "m"
+) -> tuple[str, str, str, str]:
     """The PQ oracle's shared building blocks, parameterized by which
     CTE alias carries the candidate vec_ids (``nb_alias``) and which
     carries the query vector as ``qv`` (``q_alias``) — ONE textual
-    statement of the fit/encode/ADC contract serving both the flat PQ
-    oracle (candidates = the whole corpus, r13) and the composed
-    IVF-ADC oracle (candidates = probed-cell members, r14). Returns
-    (fit_ctes, encode_ctes, code→centroid join clauses, rounded ADC
-    expression)."""
+    statement of the fit/encode/ADC contract serving the flat PQ
+    oracle (candidates = the whole corpus, r13), the composed IVF-ADC
+    oracle (candidates = probed-cell members, r14), and the
+    residual-encoded variant (``src`` = a derived residual CTE,
+    ``prefix`` keeps its chains from colliding; the residual oracle's
+    ``q_alias`` row carries the PER-CELL query residual aliased ``qv``,
+    so the identical ADC text scores residuals). Returns (fit_ctes,
+    encode_ctes, code→centroid join clauses, rounded ADC expression)."""
     fits, cents, encs = [], [], []
     for m in range(_PQ_M):
-        body, cent = _pq_sub_kmeans_cte(m)
+        body, cent = _pq_sub_kmeans_cte(m, src=src, prefix=prefix)
         fits.append(body)
         cents.append(cent)
         a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
         d2 = _d2_sql(f"s.v[{a}:{b}]", "c.cv")
         encs.append(
             f"""
-    m{m}enc AS (SELECT vec_id, cell AS code FROM (
+    {prefix}{m}enc AS (SELECT vec_id, cell AS code FROM (
       SELECT s.vec_id, c.cell,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2}, c.cell) AS rn
-      FROM e s, {cents[m]} c) WHERE rn = 1)"""
+      FROM {src} s, {cents[m]} c) WHERE rn = 1)"""
         )
     adc_terms = []
     joins = []
     for m in range(_PQ_M):
         a, b = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
         joins.append(
-            f"JOIN m{m}enc e{m} ON e{m}.vec_id = {nb_alias}.vec_id"
+            f"JOIN {prefix}{m}enc e{m} ON e{m}.vec_id = {nb_alias}.vec_id"
             f" JOIN {cents[m]} c{m} ON c{m}.cell = e{m}.code"
         )
         adc_terms.append(_d2_sql(f"{q_alias}.qv[{a}:{b}]", f"c{m}.cv"))
@@ -1395,7 +1406,8 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     omits: production IVFADC usually encodes the RESIDUAL v − coarse
     centroid, which needs residual-fit codebooks; with shared
     raw-vector codebooks the composition stays a pure reuse of two
-    certified artifacts, at some recall cost the shortlist absorbs.)
+    certified artifacts, at some recall cost the shortlist absorbs —
+    the residual variant is :func:`similarity_ivf_pq_residual_topk`.)
 
     Scale shape: index build is ONE narrow scan emitting
     (vec_id, cell, code0..{_PQ_M - 1}) — both quantizers fold into the
@@ -1445,6 +1457,184 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ADC only inside probed cells: a broadcast HASH join on cell — the
     # scored row count is bounded by cell membership, not the corpus
+    scored = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_expr(arrs).alias("adc_d2"),
+        )
+    )
+    return _exact_rerank(e, _adc_shortlist(scored))
+
+
+# --------------------------------------------------------------------------
+# Residual-encoded IVF-ADC (r14) — the refinement the plain composed op
+# deliberately omits: production IVFADC (FAISS IVF_PQ, SCANN, Milvus)
+# quantizes the RESIDUAL v − centroid[cell], not the raw vector,
+# because residuals concentrate near zero once the coarse quantizer has
+# explained the cell structure — the same codebook budget spends its
+# resolution where the remaining variance actually is. The price is
+# that the query side must be re-expressed PER PROBED CELL (the query's
+# residual differs in every cell it probes), which is why this is a
+# separate certified op and not a flag on the plain one: the probe
+# row count, the ADC table shape, and the oracle chain all change.
+# --------------------------------------------------------------------------
+
+
+def _res_cv_lookup(arr: Column) -> Column:
+    """centroid[cell].cv as a row expression over a frame carrying a
+    ``cell`` column — the residual subtraction's lookup side."""
+    return F.element_at(F.filter(arr, lambda c: c["cell"] == F.col("cell")), 1)["cv"]
+
+
+def _ivf_pq_residual_oracle_sql() -> str:
+    """The residual oracle: the shared IVF assigned/probes block, a
+    derived residual table (``eres`` = v − centroid[cell], per the
+    assignment), {_PQ_M} codebook fits + encodes over the RESIDUAL
+    slices (the shared chain builder pointed at ``eres``), per-probe
+    query residuals (``pres`` — one residual per probed cell), ADC on
+    cell matches, and the shared shortlist/re-rank tail (the refine
+    scores ORIGINAL vectors — residuals only rank)."""
+    fits, encs, joins, adc = _pq_chains_sql("a", "p", src="eres", prefix="r")
+    return f"""
+    WITH {_IVF_CTE},
+    dims8 AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),{_ivf_assign_probe_ctes()}
+    eres AS (SELECT a.vec_id, a.cell,
+                    list_transform(generate_series(1, {_DIM}), i -> a.v[i] - c.cv[i]) AS v
+             FROM assigned a JOIN {_IVF_CENT} c ON c.cell = a.cell),
+    {fits},
+    {encs},
+    pres AS (SELECT p.query_id,
+                    list_transform(generate_series(1, {_DIM}), i -> p.qv[i] - c.cv[i]) AS qv,
+                    p.cell
+             FROM probes p JOIN {_IVF_CENT} c ON c.cell = p.cell),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {adc} AS adc_d2
+      FROM pres p JOIN eres a USING (cell)
+      {joins}
+      WHERE a.vec_id <> p.query_id
+    ),{_pq_tail_sql()}"""
+
+
+@query("similarity_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle_sql())
+def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-ADC — the full production IVFADC shape:
+    every vector is assigned a coarse cell, the RESIDUAL
+    v − centroid[cell] is PQ-encoded ({_PQ_M} codebooks fit on residual
+    slices by the same pinned Lloyd contract), and each query scores
+    ADC against its OWN residual per probed cell (the query residual
+    differs in every cell it probes — the per-(query, cell) probe row
+    carries it). Exact cosine on the ORIGINAL vectors refines the
+    shortlist, so residuals only rank, never answer.
+
+    Scale shape: identical serve plan to :func:`similarity_ivf_pq_topk`
+    — one narrow index-build scan emitting (vec_id, cell, code0..
+    {_PQ_M - 1}) with BOTH quantizers folded in as literals, a
+    broadcast HASH join on cell bounding scored rows by probed-cell
+    membership, and a shortlist-only refine — plus one extra zip_with
+    subtraction per row at build time and per probe row at serve time.
+    The coarse centroids are REUSED byte-identical from
+    :func:`similarity_ivf_topk`'s certified fit; the residual codebooks
+    are their own certified artifact (cached per corpus+geometry, fit
+    once and shipped). Fully oracle-certified: the DuckDB twin derives
+    the residual table, all {_PQ_M} residual codebook fits, the codes,
+    the per-probe query residuals, the ADC scores, and the re-ranked
+    top-{TOP_K}. Recall vs brute force is measured and floor-bounded in
+    tests/test_llm_ops.py.
+
+    Honest measurement on THIS corpus: at the certified shortlist both
+    variants read recall@5 = 0.60 (the shared ceiling is IVF cell
+    membership); at TIGHT shortlists the residual ADC ranks WORSE than
+    the raw-vector ADC here (0.24 vs 0.44 at 4×TOP_K) — textbook
+    behavior for a near-isotropic corpus, where the coarse centroids
+    explain almost no variance and the subtraction only adds centroid
+    noise for the codebooks to chase. Residual encoding pays off
+    exactly when the coarse quantizer pays off (clustered production
+    embeddings); what this op certifies is the MACHINERY — residual
+    fits, per-cell query residuals, the composed serve plan — not a
+    recall win on random vectors."""
+    e = _emb(spark, sf_dir)
+    cents = _fit_cached(spark, sf_dir, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
+    arr = _cent_array(cents)
+    assigned = e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+        "vec_id",
+        "v",
+        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+    )
+    # residual table: one narrow zip_with per row (centroid lookup is a
+    # literal-array probe, no join)
+    res = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(F.col("v"), _res_cv_lookup(arr), lambda a, b: a - b).alias("v"),
+    )
+    # residual codebooks: the SAME deterministic fit contract, pointed
+    # at residual slices; cached per (corpus, subspace) like the flat
+    # PQ books — the residual index artifact is fit once and shipped
+    books = [
+        _fit_cached(
+            spark,
+            sf_dir,
+            _PQ_K,
+            _PQ_ITERS,
+            _PQ_SAMPLE_HEX,
+            key_suffix=f"#ivfpqres{m}",
+            e=res.select(
+                "vec_id",
+                F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v"),
+            ),
+        )
+        for m in range(_PQ_M)
+    ]
+    arrs = [_cent_array(b) for b in books]
+    # index build: (vec_id, cell, code0..) in ONE narrow pass over the
+    # residual projection
+    sl = _pq_slice_proj(res, extra=("cell",))
+    enc = sl.select(
+        "vec_id",
+        "cell",
+        *[
+            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
+                f"code{m}"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+    # query side: probe cells on the RAW vector, then one residual per
+    # probed cell — project the residual FIRST, slices next, dots last
+    # (the lambda-projection rule)
+    q_cells = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("__qvv", _dot(F.col("qv"), F.col("qv")))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(_probe_cells_expr(arr, "qv", "__qvv")).alias("pc"),
+        )
+        .select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    )
+    rq = q_cells.select(
+        "query_id",
+        "cell",
+        F.zip_with(F.col("qv"), _res_cv_lookup(arr), lambda a, b: a - b).alias("rqv"),
+    )
+    probes = rq.select(
+        "query_id",
+        "cell",
+        *[
+            F.slice(F.col("rqv"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"qs{m}")
+            for m in range(_PQ_M)
+        ],
+    ).select(
+        "query_id",
+        "cell",
+        *[F.col(f"qs{m}") for m in range(_PQ_M)],
+        *[_dot(F.col(f"qs{m}"), F.col(f"qs{m}")).alias(f"qvv{m}") for m in range(_PQ_M)],
+    )
     scored = (
         enc.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

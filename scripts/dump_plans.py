@@ -86,6 +86,13 @@ SHOWCASE = {
         "full-corpus BroadcastNestedLoopJoin stream; exact refine touches "
         "only the shortlist via two broadcast point-lookups."
     ),
+    "similarity_ivf_pq_residual_topk": (
+        "Residual-encoded IVFADC: identical serve shape to the composed op "
+        "(hash-join-on-cell, shortlist-only refine) — the residual "
+        "subtraction is a narrow zip_with against the literal centroid "
+        "array, adding ZERO joins; codebooks fit on residual slices, one "
+        "query residual per probed cell."
+    ),
     "two_level_agg": (
         "Avg-of-avgs re-aggregation: the second groupBy consumes the first's "
         "tiny output — partial aggregation on both levels."

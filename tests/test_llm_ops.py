@@ -139,6 +139,45 @@ def test_ivf_pq_topk_recall_structure_and_composition(spark):
     assert similarity._FIT_CACHE[ivf_key] == warm_coarse
 
 
+def test_ivf_pq_residual_topk_recall_structure_and_reuse(spark):
+    """The residual-encoded IVFADC variant (r14): recall@5
+    floor-bounded at 0.5 (measured 0.6 at the certified shortlist —
+    the same IVF-cell-membership ceiling as the raw-vector composed
+    op; the docstring records the honest tight-shortlist measurement
+    where residuals rank WORSE on this isotropic corpus), the refine
+    contract holds (reported cosines EQUAL brute force — residuals
+    only rank, never answer), the run is deterministic from a COLD
+    residual-codebook cache, and the coarse half is REUSED
+    byte-identical from similarity_ivf_topk's certified fit while the
+    residual codebooks are their own cache entries (suffix #ivfpqres,
+    distinct from the flat #pq books)."""
+    exact = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = similarity.similarity_ivf_pq_residual_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set, "brute force returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"residual IVFADC recall@5 below floor: {recall:.2f}"
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key], key
+    ivf_key = (SF_CORRECT, similarity.N_IVF_CELLS, similarity._IVF_ITERS,
+               similarity._IVF_SAMPLE_HEX)
+    assert ivf_key in similarity._FIT_CACHE
+    res_keys = [
+        k
+        for k in similarity._FIT_CACHE
+        if k[0].startswith(SF_CORRECT) and "#ivfpqres" in k[0]
+    ]
+    assert len(res_keys) == similarity._PQ_M
+    for k in res_keys:
+        similarity._FIT_CACHE.pop(k)
+    again = similarity.similarity_ivf_pq_residual_topk(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in approx]
+
+
 def test_bruteforce_topk_shape(spark):
     rows = similarity.similarity_bruteforce_topk(spark, SF_CORRECT).collect()
     assert len(rows) == similarity.N_QUERIES * similarity.TOP_K

@@ -972,3 +972,74 @@ def test_ivf_pq_topk_plan_is_cell_pruned_hash_join_only(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
     # the ADC join keys on the coarse cell (the pruning key), not vec_id
     assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan
+
+
+def test_ivf_pq_index_on_disk_probe_is_partition_pruned(spark, tmp_path):
+    """Substantiates the claim in similarity_ivf_pq_topk's docstring
+    (r14): "on disk this table is partitioned BY cell so a probe is a
+    partition-pruned scan". Materialize the (vec_id, cell, code0..7)
+    index the op builds, partitioned by cell, and pin that a probe of
+    N_PROBE cells plans PartitionFilters on the cell key — Spark never
+    opens the unprobed cells' files. At 100 TB this is the difference
+    between scanning nprobe/cells of an 8-byte-per-vector code table
+    and scanning all of it."""
+    import re
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    e = S._emb(spark, SF_SMOKE)
+    arr = S._cent_array(
+        S._fit_cached(spark, SF_SMOKE, S.N_IVF_CELLS, S._IVF_ITERS, S._IVF_SAMPLE_HEX)
+    )
+    arrs = [S._cent_array(b) for b in S._pq_codebooks(spark, SF_SMOKE)]
+    sl = S._pq_slice_proj(e, extra=("v",)).withColumn(
+        "__vv", S._dot(F.col("v"), F.col("v"))
+    )
+    enc = sl.select(
+        "vec_id",
+        S._best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+        *[
+            S._best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
+                f"code{m}"
+            )
+            for m in range(S._PQ_M)
+        ],
+    )
+    idx_dir = str(tmp_path / "ivf_pq_index")
+    enc.write.partitionBy("cell").parquet(idx_dir)
+
+    probed = list(range(S.N_PROBE))  # any N_PROBE-cell probe list
+    scan = spark.read.parquet(idx_dir).filter(F.col("cell").isin(probed))
+    plan = formatted_plan(scan)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan  # pruning reached the scan
+    # the pruned scan returns exactly the probed cells' members — and
+    # the data files carry only the 9 narrow index columns, no vectors
+    on_disk = spark.read.parquet(idx_dir)
+    assert set(on_disk.columns) == {"vec_id", "cell"} | {
+        f"code{m}" for m in range(S._PQ_M)
+    }
+    want = {r.vec_id for r in enc.filter(F.col("cell").isin(probed)).collect()}
+    assert {r.vec_id for r in scan.collect()} == want and want
+
+
+def test_ivf_pq_residual_plan_matches_composed_serve_shape(spark):
+    """r14 residual-IVFADC plan pin: the residual encoding must not
+    change the serve plan — still exactly three broadcast hash joins
+    (ADC-on-cell + the refine's two point-lookups), keyed on the cell
+    pruning key, no BNLJ/cartesian/shuffle join; the residual
+    subtraction is a narrow zip_with over a literal centroid lookup,
+    visible as zero extra joins."""
+    import re
+
+    df = similarity.similarity_ivf_pq_residual_topk(spark, SF_SMOKE)
+    assert join_strategies(df) == ["BroadcastHashJoin"]
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan

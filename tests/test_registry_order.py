@@ -54,6 +54,12 @@ ROUND14_CHANGED_IDS = [
     # from the certified halves (shared fit cache), oracle = CTE merge
     # of the two certified chains
     "similarity_ivf_pq_topk",
+    # NEW (r14, second tranche): the residual-encoded IVFADC variant —
+    # codebooks fit on v - centroid[cell] residual slices, one query
+    # residual per probed cell, same pinned serve plan; certifies the
+    # residual machinery (the docstring records the honest negative
+    # recall result on this isotropic corpus)
+    "similarity_ivf_pq_residual_topk",
     # shared-helper refactor (_pq_chains_sql/_pq_slice_proj/_adc_expr/
     # _exact_rerank now serve both the flat and composed ops; the
     # generated oracle SQL was verified byte-identical), the ADVICE
@@ -69,9 +75,10 @@ ROUND14_CHANGED_IDS = [
     "streaming_neardup_store_compaction",
 ]
 
-#: oldest-first refresh: 32 of the 42 r10-cohort residents (staleness
-#: 4 entering r14), alphabetical. The ten that do not fit
-#: (time_weighted_avg .. zorder_interleave) slip to lead the r15
+#: oldest-first refresh: 31 of the 42 r10-cohort residents (staleness
+#: 4 entering r14), alphabetical. The eleven that do not fit
+#: (theil_sen_slope — evicted to fund the residual-IVFADC slot —
+#: plus time_weighted_avg .. zorder_interleave) slip to lead the r15
 #: window — the plan is pinned in the _RECHECK_FIRST rotation comment.
 ROUND14_R10_COHORT_IDS = [
     "abtest_proportions_ztest",
@@ -105,7 +112,6 @@ ROUND14_R10_COHORT_IDS = [
     "supplier_revenue_rank",
     "term_frequency_topk",
     "tfidf_top_terms",
-    "theil_sen_slope",
 ]
 
 

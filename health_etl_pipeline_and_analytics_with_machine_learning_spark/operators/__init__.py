@@ -86,8 +86,8 @@ _RECHECK_FIRST = [
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
     # — r10-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 32 of the 42 r10 residents fit the
-    #   remaining slots) —
+    #   the equal-staleness tie; 31 of the 42 r10 residents fit the
+    #   remaining slots after the residual-IVFADC slot) —
     "abtest_proportions_ztest",
     "attribution_position_based",
     "bloom_filter_semi_join",

@@ -1229,6 +1229,27 @@ def _pq_slice_proj(e: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def _pq_encode(
+    sl: DataFrame, arrs: list[Column], extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """The ONE statement of the PQ encode contract (r14 review: the
+    encode select had grown three copies): over a
+    :func:`_pq_slice_proj`-shaped frame, emit ``vec_id`` (+ ``extra``
+    passthrough columns) and ``code{{m}}`` = the argmin codebook entry
+    per subspace slice — a narrow scan, codebooks folded in as
+    literals."""
+    return sl.select(
+        "vec_id",
+        *extra,
+        *[
+            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
+                f"code{m}"
+            )
+            for m in range(_PQ_M)
+        ],
+    )
+
+
 def _adc_expr(arrs: list[Column]) -> Column:
     """Code-indexed ADC distance Σ_m ‖qs_m − codebook_m[code_m]‖² over
     a frame carrying query slices ``qs{{m}}``/``qvv{{m}}`` and candidate
@@ -1326,15 +1347,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index build: ONE narrow encode pass, codes only — at 100 TB this
     # table IS the index ({_PQ_M} bytes/vector) and is all the ADC scan
     # ever reads; the raw vectors re-enter only for the shortlist refine
-    enc = sl.select(
-        "vec_id",
-        *[
-            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
-            for m in range(_PQ_M)
-        ],
-    )
+    enc = _pq_encode(sl, arrs)
     q_adc = sl.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         *[F.col(f"s{m}").alias(f"qs{m}") for m in range(_PQ_M)],
@@ -1430,15 +1443,10 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # index build: ONE narrow pass — coarse cell AND the PQ codes fold
     # into the same row expression; (vec_id, cell, code0..) IS the index
-    enc = sl.select(
-        "vec_id",
-        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
-        *[
-            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
-            for m in range(_PQ_M)
-        ],
+    enc = _pq_encode(
+        sl.withColumn("cell", _best_cell(F.col("v"), F.col("__vv"), arr)["cell"]),
+        arrs,
+        extra=("cell",),
     )
     probes = (
         sl.filter(F.col("vec_id") < N_QUERIES)
@@ -1573,7 +1581,11 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # residual codebooks: the SAME deterministic fit contract, pointed
     # at residual slices; cached per (corpus, subspace) like the flat
-    # PQ books — the residual index artifact is fit once and shipped
+    # PQ books — the residual index artifact is fit once and shipped.
+    # The key folds in the LIVE coarse geometry (review r14: residuals
+    # are a function of the coarse centroids, so an in-process change
+    # to the IVF constants must invalidate these books too — the same
+    # stale-cache class the streaming store's key was hardened against)
     books = [
         _fit_cached(
             spark,
@@ -1581,7 +1593,9 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
             _PQ_K,
             _PQ_ITERS,
             _PQ_SAMPLE_HEX,
-            key_suffix=f"#ivfpqres{m}",
+            key_suffix=(
+                f"#ivfpqres{m}@{N_IVF_CELLS}/{_IVF_ITERS}/{_IVF_SAMPLE_HEX}"
+            ),
             e=res.select(
                 "vec_id",
                 F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v"),
@@ -1592,17 +1606,7 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     arrs = [_cent_array(b) for b in books]
     # index build: (vec_id, cell, code0..) in ONE narrow pass over the
     # residual projection
-    sl = _pq_slice_proj(res, extra=("cell",))
-    enc = sl.select(
-        "vec_id",
-        "cell",
-        *[
-            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
-            for m in range(_PQ_M)
-        ],
-    )
+    enc = _pq_encode(_pq_slice_proj(res, extra=("cell",)), arrs, extra=("cell",))
     # query side: probe cells on the RAW vector, then one residual per
     # probed cell — project the residual FIRST, slices next, dots last
     # (the lambda-projection rule)

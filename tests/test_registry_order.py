@@ -148,9 +148,9 @@ def test_no_registry_entry_left_unchecked_after_r14():
 
 def test_r14_window_covers_every_pre_r10_certification():
     """The oldest-first policy invariant: after r14 lands green, no
-    op's latest driver certification is older than round 10 (the ten
-    r10 residents that slipped this window keep their r10 rows and
-    lead the r15 window per the pinned plan)."""
+    op's latest driver certification is older than round 10 (the
+    eleven r10 residents that slipped this window keep their r10 rows
+    and lead the r15 window per the pinned plan)."""
     import glob
     import json
     import os

@@ -85,9 +85,17 @@ _RECHECK_FIRST = [
     "similarity_pq_topk",
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
+    #   bpe_train_merges is NEW (r14, third tranche): the full iterated
+    #   BPE tokenizer trainer — N greedy count/argmax/merge rounds over
+    #   the distinct-word table, integer-count determinism (no FP
+    #   pins), padded-symbol-string merge via builtin replace whose
+    #   overlap semantics are pinned identical cross-engine; oracle
+    #   unrolls all rounds as CTEs like the k-means chains —
+    "bpe_train_merges",
     # — r10-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 31 of the 42 r10 residents fit the
-    #   remaining slots after the residual-IVFADC slot) —
+    #   the equal-staleness tie; 30 of the 42 r10 residents fit the
+    #   remaining slots after the residual-IVFADC and BPE-trainer
+    #   slots) —
     "abtest_proportions_ztest",
     "attribution_position_based",
     "bloom_filter_semi_join",
@@ -118,16 +126,16 @@ _RECHECK_FIRST = [
     "star_join_revenue",
     "supplier_revenue_rank",
     "term_frequency_topk",
-    "tfidf_top_terms",
     # — r15 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the eleven r10 residents that slipped this window
-    #   (theil_sen_slope — evicted to fund the residual-IVFADC slot —
-    #   time_weighted_avg, token_pmi_topk, topk_per_group, tpch_q1,
-    #   tpch_q10, tpch_q13, tpch_q14, tpch_q15, weighted_sample_topk,
-    #   zorder_interleave — staleness 5 entering r15, the oldest rows
-    #   anywhere), then r15 changed-text, then the 34-op r11 cohort
-    #   alphabetical with the remaining ~35 slots (its tail lands in
-    #   r16, the same two-round drain as the r9 and r10 cohorts).
+    #   FIRST the twelve r10 residents that slipped this window
+    #   (tfidf_top_terms and theil_sen_slope — evicted to fund the
+    #   BPE-trainer and residual-IVFADC slots — plus time_weighted_avg,
+    #   token_pmi_topk, topk_per_group, tpch_q1, tpch_q10, tpch_q13,
+    #   tpch_q14, tpch_q15, weighted_sample_topk, zorder_interleave —
+    #   staleness 5 entering r15, the oldest rows anywhere), then r15
+    #   changed-text, then the 34-op r11 cohort alphabetical with the
+    #   remaining ~34 slots (its tail lands in r16, the same two-round
+    #   drain as the r9 and r10 cohorts).
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

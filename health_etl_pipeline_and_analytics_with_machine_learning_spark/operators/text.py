@@ -727,9 +727,9 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |vocab| rows, not |corpus| occurrences, the same occurrence→
     type-space trick as tfidf_top_terms); pair extraction is a narrow
     substring explode inside codegen; the final count is one shuffle of
-    (pair, partial-sum) rows and a TakeOrderedAndProject top-k. A full
-    BPE trainer iterates this op, re-segmenting against learned merges
-    — each iteration stays this same linear shape.
+    (pair, partial-sum) rows and a TakeOrderedAndProject top-k. The
+    full iterated trainer is :func:`bpe_train_merges` (r14) — each of
+    its iterations stays this same linear shape.
     """
     d = load(spark, sf_dir, "documents")
     words = (
@@ -753,6 +753,149 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+#: merge rounds for the iterated BPE trainer — enough to exercise
+#: multi-symbol merges (pairs whose sides are themselves merge
+#: products) while keeping the unrolled oracle chain readable
+_BPE_MERGES = 6
+
+
+def _bpe_train_oracle_sql() -> str:
+    """The trainer's DuckDB twin as {_BPE_MERGES} unrolled
+    count→argmax→merge CTE rounds over the padded symbol-string
+    representation (the same unroll-the-iteration pattern as the
+    k-means chains). All statistics are INTEGER counts with a
+    lexicographic (l, r) tiebreak — no FP pins needed; the engines'
+    binary ASCII string ordering and left-to-right non-overlapping
+    ``replace`` semantics were verified identical."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT tok AS w, COUNT(*) AS wn
+      FROM (
+        SELECT unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, wn
+           FROM words)"""
+    ]
+    for t in range(1, _BPE_MERGES + 1):
+        parts.append(
+            f""",
+    p{t} AS (
+      SELECT a[i] AS l, a[i + 1] AS r, SUM(wn) AS cnt FROM (
+        SELECT str_split(trim(s), ' ') AS a,
+               unnest(generate_series(1, len(str_split(trim(s), ' ')) - 1)) AS i,
+               wn
+        FROM w{t - 1})
+      GROUP BY l, r),
+    b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{t} AS (SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' ') AS s, wn
+             FROM w{t - 1}, b{t} b)"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, l, r, cnt FROM b{t}" for t in range(1, _BPE_MERGES + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(step AS BIGINT) AS step, l AS merge_left, r AS merge_right,
+           l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})
+    ORDER BY step"""
+    )
+    return "".join(parts)
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterated BPE tokenizer trainer at corpus scale:
+    {_BPE_MERGES} greedy merge rounds, each counting adjacent symbol
+    pairs weighted by word frequency, picking the most frequent pair
+    (lexicographic (left, right) tiebreak — integer counts, so no FP
+    pins are needed anywhere), and merging every non-overlapping
+    left-to-right occurrence across the vocabulary. Returns the learned
+    merge table (step, merge_left, merge_right, merged, pair_count) —
+    the artifact a BPE tokenizer ships.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word table
+    (the only corpus-sized shuffle — the same occurrence→type-space
+    trick as :func:`bpe_pair_counts`); every merge round then runs
+    over |vocab| rows: a narrow codegen'd pair explode, one
+    (l, r)-keyed partial-aggregated count shuffle, and a bounded
+    1-row argmax to the driver (the merge rule is a driver-scale
+    index artifact, exactly like the k-means centroids). The merge
+    itself is a narrow string ``replace`` — the padded symbol-string
+    representation makes greedy non-overlapping BPE merging a single
+    builtin whose left-to-right continue-after-replacement semantics
+    are IDENTICAL in Spark and DuckDB (verified on the ' b b b '
+    overlap case). The vocab table is localCheckpointed per round so
+    round N+1 reads materialized rows instead of re-running N rounds
+    of lineage. At 100 TB the word table is ~10⁷ rows regardless of
+    corpus size — tokenizer training cost is corpus-scan + sub-second
+    rounds, which is exactly why production BPE trainers work from the
+    word-frequency table.
+
+    The oracle replays all {_BPE_MERGES} rounds as unrolled CTEs
+    (:func:`_bpe_train_oracle_sql`)."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("s"),
+        "wn",
+    ).localCheckpoint(eager=True)
+    rules = []
+    for step in range(1, _BPE_MERGES + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "wn",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("l"),
+                        F.element_at(arr, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wn").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        rules.append((step, l, r, l + r, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+            "wn",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules,
+        "step long, merge_left string, merge_right string, merged string, pair_count long",
+    ).orderBy("step")
 
 
 @query(

@@ -1722,3 +1722,50 @@ def test_container_parser_fuzz_ppm_bmp_wav():
     )
     with pytest.raises(ValueError):
         _bmp_parse(inside_header)
+
+
+def test_bpe_train_merges_properties_and_determinism(spark):
+    """The iterated BPE trainer (r14): steps are 1..N in order, every
+    merged symbol is the concatenation of its pair, counts are
+    positive integers, the run is deterministic, and the learned
+    rules are CONSISTENT with the corpus: re-deriving round 1's pair
+    counts from the word table must rank the trainer's first rule
+    first (the greedy invariant the oracle certifies round by
+    round)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    rows = T.bpe_train_merges(spark, SF_CORRECT).collect()
+    assert [r.step for r in rows] == list(range(1, T._BPE_MERGES + 1))
+    for r in rows:
+        assert r.merged == r.merge_left + r.merge_right
+        assert r.pair_count > 0
+        assert " " not in r.merged  # symbols never contain the separator
+    again = T.bpe_train_merges(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+    # greedy invariant for round 1 against the independently-certified
+    # single-round op: the trainer's first rule is bpe_pair_counts' top
+    # pair (same word table, same weighting)
+    top = T.bpe_pair_counts(spark, SF_CORRECT).limit(1).collect()[0]
+    assert top.pair == rows[0].merged and top.n_pairs == rows[0].pair_count
+
+
+def test_bpe_merge_replace_semantics_are_cross_engine_identical(spark):
+    """The trainer's merge step leans on one engine behavior: string
+    ``replace`` is non-overlapping, left-to-right, and continues AFTER
+    the replacement. Pin the canonical overlap case (' b b b ' merging
+    (b, b) must yield ' bb b ', never ' bb bb ' or ' b bb ') on BOTH
+    engines, so an engine upgrade that changes either side fails
+    loudly here instead of as a silent oracle drift."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    got_spark = (
+        spark.range(1)
+        .select(F.replace(F.lit(" b b b "), F.lit(" b b "), F.lit(" bb ")).alias("r"))
+        .collect()[0]["r"]
+    )
+    got_duck = duckdb.sql("SELECT replace(' b b b ', ' b b ', ' bb ')").fetchone()[0]
+    assert got_spark == got_duck == " bb b "

@@ -73,13 +73,19 @@ ROUND14_CHANGED_IDS = [
     # recertify
     "streaming_neardup_store_maintenance",
     "streaming_neardup_store_compaction",
+    # NEW (r14, third tranche): the iterated BPE tokenizer trainer —
+    # N greedy count/argmax/merge rounds, integer-count determinism,
+    # cross-engine-pinned replace overlap semantics, unrolled-CTE
+    # oracle like the k-means chains
+    "bpe_train_merges",
 ]
 
-#: oldest-first refresh: 31 of the 42 r10-cohort residents (staleness
-#: 4 entering r14), alphabetical. The eleven that do not fit
-#: (theil_sen_slope — evicted to fund the residual-IVFADC slot —
-#: plus time_weighted_avg .. zorder_interleave) slip to lead the r15
-#: window — the plan is pinned in the _RECHECK_FIRST rotation comment.
+#: oldest-first refresh: 30 of the 42 r10-cohort residents (staleness
+#: 4 entering r14), alphabetical. The twelve that do not fit
+#: (tfidf_top_terms and theil_sen_slope — evicted to fund the
+#: BPE-trainer and residual-IVFADC slots — plus time_weighted_avg ..
+#: zorder_interleave) slip to lead the r15 window — the plan is
+#: pinned in the _RECHECK_FIRST rotation comment.
 ROUND14_R10_COHORT_IDS = [
     "abtest_proportions_ztest",
     "attribution_position_based",
@@ -111,7 +117,6 @@ ROUND14_R10_COHORT_IDS = [
     "star_join_revenue",
     "supplier_revenue_rank",
     "term_frequency_topk",
-    "tfidf_top_terms",
 ]
 
 
@@ -149,7 +154,7 @@ def test_no_registry_entry_left_unchecked_after_r14():
 def test_r14_window_covers_every_pre_r10_certification():
     """The oldest-first policy invariant: after r14 lands green, no
     op's latest driver certification is older than round 10 (the
-    eleven r10 residents that slipped this window keep their r10 rows
+    twelve r10 residents that slipped this window keep their r10 rows
     and lead the r15 window per the pinned plan)."""
     import glob
     import json

@@ -693,10 +693,13 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOP = 50
 
 
-@query(
-    "bpe_pair_counts",
-    oracle=f"""
-    WITH w AS (
+def _word_freq_cte(name: str) -> str:
+    """The (word, count) table as a named CTE — ONE textual statement
+    of the word-frequency contract shared by the single-round
+    :func:`bpe_pair_counts` oracle and the iterated
+    :func:`bpe_train_merges` oracle (r14 review: the second copy had
+    already drifted into existence)."""
+    return f"""{name} AS (
       SELECT tok AS w, COUNT(*) AS wn
       FROM (
         SELECT unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
@@ -704,7 +707,26 @@ _BPE_TOP = 50
       )
       WHERE tok <> ''
       GROUP BY tok
-    ),
+    )"""
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_word_freq_cte`: collapse the corpus to the
+    DISTINCT-WORD table (one hash-agg with map-side partials) — the
+    occurrence→type-space trick every BPE step runs on."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH {_word_freq_cte("w")},
     pairs AS (
       SELECT substr(w, i, 2) AS pair, wn FROM (
         SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM w)
@@ -731,13 +753,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     full iterated trainer is :func:`bpe_train_merges` (r14) — each of
     its iterations stays this same linear shape.
     """
-    d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wn"))
-    )
+    words = _word_freq(spark, sf_dir)
     starts = F.when(
         F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -761,26 +777,52 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
+def _bpe_merge_fold(s, l: str, r: str):
+    """CANONICAL greedy BPE merge of pair (l, r) over a space-joined
+    symbol string, as a string-accumulator left fold: walk the symbols;
+    when the last emitted symbol is ``l`` and the next is ``r``, rewrite
+    the tail to the merged symbol, else append — exactly left-to-right
+    non-overlapping symbol-space merging. DuckDB's ``list_reduce`` twin
+    lives in :func:`_bpe_train_oracle_sql`; the two folds are pinned
+    identical on the adjacent-run ('a b a b') and identical-symbol-run
+    ('b b b b b') cases where a naive string ``replace`` disagrees
+    (it consumes the shared separator and skips the follow-up
+    occurrence — caught by the r14 round review)."""
+    return F.aggregate(
+        F.split(s, " "),
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            ((acc == F.lit(l)) | acc.endswith(F.lit(" " + l))) & (x == F.lit(r)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - len(l)), F.lit(l + r)
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
 def _bpe_train_oracle_sql() -> str:
     """The trainer's DuckDB twin as {_BPE_MERGES} unrolled
-    count→argmax→merge CTE rounds over the padded symbol-string
+    count→argmax→merge CTE rounds over the symbol-string
     representation (the same unroll-the-iteration pattern as the
     k-means chains). All statistics are INTEGER counts with a
-    lexicographic (l, r) tiebreak — no FP pins needed; the engines'
-    binary ASCII string ordering and left-to-right non-overlapping
-    ``replace`` semantics were verified identical."""
+    lexicographic (l, r) tiebreak — no FP pins needed. The merge is
+    the CANONICAL greedy left-to-right non-overlapping rewrite,
+    expressed as a string-accumulator left fold (``list_reduce``;
+    Spark's ``aggregate`` is the verified-identical twin — a naive
+    string ``replace`` was reviewed OUT in r14: it consumes the shared
+    separator and skips back-to-back occurrences, so ' a b a b ' kept
+    an unmerged pair)."""
+    merge_fold = """list_reduce(str_split(s, ' '),
+                      (acc, x) -> CASE
+                        WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+                          THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+                        ELSE acc || ' ' || x END)"""
     parts = [
         f"""
-    WITH words AS (
-      SELECT tok AS w, COUNT(*) AS wn
-      FROM (
-        SELECT unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
-        FROM documents
-      )
-      WHERE tok <> ''
-      GROUP BY tok
-    ),
-    w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, wn
+    WITH {_word_freq_cte("words")},
+    w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wn
            FROM words)"""
     ]
     for t in range(1, _BPE_MERGES + 1):
@@ -788,14 +830,13 @@ def _bpe_train_oracle_sql() -> str:
             f""",
     p{t} AS (
       SELECT a[i] AS l, a[i + 1] AS r, SUM(wn) AS cnt FROM (
-        SELECT str_split(trim(s), ' ') AS a,
-               unnest(generate_series(1, len(str_split(trim(s), ' ')) - 1)) AS i,
+        SELECT str_split(s, ' ') AS a,
+               unnest(generate_series(1, len(str_split(s, ' ')) - 1)) AS i,
                wn
         FROM w{t - 1})
       GROUP BY l, r),
     b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
-    w{t} AS (SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
-                            ' ' || b.l || b.r || ' ') AS s, wn
+    w{t} AS (SELECT {merge_fold} AS s, wn
              FROM w{t - 1}, b{t} b)"""
         )
     union = "\n      UNION ALL ".join(
@@ -824,42 +865,36 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses ONCE to the distinct-word table
     (the only corpus-sized shuffle — the same occurrence→type-space
-    trick as :func:`bpe_pair_counts`); every merge round then runs
-    over |vocab| rows: a narrow codegen'd pair explode, one
-    (l, r)-keyed partial-aggregated count shuffle, and a bounded
-    1-row argmax to the driver (the merge rule is a driver-scale
-    index artifact, exactly like the k-means centroids). The merge
-    itself is a narrow string ``replace`` — the padded symbol-string
-    representation makes greedy non-overlapping BPE merging a single
-    builtin whose left-to-right continue-after-replacement semantics
-    are IDENTICAL in Spark and DuckDB (verified on the ' b b b '
-    overlap case). The vocab table is localCheckpointed per round so
-    round N+1 reads materialized rows instead of re-running N rounds
-    of lineage. At 100 TB the word table is ~10⁷ rows regardless of
-    corpus size — tokenizer training cost is corpus-scan + sub-second
-    rounds, which is exactly why production BPE trainers work from the
-    word-frequency table.
+    trick as :func:`bpe_pair_counts`, shared via :func:`_word_freq`);
+    every merge round then runs over |vocab| rows: a narrow codegen'd
+    pair explode, one (l, r)-keyed partial-aggregated count shuffle,
+    and a bounded 1-row argmax to the driver (the merge rule is a
+    driver-scale index artifact, exactly like the k-means centroids).
+    The merge itself is the CANONICAL greedy left-to-right
+    non-overlapping rewrite, expressed as a narrow string-accumulator
+    left fold (``aggregate``; DuckDB's ``list_reduce`` is the
+    verified-identical twin — tests pin the fold on the adjacent- and
+    identical-symbol run cases where a naive string ``replace``
+    genuinely disagrees with symbol-space BPE). The vocab table is
+    localCheckpointed per round so round N+1 reads materialized rows
+    instead of re-running N rounds of lineage; the final round skips
+    the never-read merge. At 100 TB the word table is ~10⁷ rows
+    regardless of corpus size — tokenizer training cost is
+    corpus-scan + sub-second rounds, which is exactly why production
+    BPE trainers work from the word-frequency table.
 
     The oracle replays all {_BPE_MERGES} rounds as unrolled CTEs
     (:func:`_bpe_train_oracle_sql`)."""
-    d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(_norm_ascii(F.col("text")), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wn"))
+    cur = (
+        _word_freq(spark, sf_dir)
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+        )
+        .localCheckpoint(eager=True)
     )
-    cur = words.select(
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-            F.lit(" "),
-        ).alias("s"),
-        "wn",
-    ).localCheckpoint(eager=True)
     rules = []
     for step in range(1, _BPE_MERGES + 1):
-        arr = F.split(F.trim(F.col("s")), " ")
+        arr = F.split(F.col("s"), " ")
         idx = F.when(
             F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -886,12 +921,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
         rules.append((step, l, r, l + r, cnt))
-        cur = cur.select(
-            F.replace(
-                F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
-            ).alias("s"),
-            "wn",
-        ).localCheckpoint(eager=True)
+        if step < _BPE_MERGES:  # the final round's merge is never read
+            cur = cur.select(
+                _bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn"
+            ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         rules,
         "step long, merge_left string, merge_right string, merged string, pair_count long",

@@ -1751,21 +1751,39 @@ def test_bpe_train_merges_properties_and_determinism(spark):
     assert top.pair == rows[0].merged and top.n_pairs == rows[0].pair_count
 
 
-def test_bpe_merge_replace_semantics_are_cross_engine_identical(spark):
-    """The trainer's merge step leans on one engine behavior: string
-    ``replace`` is non-overlapping, left-to-right, and continues AFTER
-    the replacement. Pin the canonical overlap case (' b b b ' merging
-    (b, b) must yield ' bb b ', never ' bb bb ' or ' b bb ') on BOTH
-    engines, so an engine upgrade that changes either side fails
-    loudly here instead of as a silent oracle drift."""
+def test_bpe_merge_fold_is_canonical_and_cross_engine_identical(spark):
+    """The trainer's merge step must be CANONICAL greedy left-to-right
+    non-overlapping symbol-space BPE, identically on both engines.
+    Pin the cases where a naive string ``replace`` genuinely disagrees
+    (reviewed out in r14: replace consumes the shared separator and
+    skips back-to-back occurrences): adjacent occurrences 'a b a b'
+    must both merge; an odd identical-symbol run 'b b b b b' must
+    group leftmost-first as 'bb bb b'; 'a a a a' as 'aa aa'."""
     import duckdb
 
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _bpe_merge_fold,
+    )
     from pyspark.sql import functions as F
 
-    got_spark = (
-        spark.range(1)
-        .select(F.replace(F.lit(" b b b "), F.lit(" b b "), F.lit(" bb ")).alias("r"))
-        .collect()[0]["r"]
-    )
-    got_duck = duckdb.sql("SELECT replace(' b b b ', ' b b ', ' bb ')").fetchone()[0]
-    assert got_spark == got_duck == " bb b "
+    cases = [
+        ("a b a b", "a", "b", "ab ab"),
+        ("b b b b b", "b", "b", "bb bb b"),
+        ("a b c a b", "a", "b", "ab c ab"),
+        ("x", "a", "b", "x"),
+        ("a a a a", "a", "a", "aa aa"),
+    ]
+    for s, l, r, want in cases:
+        got_spark = (
+            spark.range(1)
+            .select(_bpe_merge_fold(F.lit(s), l, r).alias("m"))
+            .collect()[0]["m"]
+        )
+        got_duck = duckdb.sql(
+            f"""SELECT list_reduce(str_split('{s}', ' '),
+              (acc, x) -> CASE
+                WHEN (acc = '{l}' OR ends_with(acc, ' ' || '{l}')) AND x = '{r}'
+                  THEN left(acc, length(acc) - length('{l}')) || '{l}' || '{r}'
+                ELSE acc || ' ' || x END)"""
+        ).fetchone()[0]
+        assert got_spark == got_duck == want, (s, l, r, got_spark, got_duck)

@@ -25,6 +25,12 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.session impor
     get_spark,
 )
 
+#: the build round producing this artifact — bump each round. Stamped
+#: into the payload so the box-normalization block can pick the last
+#: artifact from a DIFFERENT round as its reference (ADVICE r14: a
+#: plain HEAD read self-compares after the round's artifact commit).
+ROUND = 15
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,44 +164,67 @@ def main() -> None:
     # rounds running, cross-round totals needed a MANUAL sentinel
     # normalization narrative in BASELINE.md because the box load
     # differs between rounds. Emit the normalization itself: read the
-    # prior COMMITTED BENCH_LOCAL.json (via git, NOT the working tree —
-    # a discarded same-round run overwrites the file on disk, and
-    # comparing a retry against the discarded run would defeat the
-    # cross-round adjudication), scale this run's common-set total by
-    # the mid-sentinel ratio, and report the per-op median ratio — the
-    # robust "did any plan actually move" statistic (a box-phase change
-    # moves every ratio together; a plan regression moves one op far
-    # off the median). Readers compare
-    # sentinel_normalized_common_total to the emitted
-    # common_total_reference directly.
+    # last COMMITTED BENCH_LOCAL.json produced by a DIFFERENT round
+    # (ADVICE r14: the workflow commits the round's own artifact at
+    # final HEAD, so a plain HEAD read made any later same-round rerun
+    # self-compare — box_factor ~1.0 — and the cross-round adjudication
+    # silently measured nothing; walking the artifact's git history for
+    # the first commit whose producing_round differs restores a true
+    # cross-round reference, and reference_commit in the payload lets
+    # readers spot any residual self-comparison). Scale this run's
+    # common-set total by the mid-sentinel ratio AND by the per-op
+    # median ratio — the robust "did any plan actually move" statistic
+    # (a box-phase change moves every ratio together; a plan regression
+    # moves one op far off the median). BASELINE.md policy: when the
+    # two factors disagree, the MEDIAN is the better box factor (the
+    # sentinel is one op's noise), so median_normalized_common_total is
+    # the primary cross-round figure (VERDICT r14 item 4).
     box_normalization = None
     try:
         import statistics
         import subprocess
 
-        ref = json.loads(
-            subprocess.run(
-                ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+        def _git(*args: str) -> str:
+            return subprocess.run(
+                ["git", "-C", here, *args],
                 capture_output=True,
                 text=True,
                 check=True,
             ).stdout
-        )
-        ref_q = {k: v for k, v in ref.get("queries", {}).items() if v and v > 0}
+
+        ref = None
+        ref_commit = None
+        for commit in _git(
+            "log", "--format=%H", "--", "BENCH_LOCAL.json"
+        ).split():
+            cand = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json"))
+            # pre-r15 artifacts carry no producing_round: any of them is
+            # an earlier round's, so they qualify as references too
+            if cand.get("producing_round") != ROUND:
+                ref, ref_commit = cand, commit
+                break
+        ref_q = {k: v for k, v in (ref or {}).get("queries", {}).items() if v and v > 0}
         common = sorted(k for k, v in timings.items() if v > 0 and k in ref_q)
-        if ref.get("sentinel_mid") and sentinel_mid and common:
+        if ref and ref.get("sentinel_mid") and sentinel_mid and common:
             common_total = sum(timings[k] for k in common)
             common_total_ref = sum(ref_q[k] for k in common)
             box = sentinel_mid / ref["sentinel_mid"]
+            median_ratio = statistics.median(
+                timings[k] / ref_q[k] for k in common
+            )
             box_normalization = {
+                "reference_commit": ref_commit,
+                "reference_round": ref.get("producing_round"),
                 "reference_sentinel_mid": ref["sentinel_mid"],
                 "box_factor_mid": round(box, 4),
                 "n_common": len(common),
                 "common_total_raw": round(common_total, 4),
                 "common_total_reference": round(common_total_ref, 4),
                 "sentinel_normalized_common_total": round(common_total / box, 4),
-                "per_op_median_ratio": round(
-                    statistics.median(timings[k] / ref_q[k] for k in common), 4
+                "per_op_median_ratio": round(median_ratio, 4),
+                # primary cross-round figure (BASELINE.md policy)
+                "median_normalized_common_total": round(
+                    common_total / median_ratio, 4
                 ),
             }
     except Exception as exc:  # pragma: no cover - the block must never
@@ -210,6 +239,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cpus": cpus,
+        "producing_round": ROUND,
         "sentinel_start": sentinel_start,
         "sentinel_mid": sentinel_mid,
         "sentinel_end": _sentinel(),

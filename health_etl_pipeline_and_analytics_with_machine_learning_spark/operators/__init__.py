@@ -27,115 +27,102 @@ from .registry import REGISTRY as _R
 #: slot — no exceptions; (b) the remaining slots go to
 #: OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's latest driver row can
 #: age past ~3 rounds as the rotation cycles.
-#: r13 window recap: the seven r8-stale evictees + the tranche-2
-#: tokenizer burn-down (16 recerts, legacy pair deleted) + the HLL
-#: envelope derivation + the compaction op (new) + the WAV hardening
-#: recerts + similarity_pq_topk (new) + 20 of the r9 cohort — 50/50
-#: green, in pinned order.
+#: r14 window recap: the fourteen r9-stale residents + the composed
+#: IVF-ADC op (new) + the residual IVFADC variant (new) + the PQ
+#: shortlist retune recert + the two store-lifecycle cache-key recerts
+#: + the BPE trainer (new) + 30 of the r10 cohort — 50/50 green, in
+#: pinned order.
 _RECHECK_FIRST = [
-    # r14 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r13 rotation comment and VERDICT r13 item 1:
-    # — staleness tier FIRST (policy b): the fourteen r9 residents
-    #   whose driver rows are the oldest anywhere (staleness 5
-    #   entering r14) — the twelve that slipped the r13 window plus
-    #   merge_upsert_counts and mode_per_group (evicted in r13 to fund
-    #   the similarity_pq_topk slot and the audio_fingerprint_neardup
-    #   recert), alphabetical within the equal-staleness tie —
-    "merge_upsert_counts",
-    "mode_per_group",
-    "pagerank_nation_trade",
-    "path_regex_match",
-    "rolling_correlation",
-    "scd2_dimension_update",
-    "sessionization",
-    "similarity_ivf_topk",
-    "similarity_lsh_bucketed",
-    "skyline_pareto",
-    "source_quantile_normalize",
-    "split_leakage_check",
-    "split_leakage_lsh",
-    "unigram_cross_entropy",
+    # r15 window (EXACTLY 50 ids), per the plan pinned at the end of
+    # the r14 rotation comment and VERDICT r14 item 1:
+    # — staleness tier FIRST (policy b): the twelve r10 residents whose
+    #   driver rows are the oldest anywhere (staleness 5 entering r15)
+    #   — tfidf_top_terms and theil_sen_slope were evicted from the r14
+    #   window to fund the BPE-trainer and residual-IVFADC slots; the
+    #   other ten slipped it — alphabetical within the equal-staleness
+    #   tie —
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    "time_weighted_avg",
+    "token_pmi_topk",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "weighted_sample_topk",
+    "zorder_interleave",
     # — changed-text tier (policy a):
-    #   similarity_ivf_pq_topk is NEW (r14, VERDICT r13 item 2): the
-    #   composed IVF-ADC serve path — coarse cells bound WHICH vectors
-    #   are scored, PQ codes bound WHAT is read per vector, exact
-    #   re-rank refines; both quantizer fits are REUSED byte-identical
-    #   from the certified halves, and the oracle is a CTE merge of the
-    #   two certified chains;
-    #   similarity_pq_topk recertifies for the shared-helper refactor
-    #   (_pq_chains_sql/_pq_slice_proj/_adc_expr/_exact_rerank now
-    #   serve both the flat and the composed op; generated oracle SQL
-    #   verified byte-identical), the ADVICE r13 'triad' wording fix,
-    #   and the shortlist retune (10x -> 20x TOP_K: recall@5
-    #   0.68 -> 0.82, closing VERDICT r13's low-ish-recall residual;
-    #   re-rank cost stays |queries|x shortlist, trivial);
-    #   the two maintained-store ops recertify for the ADVICE r13
-    #   cache-key hardening (the initial-store cache key now folds in
-    #   the LIVE band geometry, so an in-process geometry change
-    #   self-invalidates instead of serving a stale store) —
-    "similarity_ivf_pq_topk",
-    #   similarity_ivf_pq_residual_topk is NEW (r14, second tranche):
-    #   the residual-encoded IVFADC variant — codebooks fit on
-    #   v - centroid[cell] slices, per-(query, probed-cell) query
-    #   residuals, same pinned serve plan; certified with the honest
-    #   measurement that residuals rank WORSE at tight shortlists on
-    #   this isotropic corpus (the machinery, not a recall win, is the
-    #   certified artifact) —
-    "similarity_ivf_pq_residual_topk",
-    "similarity_pq_topk",
-    "streaming_neardup_store_maintenance",
-    "streaming_neardup_store_compaction",
-    #   bpe_train_merges is NEW (r14, third tranche): the full iterated
-    #   BPE tokenizer trainer — N greedy count/argmax/merge rounds over
-    #   the distinct-word table, integer-count determinism (no FP
-    #   pins), padded-symbol-string merge via builtin replace whose
-    #   overlap semantics are pinned identical cross-engine; oracle
-    #   unrolls all rounds as CTEs like the k-means chains —
+    #   bpe_encode_corpus is NEW (r15, VERDICT r14 item 2): the
+    #   trainer's consumer — apply the learned merge table to the
+    #   per-source word table with the identical fold, emit per-source
+    #   token statistics (chars/token compression, tokens/word
+    #   fertility); the rules apply as driver-scale LITERALS, so the
+    #   plan is joinless; oracle = the trainer's CTE chain (shared
+    #   verbatim via _bpe_chain_sql) + an e-chain applying each rule
+    #   with the same fold text —
+    "bpe_encode_corpus",
+    #   bpe_vocab_topk is NEW (r15, second tranche): the learned
+    #   vocabulary artifact — distinct symbols after all merges with
+    #   corpus-weighted occurrence counts and a merge-product flag;
+    #   same joinless literal-fold shape; oracle = the shared trainer
+    #   chain + one unnest/count over its final w{N} table —
+    "bpe_vocab_topk",
+    #   bpe_train_merges recertifies for the r15 impl change (ADVICE
+    #   r14: the per-round localCheckpoint blocks were unreleasable —
+    #   DataFrame.unpersist is a no-op on them, verified empirically —
+    #   so rounds now persist MEMORY_AND_DISK and free the superseded
+    #   round once the next materializes; exactly one round's vocab
+    #   stays cached) and the oracle-chain refactor into _bpe_chain_sql
+    #   (generated SQL verified byte-identical against the r14 HEAD) —
     "bpe_train_merges",
-    # — r10-cohort tier (policy b: oldest-first, alphabetical within
-    #   the equal-staleness tie; 30 of the 42 r10 residents fit the
-    #   remaining slots after the residual-IVFADC and BPE-trainer
-    #   slots) —
-    "abtest_proportions_ztest",
-    "attribution_position_based",
-    "bloom_filter_semi_join",
-    "bootstrap_mean_ci",
-    "chi_square_independence",
-    "column_profile",
-    "cume_dist_price_bands",
-    "encoding_run_stats",
-    "entity_resolution_blocked",
-    "fd_discovery",
-    "gaps_islands_streaks",
-    "grouping_sets_agg",
-    "histogram_fixed_width",
-    "interval_concurrency_peak",
-    "iqr_clip",
-    "km_survival_estimate",
-    "median_fill",
-    "ntile_quartiles",
-    "quantile_profile",
-    "range_interval_window",
-    "rank_auc_mann_whitney",
-    "seasonal_baseline_anomaly",
-    "shannon_entropy_profile",
-    "skew_diagnosis_gini",
-    "snapshot_diff",
-    "source_jsd_pairs",
-    "spearman_rank_corr",
-    "star_join_revenue",
-    "supplier_revenue_rank",
-    "term_frequency_topk",
-    # — r15 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the twelve r10 residents that slipped this window
-    #   (tfidf_top_terms and theil_sen_slope — evicted to fund the
-    #   BPE-trainer and residual-IVFADC slots — plus time_weighted_avg,
-    #   token_pmi_topk, topk_per_group, tpch_q1, tpch_q10, tpch_q13,
-    #   tpch_q14, tpch_q15, weighted_sample_topk, zorder_interleave —
-    #   staleness 5 entering r15, the oldest rows anywhere), then r15
-    #   changed-text, then the 34-op r11 cohort alphabetical with the
-    #   remaining ~34 slots (its tail lands in r16, the same two-round
-    #   drain as the r9 and r10 cohorts).
+    # — r11-cohort tier (policy b: oldest-first; all 34 r11 residents
+    #   fit this window, alphabetical within the equal-staleness tie) —
+    "anti_join_inactive_customers",
+    "approx_distinct_bound",
+    "approx_quantile_bound",
+    "basket_concentration_hhi",
+    "brand_revenue_share",
+    "cube_status_priority",
+    "doc_chunk_explode",
+    "embedding_int8_quantize",
+    "embedding_neardup_topk",
+    "filter_group_avg_topk",
+    "group_sum2_unpivot",
+    "hash_train_test_split",
+    "mixture_resample",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "percent_rank_band",
+    "pii_scrub_digits",
+    "range_band_join",
+    "regr_linear_fit",
+    "rfm_segments",
+    "rollup_status_priority",
+    "shard_assignment_balance",
+    "similarity_bruteforce_topk",
+    "source_mixture_weights",
+    "streaming_cdc_compaction",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    # — r12-cohort head (policy b: the one remaining slot goes to the
+    #   alphabetical head of the 46-op r12 cohort, the next-oldest
+    #   rows) —
+    "asof_join_attribution",
+    # — r16 window plan (pinned now so the rotation stays mechanical):
+    #   FIRST the 45 remaining r12 residents (staleness 4 entering r16,
+    #   the oldest rows anywhere once this window lands, starting at
+    #   cohort_retention), then r16 changed-text, then the r13 cohort
+    #   alphabetical with whatever slots remain — the same two-round
+    #   cohort drain as r9/r10/r11.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

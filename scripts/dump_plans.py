@@ -93,6 +93,14 @@ SHOWCASE = {
         "array, adding ZERO joins; codebooks fit on residual slices, one "
         "query residual per probed cell."
     ),
+    "bpe_encode_corpus": (
+        "The BPE trainer's consumer (r15): the learned merge rules apply as "
+        "LITERALS folded into one codegen'd expression chain — ZERO joins "
+        "(the rule table is a driver-scale artifact, like the k-means "
+        "centroid literals); one corpus scan pruned to 2 of the documents "
+        "columns, one hash-agg shuffle into per-source type space, then the "
+        "six merge folds fuse into the final aggregate's projection."
+    ),
     "two_level_agg": (
         "Avg-of-avgs re-aggregation: the second groupBy consumes the first's "
         "tiny output — partial aggregation on both levels."
@@ -276,7 +284,42 @@ def _neardup_compaction_rewrite(spark):
     return spark.read.schema(_STORE_BANDS_SCHEMA).parquet(store_dir).distinct()
 
 
+def _bpe_train_round(spark):
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    cur = (
+        T._word_freq(spark, SF)
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur.count()
+    return T._bpe_round_pairs(cur)
+
+
 EXTRA_SHOWCASE = {
+    "bpe_train_merges (one training round's pair-count statistic)": (
+        (
+            "What each of the trainer's greedy rounds executes over the "
+            "CACHED vocab table (the trainer op itself returns the "
+            "driver-scale merge table, so the scale story lives here): a "
+            "narrow codegen'd adjacent-pair explode and ONE (l, r)-keyed "
+            "partial-aggregated count shuffle — shuffle volume is |distinct "
+            "pairs|, not |vocab|. The InMemoryRelation's embedded build plan "
+            "is the ONE-TIME occurrence→type-space collapse (the only "
+            "corpus-sized shuffle in the whole training run); after round 0 "
+            "no round ever re-touches the corpus, and exactly one round's "
+            "vocab is cached at a time (the superseded round unpersists once "
+            "its successor materializes)."
+        ),
+        _bpe_train_round,
+    ),
     "streaming_neardup_probe (per-micro-batch probe join)": (
         (
             "The incremental near-dup shape each foreachBatch micro-batch "

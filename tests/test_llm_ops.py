@@ -1742,6 +1742,10 @@ def test_bpe_train_merges_properties_and_determinism(spark):
         assert r.merged == r.merge_left + r.merge_right
         assert r.pair_count > 0
         assert " " not in r.merged  # symbols never contain the separator
+    # determinism from a COLD rules cache: pop the memoized rules so
+    # the repeat run re-derives all training rounds, not trivially
+    # re-reads them (same discipline as the PQ fit-cache pop below)
+    T._BPE_RULES_CACHE.pop((SF_CORRECT, T._BPE_MERGES), None)
     again = T.bpe_train_merges(spark, SF_CORRECT).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
     # greedy invariant for round 1 against the independently-certified
@@ -1749,6 +1753,93 @@ def test_bpe_train_merges_properties_and_determinism(spark):
     # pair (same word table, same weighting)
     top = T.bpe_pair_counts(spark, SF_CORRECT).limit(1).collect()[0]
     assert top.pair == rows[0].merged and top.n_pairs == rows[0].pair_count
+
+
+def test_bpe_encode_corpus_properties_losslessness_and_rule_sharing(spark):
+    """The trainer's consumer (r15): per-source stats must satisfy the
+    tokenizer identities — every word encodes to ≥1 and ≤len(word)
+    tokens, so n_words ≤ total_tokens ≤ total_chars and
+    n_word_types ≥ 1 — the corpus must actually compress (six merges
+    over a natural-language corpus strictly reduce global token count
+    vs the char-level baseline), the encoding must be LOSSLESS at the
+    vocab level (concatenating a word's final symbols reproduces the
+    word — merges regroup characters, never rewrite them), and the op
+    must consume the EXACT rules the certified trainer learned: after
+    popping the shared rules cache, a cold re-encode is identical."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+    from pyspark.sql import functions as F
+
+    stats = T.bpe_encode_corpus(spark, SF_CORRECT).collect()
+    assert stats and [r.source for r in stats] == sorted(r.source for r in stats)
+    for r in stats:
+        assert 1 <= r.n_word_types <= r.n_words
+        assert r.n_words <= r.total_tokens <= r.total_chars
+        assert abs(r.chars_per_token - r.total_chars / r.total_tokens) < 1e-3
+        assert abs(r.tokens_per_word - r.total_tokens / r.n_words) < 1e-3
+    assert sum(r.total_tokens for r in stats) < sum(r.total_chars for r in stats)
+
+    # losslessness: apply the learned rules to the full vocab and check
+    # the symbols concatenate back to every original word
+    rules = T._bpe_train_rules(spark, SF_CORRECT)
+    assert len(rules) == T._BPE_MERGES
+    enc = T._word_freq(spark, SF_CORRECT).select(
+        "w", F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s")
+    )
+    for _step, l, r, _merged, _cnt in rules:
+        enc = enc.select("w", T._bpe_merge_fold(F.col("s"), l, r).alias("s"))
+    bad = enc.filter(
+        (F.replace(F.col("s"), F.lit(" "), F.lit("")) != F.col("w"))
+        | (F.size(F.split("s", " ")) > F.length("w"))
+        | (F.size(F.split("s", " ")) < 1)
+    ).count()
+    assert bad == 0
+
+    # rule sharing: a cold cache must re-derive the identical encoding
+    T._BPE_RULES_CACHE.pop((SF_CORRECT, T._BPE_MERGES), None)
+    again = T.bpe_encode_corpus(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in stats]
+
+
+def test_bpe_vocab_topk_flags_and_token_mass_consistency(spark):
+    """The learned-vocabulary artifact (r15): the merge-product flag
+    must agree exactly with the trainer's merge table (a flagged
+    symbol IS a learned merge's product; an unflagged one is a
+    surviving single character), and the vocabulary's total token mass
+    must equal the encoder's — Σ n_occurrences over the FULL vocab ==
+    Σ total_tokens over sources (both count every symbol occurrence of
+    the merged corpus once; the global word table is the per-source
+    one rolled up)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+    from pyspark.sql import functions as F
+
+    vocab = T.bpe_vocab_topk(spark, SF_CORRECT).collect()
+    rules = T._bpe_train_rules(spark, SF_CORRECT)
+    merged = {m for _s, _l, _r, m, _c in rules}
+    assert vocab
+    for r in vocab:
+        assert r.n_occurrences > 0
+        assert r.is_merge_product == (r.symbol in merged)
+        if not r.is_merge_product:
+            assert len(r.symbol) == 1  # unmerged symbols are single chars
+
+    # token-mass identity, computed over the UNLIMITED vocab (the op
+    # itself reports a top-k slice)
+    enc = T._word_freq(spark, SF_CORRECT).select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+    )
+    for _step, l, r, _m, _c in rules:
+        enc = enc.select(T._bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn")
+    vocab_mass = enc.select(
+        F.sum(F.size(F.split("s", " ")) * F.col("wn")).alias("m")
+    ).collect()[0]["m"]
+    encode_mass = sum(
+        r.total_tokens for r in T.bpe_encode_corpus(spark, SF_CORRECT).collect()
+    )
+    assert vocab_mass == encode_mass
 
 
 def test_bpe_merge_fold_is_canonical_and_cross_engine_identical(spark):

@@ -968,9 +968,14 @@ def test_ivf_pq_topk_plan_is_cell_pruned_hash_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    # exactly three: ADC-on-cell + the refine's two point-lookups
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
-    # the ADC join keys on the coarse cell (the pruning key), not vec_id
+    # ≥1 broadcast hash join KEYED ON THE COARSE CELL (the pruning
+    # key, not vec_id) — the load-bearing property. ADVICE r14: the
+    # original exact-count pin (== 3: ADC + the refine's two
+    # point-lookups) was brittle against harmless plan-text drift
+    # across Spark/AQE versions; the negatives above plus the cell key
+    # catch every real regression (a BNLJ/cartesian/shuffle sneak-in,
+    # or the ADC scan losing its membership bound).
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 1
     assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan
 
 
@@ -1041,5 +1046,88 @@ def test_ivf_pq_residual_plan_matches_composed_serve_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    # ≥1 cell-keyed broadcast hash join (ADVICE r14: exact-count pin
+    # loosened — see the composed-op test above for the rationale)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 1
     assert re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan
+
+
+def test_bpe_train_round_plan_is_single_shuffle_over_cached_vocab(spark):
+    """r15 BPE-trainer plan pin (VERDICT r14 item 3): each training
+    round's pair-count statistic must be (a) ONE partial-aggregated
+    count shuffle — the map-side combine is what keeps shuffle volume
+    at |distinct pairs|, not |vocab| — and (b) computed over the CACHED
+    vocab table, never a corpus re-scan: after round 0 the corpus
+    parquet must not appear in any round's plan (the occurrence→
+    type-space collapse happens exactly once)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    cur = (
+        T._word_freq(spark, SF_SMOKE)
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        cur.count()  # materialize round 0, as _bpe_train_rules does
+        round_stat = T._bpe_round_pairs(cur)
+        assert "sum" in partial_agg_functions(round_stat)
+        assert join_strategies(round_stat) == []
+        plan = formatted_plan(round_stat)
+        # the explain text embeds the cached relation's ONE-TIME build
+        # plan (where the corpus scan and its exchange legitimately
+        # live) — the round's own work is everything above it
+        own, sep, _cached_build = plan.partition("InMemoryRelation")
+        assert sep, plan
+        assert "InMemoryTableScan" in own  # reads the cached vocab…
+        assert "Scan parquet" not in own  # …never the corpus again
+        assert own.count("Exchange") == 1  # ONE count shuffle per round
+    finally:
+        cur.unpersist()
+
+
+def test_bpe_encode_corpus_plan_is_joinless_literal_fold(spark):
+    """r15 encoder plan pin: the learned merge rules apply as LITERALS
+    folded into one codegen'd expression chain — the plan has ZERO
+    joins of any strategy (the rule table is a driver-scale artifact,
+    like the k-means centroid literals), exactly one corpus scan
+    pruned to the two consumed columns, and three exchanges total:
+    the per-source word hash-agg (the only corpus-sized shuffle), the
+    tiny per-source stats agg, and the final sort."""
+    import re
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    df = T.bpe_encode_corpus(spark, SF_SMOKE)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) == 3
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    (cols,) = read_schemas(df)
+    assert sorted(cols) == ["source", "text"]
+
+
+def test_bpe_vocab_topk_plan_is_joinless_topk(spark):
+    """r15 vocab-artifact plan pin: same discipline as the encoder —
+    rules as literals (zero joins), one pruned corpus scan, and the
+    top-k compiles to TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a global sort exchange."""
+    import re
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    df = T.bpe_vocab_topk(spark, SF_SMOKE)
+    assert join_strategies(df) == []
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_exchanges(df) == 2  # word hash-agg + symbol hash-agg

@@ -3,11 +3,11 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-14
+verification contract, not cosmetics. These tests pin the round-15
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
-first — with the fourteen staleness-5 r9 residents hoisted to the very
-head this round per VERDICT r13 item 1.
+first — with the twelve staleness-5 r10 residents hoisted to the very
+head this round per VERDICT r14 item 1.
 
 Rotation history (which green residents fund which new slots) lives in
 the comment block of ``operators/__init__.py:_RECHECK_FIRST``.
@@ -22,107 +22,103 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: staleness tier — the fourteen r9-cohort residents whose r9 driver
+#: staleness tier — the twelve r10-cohort residents whose r10 driver
 #: rows are the oldest certifications anywhere (staleness 5 entering
-#: r14): the twelve that slipped the r13 window plus the two evicted
-#: in r13 to fund the similarity_pq_topk slot and the
-#: audio_fingerprint_neardup recert. They lead the window, ahead even
-#: of the changed tier.
-ROUND14_STALE_IDS = [
-    "merge_upsert_counts",
-    "mode_per_group",
-    "pagerank_nation_trade",
-    "path_regex_match",
-    "rolling_correlation",
-    "scd2_dimension_update",
-    "sessionization",
-    "similarity_ivf_topk",
-    "similarity_lsh_bucketed",
-    "skyline_pareto",
-    "source_quantile_normalize",
-    "split_leakage_check",
-    "split_leakage_lsh",
-    "unigram_cross_entropy",
+#: r15): tfidf_top_terms and theil_sen_slope were evicted from the r14
+#: window to fund the BPE-trainer and residual-IVFADC slots; the other
+#: ten slipped it. They lead the window, ahead even of the changed
+#: tier.
+ROUND15_STALE_IDS = [
+    "tfidf_top_terms",
+    "theil_sen_slope",
+    "time_weighted_avg",
+    "token_pmi_topk",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "weighted_sample_topk",
+    "zorder_interleave",
 ]
 
 #: changed-text tier — fresh driver rows REQUIRED.
-ROUND14_CHANGED_IDS = [
-    # NEW this round (VERDICT r13 item 2): the composed IVF-ADC ANN
-    # serve path — coarse cells bound WHICH vectors are scored, PQ
-    # codes bound WHAT is read per scored vector, exact re-rank
-    # refines the shortlist; both quantizer fits REUSED byte-identical
-    # from the certified halves (shared fit cache), oracle = CTE merge
-    # of the two certified chains
-    "similarity_ivf_pq_topk",
-    # NEW (r14, second tranche): the residual-encoded IVFADC variant —
-    # codebooks fit on v - centroid[cell] residual slices, one query
-    # residual per probed cell, same pinned serve plan; certifies the
-    # residual machinery (the docstring records the honest negative
-    # recall result on this isotropic corpus)
-    "similarity_ivf_pq_residual_topk",
-    # shared-helper refactor (_pq_chains_sql/_pq_slice_proj/_adc_expr/
-    # _exact_rerank now serve both the flat and composed ops; the
-    # generated oracle SQL was verified byte-identical), the ADVICE
-    # r13 'triad' docstring fix, and the shortlist retune (20x TOP_K:
-    # recall@5 0.68 -> 0.82)
-    "similarity_pq_topk",
-    # ADVICE r13 cache-key hardening: the initial-store cache key now
-    # folds in the LIVE band geometry (dedup._SIMHASH_BANDS/_BAND_BITS
-    # read at call time), so an in-process geometry change
-    # self-invalidates the cached store — both store-lifecycle ops
-    # recertify
-    "streaming_neardup_store_maintenance",
-    "streaming_neardup_store_compaction",
-    # NEW (r14, third tranche): the iterated BPE tokenizer trainer —
-    # N greedy count/argmax/merge rounds, integer-count determinism,
-    # cross-engine-pinned replace overlap semantics, unrolled-CTE
-    # oracle like the k-means chains
+ROUND15_CHANGED_IDS = [
+    # NEW this round (VERDICT r14 item 2): the BPE trainer's consumer —
+    # apply the learned merge table to the per-source word table with
+    # the identical fold (rules as driver-scale LITERALS, joinless
+    # plan), emit per-source token statistics; oracle = the trainer's
+    # CTE chain shared verbatim + an e-chain applying each rule
+    "bpe_encode_corpus",
+    # NEW (r15, second tranche): the learned vocabulary artifact —
+    # distinct symbols after all merges, corpus-weighted counts,
+    # merge-product flag; same joinless literal-fold shape
+    "bpe_vocab_topk",
+    # recert for the r15 impl change (ADVICE r14: per-round
+    # localCheckpoint blocks were unreleasable — DataFrame.unpersist is
+    # a no-op on them — so rounds now persist MEMORY_AND_DISK and free
+    # the superseded round; exactly one round's vocab stays cached) and
+    # the oracle-chain refactor into _bpe_chain_sql (generated SQL
+    # verified byte-identical against the r14 HEAD)
     "bpe_train_merges",
 ]
 
-#: oldest-first refresh: 30 of the 42 r10-cohort residents (staleness
-#: 4 entering r14), alphabetical. The twelve that do not fit
-#: (tfidf_top_terms and theil_sen_slope — evicted to fund the
-#: BPE-trainer and residual-IVFADC slots — plus time_weighted_avg ..
-#: zorder_interleave) slip to lead the r15 window — the plan is
-#: pinned in the _RECHECK_FIRST rotation comment.
-ROUND14_R10_COHORT_IDS = [
-    "abtest_proportions_ztest",
-    "attribution_position_based",
-    "bloom_filter_semi_join",
-    "bootstrap_mean_ci",
-    "chi_square_independence",
-    "column_profile",
-    "cume_dist_price_bands",
-    "encoding_run_stats",
-    "entity_resolution_blocked",
-    "fd_discovery",
-    "gaps_islands_streaks",
-    "grouping_sets_agg",
-    "histogram_fixed_width",
-    "interval_concurrency_peak",
-    "iqr_clip",
-    "km_survival_estimate",
-    "median_fill",
-    "ntile_quartiles",
-    "quantile_profile",
-    "range_interval_window",
-    "rank_auc_mann_whitney",
-    "seasonal_baseline_anomaly",
-    "shannon_entropy_profile",
-    "skew_diagnosis_gini",
-    "snapshot_diff",
-    "source_jsd_pairs",
-    "spearman_rank_corr",
-    "star_join_revenue",
-    "supplier_revenue_rank",
-    "term_frequency_topk",
+#: oldest-first refresh: ALL 34 r11-cohort residents (staleness 4
+#: entering r15) fit this window, alphabetical.
+ROUND15_R11_COHORT_IDS = [
+    "anti_join_inactive_customers",
+    "approx_distinct_bound",
+    "approx_quantile_bound",
+    "basket_concentration_hhi",
+    "brand_revenue_share",
+    "cube_status_priority",
+    "doc_chunk_explode",
+    "embedding_int8_quantize",
+    "embedding_neardup_topk",
+    "filter_group_avg_topk",
+    "group_sum2_unpivot",
+    "hash_train_test_split",
+    "mixture_resample",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "percent_rank_band",
+    "pii_scrub_digits",
+    "range_band_join",
+    "regr_linear_fit",
+    "rfm_segments",
+    "rollup_status_priority",
+    "shard_assignment_balance",
+    "similarity_bruteforce_topk",
+    "source_mixture_weights",
+    "streaming_cdc_compaction",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+]
+
+#: the one remaining slot: the alphabetical head of the 46-op r12
+#: cohort (the next-oldest rows); the other 45 lead the r16 window per
+#: the pinned plan.
+ROUND15_R12_COHORT_HEAD_IDS = [
+    "asof_join_attribution",
 ]
 
 
-def test_r14_window_is_exactly_the_planned_fifty():
+def test_r15_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = ROUND14_STALE_IDS + ROUND14_CHANGED_IDS + ROUND14_R10_COHORT_IDS
+    planned = (
+        ROUND15_STALE_IDS
+        + ROUND15_CHANGED_IDS
+        + ROUND15_R11_COHORT_IDS
+        + ROUND15_R12_COHORT_HEAD_IDS
+    )
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
@@ -136,9 +132,9 @@ def test_recheck_list_fits_the_window():
     assert len(ops._RECHECK_FIRST) <= WINDOW
 
 
-def test_no_registry_entry_left_unchecked_after_r14():
-    """Every registry id either has a driver row from r1–r13 or sits in
-    the r14 window — no op can reach the judge without certification."""
+def test_no_registry_entry_left_unchecked_after_r15():
+    """Every registry id either has a driver row from r1–r14 or sits in
+    the r15 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -148,14 +144,15 @@ def test_no_registry_entry_left_unchecked_after_r14():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r14 slot: {never}"
+    assert not never, f"ids with no driver row and no r15 slot: {never}"
 
 
-def test_r14_window_covers_every_pre_r10_certification():
-    """The oldest-first policy invariant: after r14 lands green, no
-    op's latest driver certification is older than round 10 (the
-    twelve r10 residents that slipped this window keep their r10 rows
-    and lead the r15 window per the pinned plan)."""
+def test_r15_window_covers_every_pre_r11_certification():
+    """The oldest-first policy invariant: after r15 lands green, no
+    op's latest driver certification is older than round 11 — and
+    since the full r11 cohort also fits this window, none older than
+    round 12 (the 44 r12 residents outside the window keep their r12
+    rows and lead the r16 window per the pinned plan)."""
     import glob
     import json
     import os
@@ -166,8 +163,8 @@ def test_r14_window_covers_every_pre_r10_certification():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    stale = [n for n in REGISTRY if latest.get(n, 0) <= 9 and n not in prefix]
-    assert not stale, f"pre-r10 certifications left outside the r14 window: {stale}"
+    stale = [n for n in REGISTRY if latest.get(n, 0) <= 11 and n not in prefix]
+    assert not stale, f"pre-r12 certifications left outside the r15 window: {stale}"
 
 
 def test_recheck_ids_lead_the_registry():

@@ -197,7 +197,14 @@ def main() -> None:
         for commit in _git(
             "log", "--format=%H", "--", "BENCH_LOCAL.json"
         ).split():
-            cand = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json"))
+            try:
+                cand = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json"))
+            except Exception:
+                # a commit that deleted/renamed the artifact, or a
+                # truncated blob (BENCH_r05 was clipped by the harness
+                # once), must not abort the whole walk — skip to the
+                # next candidate (r15 review)
+                continue
             # pre-r15 artifacts carry no producing_round: any of them is
             # an earlier round's, so they qualify as references too
             if cand.get("producing_round") != ROUND:

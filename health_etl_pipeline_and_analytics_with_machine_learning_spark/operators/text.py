@@ -803,6 +803,19 @@ def _bpe_merge_fold(s, l: str, r: str):
     )
 
 
+#: the char→symbol-string "symbolize" step ('word' → 'w o r d') as ONE
+#: cross-engine pair — the r15 review found seven inline copies (three
+#: in this module, one in dump_plans, two in tests, plus the two oracle
+#: CTEs), the exact drift class :func:`_word_freq_cte` was factored to
+#: close in r14. Edit here, never inline.
+_BPE_SYMBOLIZE_SQL = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+
+
+def _bpe_symbolize(col):
+    """Spark twin of :data:`_BPE_SYMBOLIZE_SQL`."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
 #: DuckDB twin of :func:`_bpe_merge_fold` — interpolated into every
 #: oracle CTE that applies a learned merge (the trainer's w-chain and
 #: the encoder's e-chain read the IDENTICAL fold text, so their merge
@@ -817,16 +830,29 @@ _BPE_MERGE_FOLD_SQL = """list_reduce(str_split(s, ' '),
 
 
 def _bpe_chain_sql(words: str) -> str:
-    """The trainer's count→argmax→merge CTE chain (w0 … w{_BPE_MERGES-1},
-    p_t, b_t) over the word-frequency CTE named ``words`` — ONE textual
-    statement of the learned-rules contract shared by the trainer oracle
-    (:func:`_bpe_train_oracle_sql`) and the encoder oracle
-    (``bpe_encode_corpus``), so both engines' rule tables b1…bN are
-    provably the same derivation. Emitted WITHOUT the leading ``WITH``
-    so callers can prepend their own CTEs."""
+    """The trainer's count→argmax→merge CTE chain (w0 … w{_BPE_MERGES},
+    p_t, b_t — the final w applies ALL learned merges; the vocab oracle
+    reads it) over the word-frequency CTE named ``words`` — ONE textual
+    statement of the learned-rules contract shared by the trainer,
+    encoder, and vocabulary oracles, so every engine's rule tables
+    b1…bN are provably the same derivation. Emitted WITHOUT the leading
+    ``WITH`` so callers can prepend their own CTEs.
+
+    Each round's merge is a LEFT JOIN against the (≤1-row) rule table
+    with an identity fallback: when a round learns NO rule (pair counts
+    exhaust before {_BPE_MERGES} rounds — every word already a single
+    symbol), ``b_t`` is empty and ``w_t`` must carry ``w_(t-1)`` forward
+    unchanged, exactly as the Spark loop's early ``break`` leaves the
+    remaining rounds unapplied. The r15 review caught the original
+    CROSS-join form emptying every downstream CTE on such corpora —
+    the trainer's b-union happened to agree, but the vocab/encoder
+    oracles read the final w/e table and returned 0 rows where Spark
+    returned real data (pinned by
+    tests/test_llm_ops.py::test_bpe_oracles_survive_merge_exhaustion).
+    """
     parts = [
         f"""
-    w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, wn
+    w0 AS (SELECT {_BPE_SYMBOLIZE_SQL} AS s, wn
            FROM {words})"""
     ]
     for t in range(1, _BPE_MERGES + 1):
@@ -840,8 +866,9 @@ def _bpe_chain_sql(words: str) -> str:
         FROM w{t - 1})
       GROUP BY l, r),
     b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
-    w{t} AS (SELECT {_BPE_MERGE_FOLD_SQL} AS s, wn
-             FROM w{t - 1}, b{t} b)"""
+    w{t} AS (SELECT CASE WHEN b.l IS NULL THEN s
+                         ELSE {_BPE_MERGE_FOLD_SQL} END AS s, wn
+             FROM w{t - 1} LEFT JOIN b{t} b ON TRUE)"""
         )
     return "".join(parts)
 
@@ -936,32 +963,39 @@ def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
         return _BPE_RULES_CACHE[key]
     cur = (
         _word_freq(spark, sf_dir)
-        .select(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
-        )
+        .select(_bpe_symbolize(F.col("w")).alias("s"), "wn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cur.count()  # materialize round 0 before the loop reads it twice
     rules: list[tuple] = []
-    for step in range(1, _BPE_MERGES + 1):
-        best = (
-            _bpe_round_pairs(cur)
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-        rules.append((step, l, r, l + r, cnt))
-        if step < _BPE_MERGES:  # the final round's merge is never read
-            prev = cur
-            cur = prev.select(
-                _bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn"
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            cur.count()  # materialize THROUGH prev's cache…
-            prev.unpersist()  # …then free the superseded round
-    cur.unpersist()  # the last round's vocab is never read again
+    # try/finally so a mid-training failure (task loss, interrupt)
+    # can't strand this round's blocks for the session — the leak class
+    # this function exists to prevent (r15 review)
+    try:
+        cur.count()  # materialize round 0 before the loop reads it twice
+        for step in range(1, _BPE_MERGES + 1):
+            best = (
+                _bpe_round_pairs(cur)
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+            rules.append((step, l, r, l + r, cnt))
+            if step < _BPE_MERGES:  # the final round's merge is never read
+                nxt = cur.select(
+                    _bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn"
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    nxt.count()  # materialize THROUGH cur's cache…
+                except BaseException:
+                    nxt.unpersist()  # …freeing BOTH on failure (cur
+                    raise  # is released by the outer finally)
+                cur.unpersist()  # …then free the superseded round
+                cur = nxt
+    finally:
+        cur.unpersist()  # the live round's vocab is never read again
     _BPE_RULES_CACHE[key] = rules
     return rules
 
@@ -1056,7 +1090,7 @@ def bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _bpe_train_rules(spark, sf_dir)
     merged = sorted({m for _s, _l, _r, m, _c in rules})
     enc = _word_freq(spark, sf_dir).select(
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+        _bpe_symbolize(F.col("w")).alias("s"), "wn"
     )
     for _step, l, r, _merged, _cnt in rules:
         enc = enc.select(_bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn")
@@ -1117,15 +1151,16 @@ def _bpe_encode_oracle_sql() -> str:
         f"""
     WITH {_src_word_freq_cte("src_words")},
     words AS (SELECT w, SUM(wn) AS wn FROM src_words GROUP BY w),{_bpe_chain_sql("words")},
-    e0 AS (SELECT source, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+    e0 AS (SELECT source, {_BPE_SYMBOLIZE_SQL} AS s,
                   length(w) AS ch, wn
            FROM src_words)"""
     ]
     for t in range(1, _BPE_MERGES + 1):
         parts.append(
             f""",
-    e{t} AS (SELECT source, {_BPE_MERGE_FOLD_SQL} AS s, ch, wn
-             FROM e{t - 1}, b{t} b)"""
+    e{t} AS (SELECT source, CASE WHEN b.l IS NULL THEN s
+                                 ELSE {_BPE_MERGE_FOLD_SQL} END AS s, ch, wn
+             FROM e{t - 1} LEFT JOIN b{t} b ON TRUE)"""
         )
     parts.append(
         f"""
@@ -1175,7 +1210,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _bpe_train_rules(spark, sf_dir)
     enc = _src_word_freq(spark, sf_dir).select(
         "source",
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+        _bpe_symbolize(F.col("w")).alias("s"),
         F.length("w").alias("ch"),
         "wn",
     )

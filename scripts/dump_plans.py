@@ -294,12 +294,13 @@ def _bpe_train_round(spark):
 
     cur = (
         T._word_freq(spark, SF)
-        .select(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
-        )
+        .select(T._bpe_symbolize(F.col("w")).alias("s"), "wn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cur.count()
+    # main() clearCache()s after the showcase loop — the persist here
+    # exists only so the captured plan shows the materialized
+    # InMemoryRelation a real training round reads
     return T._bpe_round_pairs(cur)
 
 
@@ -383,6 +384,7 @@ def main() -> None:
     for name, (blurb, builder) in EXTRA_SHOWCASE.items():
         df = builder(spark)
         out += [f"## {name}", "", blurb, "", "```", formatted_plan(df).rstrip(), "```", ""]
+    spark.catalog.clearCache()  # builders may persist (r15 review)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))

@@ -1785,7 +1785,7 @@ def test_bpe_encode_corpus_properties_losslessness_and_rule_sharing(spark):
     rules = T._bpe_train_rules(spark, SF_CORRECT)
     assert len(rules) == T._BPE_MERGES
     enc = T._word_freq(spark, SF_CORRECT).select(
-        "w", F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s")
+        "w", T._bpe_symbolize(F.col("w")).alias("s")
     )
     for _step, l, r, _merged, _cnt in rules:
         enc = enc.select("w", T._bpe_merge_fold(F.col("s"), l, r).alias("s"))
@@ -1829,7 +1829,7 @@ def test_bpe_vocab_topk_flags_and_token_mass_consistency(spark):
     # token-mass identity, computed over the UNLIMITED vocab (the op
     # itself reports a top-k slice)
     enc = T._word_freq(spark, SF_CORRECT).select(
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
+        T._bpe_symbolize(F.col("w")).alias("s"), "wn"
     )
     for _step, l, r, _m, _c in rules:
         enc = enc.select(T._bpe_merge_fold(F.col("s"), l, r).alias("s"), "wn")
@@ -1840,6 +1840,62 @@ def test_bpe_vocab_topk_flags_and_token_mass_consistency(spark):
         r.total_tokens for r in T.bpe_encode_corpus(spark, SF_CORRECT).collect()
     )
     assert vocab_mass == encode_mass
+
+
+def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
+    """r15 review regression: on a corpus whose pair counts exhaust
+    before {_BPE_MERGES} rounds (here: one two-char word — after 'ab'
+    merges, every word is a single symbol and no pair remains), the
+    Spark loop breaks early and the remaining rounds are identity. The
+    oracles' CTE chain must carry the word tables FORWARD through the
+    ruleless rounds (LEFT JOIN + identity fallback) — the original
+    CROSS-join form emptied every downstream CTE, so the vocab and
+    encoder oracles returned 0 rows where Spark returned real data.
+    All three ops must agree with their oracles on such a corpus."""
+    import duckdb
+    import pandas as pd
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    sf_dir = str(tmp_path / "sf_degenerate")
+    (tmp_path / "sf_degenerate").mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["ab"] * 5,
+            "lang": ["en"] * 5,
+            "source": ["s1", "s1", "s1", "s2", "s2"],
+            "n_chars": [2] * 5,
+        }
+    )
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        for op in (T.bpe_train_merges, T.bpe_vocab_topk, T.bpe_encode_corpus):
+            name = op.__name__
+            s_rows = sorted(map(tuple, op(spark, sf_dir).collect()), key=repr)
+            o_rows = sorted(
+                map(tuple, con.execute(REGISTRY[name].oracle).fetchall()),
+                key=repr,
+            )
+            assert s_rows, f"{name}: Spark returned nothing"
+            assert len(s_rows) == len(o_rows), (name, s_rows, o_rows)
+            for a, b in zip(s_rows, o_rows):
+                norm = lambda v: round(v, 6) if isinstance(v, float) else v
+                assert tuple(map(norm, a)) == tuple(map(norm, b)), (name, a, b)
+        # the trainer really did exhaust: exactly one rule was learnable
+        assert len(T._bpe_train_rules(spark, sf_dir)) == 1
+    finally:
+        T._BPE_RULES_CACHE.pop((sf_dir, T._BPE_MERGES), None)
 
 
 def test_bpe_merge_fold_is_canonical_and_cross_engine_identical(spark):

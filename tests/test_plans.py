@@ -1068,9 +1068,7 @@ def test_bpe_train_round_plan_is_single_shuffle_over_cached_vocab(spark):
 
     cur = (
         T._word_freq(spark, SF_SMOKE)
-        .select(
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "wn"
-        )
+        .select(T._bpe_symbolize(F.col("w")).alias("s"), "wn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:

@@ -77,6 +77,18 @@ _RECHECK_FIRST = [
     #   stays cached) and the oracle-chain refactor into _bpe_chain_sql
     #   (generated SQL verified byte-identical against the r14 HEAD) —
     "bpe_train_merges",
+    #   perplexity_tercile_split is NEW (r15, third tranche): the
+    #   CCNet-style curation action — per-source head/middle/tail
+    #   tercile split on unigram-LM cross-entropy; value-based
+    #   thresholds selected from a per-source HISTOGRAM of rounded
+    #   scores (no per-source doc sort), broadcast back; oracle
+    #   replays LM + grid + histogram + threshold selection as CTEs —
+    "perplexity_tercile_split",
+    #   unigram_cross_entropy recertifies for the r15 impl refactor
+    #   (its per-doc scoring now flows through the shared
+    #   _unigram_xent_per_doc helper the tercile op consumes; oracle
+    #   SQL verified byte-identical against the r14 HEAD) —
+    "unigram_cross_entropy",
     # — r11-cohort tier (policy b: oldest-first; all 34 r11 residents
     #   fit this window, alphabetical within the equal-staleness tie) —
     "anti_join_inactive_customers",
@@ -112,16 +124,13 @@ _RECHECK_FIRST = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
-    "tpch_q8",
-    # — r12-cohort head (policy b: the one remaining slot goes to the
-    #   alphabetical head of the 46-op r12 cohort, the next-oldest
-    #   rows) —
-    "asof_join_attribution",
     # — r16 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the 45 remaining r12 residents (staleness 4 entering r16,
-    #   the oldest rows anywhere once this window lands, starting at
-    #   cohort_retention), then r16 changed-text, then the r13 cohort
-    #   alphabetical with whatever slots remain — the same two-round
+    #   FIRST tpch_q8 (the one r11 resident evicted to fund the
+    #   perplexity-tercile and unigram-recert slots — staleness 5
+    #   entering r16, the oldest row anywhere), then the full 46-op
+    #   r12 cohort alphabetical (staleness 4 entering r16, starting at
+    #   asof_join_attribution), then r16 changed-text with whatever
+    #   slots remain, then the r13 cohort head — the same two-round
     #   cohort drain as r9/r10/r11.
 ]
 

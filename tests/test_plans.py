@@ -1129,3 +1129,34 @@ def test_bpe_vocab_topk_plan_is_joinless_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert count_exchanges(df) == 2  # word hash-agg + symbol hash-agg
+
+
+def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
+    """r15 curation-split plan pin: the LM applies to the token stream
+    as a broadcast hash join (vocab-bounded), the per-source threshold
+    table applies back as a broadcast hash join (sources-bounded), and
+    there is NO per-source sort of documents anywhere — the only
+    window runs over the (source, rounded-score) HISTOGRAM. No
+    cartesian/BNLJ; the corpus scan reads only the consumed columns."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    df = T.perplexity_tercile_split(spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "SortMergeJoin" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies  # the threshold join-back
+    plan = formatted_plan(df)
+    assert "Window" in plan  # the histogram running count
+    # the corpus pipeline ran exactly once, behind the histogram
+    # checkpoint — the serve plan reads the materialized histogram,
+    # never the parquet (the scan/pruning/LM shape is pinned through
+    # the scoring helper below, which the op shares with
+    # unigram_cross_entropy)
+    assert "Scan parquet" not in plan
+    helper = T._unigram_xent_per_doc(spark, SF_SMOKE)
+    assert "CartesianProduct" not in join_strategies(helper)
+    for cols in read_schemas(helper):
+        assert set(cols) <= {"doc_id", "text"}

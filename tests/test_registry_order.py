@@ -62,10 +62,21 @@ ROUND15_CHANGED_IDS = [
     # the oracle-chain refactor into _bpe_chain_sql (generated SQL
     # verified byte-identical against the r14 HEAD)
     "bpe_train_merges",
+    # NEW (r15, third tranche): the CCNet-style curation action —
+    # per-source head/middle/tail tercile split on unigram-LM
+    # cross-entropy; histogram-selected value thresholds, no per-source
+    # doc sort
+    "perplexity_tercile_split",
+    # recert for the r15 impl refactor (per-doc scoring now flows
+    # through the shared _unigram_xent_per_doc helper; oracle SQL
+    # verified byte-identical against the r14 HEAD)
+    "unigram_cross_entropy",
 ]
 
-#: oldest-first refresh: ALL 34 r11-cohort residents (staleness 4
-#: entering r15) fit this window, alphabetical.
+#: oldest-first refresh: 33 of the 34 r11-cohort residents (staleness
+#: 4 entering r15), alphabetical; tpch_q8 was evicted to fund the
+#: perplexity-tercile and unigram-recert slots and leads the r16
+#: window per the pinned plan.
 ROUND15_R11_COHORT_IDS = [
     "anti_join_inactive_customers",
     "approx_distinct_bound",
@@ -100,15 +111,12 @@ ROUND15_R11_COHORT_IDS = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
-    "tpch_q8",
 ]
 
-#: the one remaining slot: the alphabetical head of the 46-op r12
-#: cohort (the next-oldest rows); the other 45 lead the r16 window per
-#: the pinned plan.
-ROUND15_R12_COHORT_HEAD_IDS = [
-    "asof_join_attribution",
-]
+#: no spare slots remain for the r12 cohort this round — all 46 of its
+#: residents (plus the evicted tpch_q8) lead the r16 window per the
+#: pinned plan.
+ROUND15_R12_COHORT_HEAD_IDS: list[str] = []
 
 
 def test_r15_window_is_exactly_the_planned_fifty():
@@ -149,10 +157,11 @@ def test_no_registry_entry_left_unchecked_after_r15():
 
 def test_r15_window_covers_every_pre_r11_certification():
     """The oldest-first policy invariant: after r15 lands green, no
-    op's latest driver certification is older than round 11 — and
-    since the full r11 cohort also fits this window, none older than
-    round 12 (the 44 r12 residents outside the window keep their r12
-    rows and lead the r16 window per the pinned plan)."""
+    op's latest driver certification is older than round 11, and
+    exactly ONE r11 row remains outside the window — tpch_q8, evicted
+    to fund the perplexity-tercile and unigram-recert slots; it leads
+    the r16 window per the pinned plan (the same bounded-staleness
+    eviction as tfidf_top_terms/theil_sen_slope in r14)."""
     import glob
     import json
     import os
@@ -163,8 +172,10 @@ def test_r15_window_covers_every_pre_r11_certification():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    stale = [n for n in REGISTRY if latest.get(n, 0) <= 11 and n not in prefix]
-    assert not stale, f"pre-r12 certifications left outside the r15 window: {stale}"
+    pre_r11 = [n for n in REGISTRY if latest.get(n, 0) <= 10 and n not in prefix]
+    assert not pre_r11, f"pre-r11 certifications left outside the r15 window: {pre_r11}"
+    r11_left = [n for n in REGISTRY if latest.get(n, 0) == 11 and n not in prefix]
+    assert r11_left == ["tpch_q8"], f"unplanned r11 evictions: {r11_left}"
 
 
 def test_recheck_ids_lead_the_registry():

@@ -636,6 +636,20 @@ def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tercile_xe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tercile split's pre-histogram stage: per-doc scores joined
+    back to (source, n_chars) and snapped to the certified 4dp grid.
+    Factored out so the plan test can pin the stage that runs BEFORE
+    the histogram checkpoint (the op's own returned plan only shows
+    what's above the checkpoint — r15 review)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _unigram_xent_per_doc(spark, sf_dir)
+        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+        .select("source", "n_chars", round_cmp(F.col("xent")).alias("xe"))
+    )
+
+
 @query(
     "perplexity_tercile_split",
     oracle=f"""
@@ -706,14 +720,9 @@ def perplexity_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replays the identical LM, grid, histogram, and
     threshold selection as CTEs."""
-    d = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    xe_df = (
-        _unigram_xent_per_doc(spark, sf_dir)
-        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
-        .select("source", "n_chars", round_cmp(F.col("xent")).alias("xe"))
-    )
+    xe_df = _tercile_xe(spark, sf_dir)
     # the histogram fans out to BOTH the threshold branch and the
     # bucket branch — Catalyst does not dedupe shared subplans (the
     # r5b gotcha), so without a barrier the whole corpus scan + LM

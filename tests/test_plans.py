@@ -1156,7 +1156,12 @@ def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
     # the scoring helper below, which the op shares with
     # unigram_cross_entropy)
     assert "Scan parquet" not in plan
-    helper = T._unigram_xent_per_doc(spark, SF_SMOKE)
-    assert "CartesianProduct" not in join_strategies(helper)
-    for cols in read_schemas(helper):
-        assert set(cols) <= {"doc_id", "text"}
+    # …so pin the pre-checkpoint stage through the op's own factored
+    # helper: scoring + the doc_id join-back of (source, n_chars) —
+    # no cartesian, and every scan pruned to the consumed columns
+    # (r15 review: the first pin only covered the bare scoring helper,
+    # leaving the join-back stage unasserted)
+    stage = T._tercile_xe(spark, SF_SMOKE)
+    assert "CartesianProduct" not in join_strategies(stage)
+    for cols in read_schemas(stage):
+        assert set(cols) <= {"doc_id", "text", "source", "n_chars"}

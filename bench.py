@@ -32,6 +32,37 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.session impor
 ROUND = 15
 
 
+def pick_reference(repo_dir: str, current_round: int):
+    """Walk BENCH_LOCAL.json's git history newest-first and return
+    (payload, commit) for the first committed artifact produced by a
+    DIFFERENT round than ``current_round`` — the cross-round reference
+    the box-normalization block adjudicates against. Pre-r15 artifacts
+    carry no ``producing_round`` and qualify (they are by definition
+    earlier rounds'); commits where the blob is unreadable (deleted /
+    renamed file, truncated JSON — BENCH_r05 was clipped by the
+    harness once) are skipped, not fatal (r15 review). Returns
+    (None, None) when no qualifying artifact exists. Unit-tested
+    against a scratch git repo in tests/test_driver_conditions.py."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", repo_dir, *args],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+
+    for commit in _git("log", "--format=%H", "--", "BENCH_LOCAL.json").split():
+        try:
+            cand = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json"))
+        except Exception:
+            continue
+        if cand.get("producing_round") != current_round:
+            return cand, commit
+    return None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -182,34 +213,8 @@ def main() -> None:
     box_normalization = None
     try:
         import statistics
-        import subprocess
 
-        def _git(*args: str) -> str:
-            return subprocess.run(
-                ["git", "-C", here, *args],
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-
-        ref = None
-        ref_commit = None
-        for commit in _git(
-            "log", "--format=%H", "--", "BENCH_LOCAL.json"
-        ).split():
-            try:
-                cand = json.loads(_git("show", f"{commit}:BENCH_LOCAL.json"))
-            except Exception:
-                # a commit that deleted/renamed the artifact, or a
-                # truncated blob (BENCH_r05 was clipped by the harness
-                # once), must not abort the whole walk — skip to the
-                # next candidate (r15 review)
-                continue
-            # pre-r15 artifacts carry no producing_round: any of them is
-            # an earlier round's, so they qualify as references too
-            if cand.get("producing_round") != ROUND:
-                ref, ref_commit = cand, commit
-                break
+        ref, ref_commit = pick_reference(here, ROUND)
         ref_q = {k: v for k, v in (ref or {}).get("queries", {}).items() if v and v > 0}
         common = sorted(k for k, v in timings.items() if v > 0 and k in ref_q)
         if ref and ref.get("sentinel_mid") and sentinel_mid and common:

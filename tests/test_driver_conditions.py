@@ -198,3 +198,68 @@ def test_hostile_session_parity(spark, duck):
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
         spark.conf.set("spark.sql.ansi.enabled", saved_ansi)
+
+
+def test_bench_pick_reference_walks_past_same_round_and_bad_blobs(tmp_path):
+    """The bench artifact's cross-round reference selection (r15,
+    ADVICE r14): from a history of [malformed blob, same-round
+    artifact, older-round artifact], pick_reference must skip the
+    unreadable commit, skip the current round's own artifact (the
+    final-HEAD commit that made a plain HEAD read self-compare), and
+    land on the older round's — and return (None, None) when only the
+    current round's artifacts exist."""
+    import json
+    import subprocess
+
+    from bench import pick_reference
+
+    repo = str(tmp_path / "scratch")
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "PATH": "/usr/bin:/bin",
+            },
+        )
+
+    (tmp_path / "scratch").mkdir()
+    git("init", "-q")
+    art = tmp_path / "scratch" / "BENCH_LOCAL.json"
+
+    def commit(content: str):
+        art.write_text(content)
+        git("add", "BENCH_LOCAL.json")
+        git("commit", "-qm", "x")
+
+    commit(json.dumps({"producing_round": 14, "sentinel_mid": 0.4,
+                       "queries": {"q": 1.0}}))
+    commit(json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
+                       "queries": {"q": 1.1}}))
+    commit('{"truncated": ')  # the BENCH_r05-style clipped blob
+
+    ref, commit_hash = pick_reference(repo, 15)
+    assert ref is not None and commit_hash
+    assert ref["producing_round"] == 14 and ref["sentinel_mid"] == 0.4
+
+    # legacy artifacts without the field qualify as other-round
+    commit(json.dumps({"sentinel_mid": 0.3, "queries": {"q": 0.9}}))
+    ref2, _ = pick_reference(repo, 15)
+    assert ref2["sentinel_mid"] == 0.3 and "producing_round" not in ref2
+
+    # only same-round artifacts → no reference, not a crash
+    repo2 = str(tmp_path / "scratch2")
+    (tmp_path / "scratch2").mkdir()
+    repo = repo2  # git()/commit() close over these two names
+    art = tmp_path / "scratch2" / "BENCH_LOCAL.json"
+    git("init", "-q")
+    commit(json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
+                       "queries": {"q": 1.0}}))
+    assert pick_reference(repo2, 15) == (None, None)

@@ -76,7 +76,7 @@ def main() -> None:
     # re-measure gave 1.45 s — the Arrow-batch + Python-worker ops are
     # the most sensitive to background load, so they get min-of-4
     # instead of min-of-2. Everything else stays at min-of-2 to keep the
-    # full 170-query sweep under ~10 min.
+    # full registry sweep (192 ops + the ETL entry) tractable per round.
     noisy = {
         "simhash_near_pairs",
         "text_simhash",

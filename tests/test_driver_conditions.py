@@ -213,53 +213,54 @@ def test_bench_pick_reference_walks_past_same_round_and_bad_blobs(tmp_path):
 
     from bench import pick_reference
 
-    repo = str(tmp_path / "scratch")
+    import os
 
-    def git(*args):
+    # inherit the caller's env (git may live anywhere) but pin identity
+    # and neutralize host gitconfig (gpgsign/hooksPath would break the
+    # scratch commits)
+    env = dict(
+        os.environ,
+        GIT_AUTHOR_NAME="t",
+        GIT_AUTHOR_EMAIL="t@t",
+        GIT_COMMITTER_NAME="t",
+        GIT_COMMITTER_EMAIL="t@t",
+        GIT_CONFIG_GLOBAL="/dev/null",
+        GIT_CONFIG_SYSTEM="/dev/null",
+    )
+
+    def git(repo, *args):
         subprocess.run(
-            ["git", *args],
-            cwd=repo,
-            check=True,
-            capture_output=True,
-            env={
-                "GIT_AUTHOR_NAME": "t",
-                "GIT_AUTHOR_EMAIL": "t@t",
-                "GIT_COMMITTER_NAME": "t",
-                "GIT_COMMITTER_EMAIL": "t@t",
-                "PATH": "/usr/bin:/bin",
-            },
+            ["git", *args], cwd=repo, check=True, capture_output=True, env=env
         )
 
+    def commit(repo, content: str):
+        (tmp_path / repo / "BENCH_LOCAL.json").write_text(content)
+        git(tmp_path / repo, "add", "BENCH_LOCAL.json")
+        git(tmp_path / repo, "commit", "-qm", "x")
+
+    repo = str(tmp_path / "scratch")
     (tmp_path / "scratch").mkdir()
-    git("init", "-q")
-    art = tmp_path / "scratch" / "BENCH_LOCAL.json"
+    git(repo, "init", "-q")
 
-    def commit(content: str):
-        art.write_text(content)
-        git("add", "BENCH_LOCAL.json")
-        git("commit", "-qm", "x")
-
-    commit(json.dumps({"producing_round": 14, "sentinel_mid": 0.4,
-                       "queries": {"q": 1.0}}))
-    commit(json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
-                       "queries": {"q": 1.1}}))
-    commit('{"truncated": ')  # the BENCH_r05-style clipped blob
+    commit("scratch", json.dumps({"producing_round": 14, "sentinel_mid": 0.4,
+                                  "queries": {"q": 1.0}}))
+    commit("scratch", json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
+                                  "queries": {"q": 1.1}}))
+    commit("scratch", '{"truncated": ')  # the BENCH_r05-style clipped blob
 
     ref, commit_hash = pick_reference(repo, 15)
     assert ref is not None and commit_hash
     assert ref["producing_round"] == 14 and ref["sentinel_mid"] == 0.4
 
     # legacy artifacts without the field qualify as other-round
-    commit(json.dumps({"sentinel_mid": 0.3, "queries": {"q": 0.9}}))
+    commit("scratch", json.dumps({"sentinel_mid": 0.3, "queries": {"q": 0.9}}))
     ref2, _ = pick_reference(repo, 15)
     assert ref2["sentinel_mid"] == 0.3 and "producing_round" not in ref2
 
     # only same-round artifacts → no reference, not a crash
     repo2 = str(tmp_path / "scratch2")
     (tmp_path / "scratch2").mkdir()
-    repo = repo2  # git()/commit() close over these two names
-    art = tmp_path / "scratch2" / "BENCH_LOCAL.json"
-    git("init", "-q")
-    commit(json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
-                       "queries": {"q": 1.0}}))
+    git(repo2, "init", "-q")
+    commit("scratch2", json.dumps({"producing_round": 15, "sentinel_mid": 0.5,
+                                   "queries": {"q": 1.0}}))
     assert pick_reference(repo2, 15) == (None, None)

@@ -27,111 +27,103 @@ from .registry import REGISTRY as _R
 #: slot — no exceptions; (b) the remaining slots go to
 #: OLDEST-DRIVER-CERTIFICATION-FIRST, so no op's latest driver row can
 #: age past ~3 rounds as the rotation cycles.
-#: r14 window recap: the fourteen r9-stale residents + the composed
-#: IVF-ADC op (new) + the residual IVFADC variant (new) + the PQ
-#: shortlist retune recert + the two store-lifecycle cache-key recerts
-#: + the BPE trainer (new) + 30 of the r10 cohort — 50/50 green, in
+#: r15 window recap: the twelve staleness-5 r10 residents + the
+#: changed-text tier (bpe_encode_corpus / bpe_vocab_topk NEW, the
+#: trainer persist-fix recert, perplexity_tercile_split NEW, the
+#: unigram refactor recert) + 33 of the 34 r11 residents (tpch_q8
+#: evicted to fund the two extra changed slots — the comment that
+#: said "all 34" was wrong, ADVICE r15 item 1) — 50/50 green, in
 #: pinned order.
 _RECHECK_FIRST = [
-    # r15 window (EXACTLY 50 ids), per the plan pinned at the end of
-    # the r14 rotation comment and VERDICT r14 item 1:
-    # — staleness tier FIRST (policy b): the twelve r10 residents whose
-    #   driver rows are the oldest anywhere (staleness 5 entering r15)
-    #   — tfidf_top_terms and theil_sen_slope were evicted from the r14
-    #   window to fund the BPE-trainer and residual-IVFADC slots; the
-    #   other ten slipped it — alphabetical within the equal-staleness
-    #   tie —
-    "tfidf_top_terms",
-    "theil_sen_slope",
-    "time_weighted_avg",
-    "token_pmi_topk",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "weighted_sample_topk",
-    "zorder_interleave",
-    # — changed-text tier (policy a):
-    #   bpe_encode_corpus is NEW (r15, VERDICT r14 item 2): the
-    #   trainer's consumer — apply the learned merge table to the
-    #   per-source word table with the identical fold, emit per-source
-    #   token statistics (chars/token compression, tokens/word
-    #   fertility); the rules apply as driver-scale LITERALS, so the
-    #   plan is joinless; oracle = the trainer's CTE chain (shared
-    #   verbatim via _bpe_chain_sql) + an e-chain applying each rule
-    #   with the same fold text —
-    "bpe_encode_corpus",
-    #   bpe_vocab_topk is NEW (r15, second tranche): the learned
-    #   vocabulary artifact — distinct symbols after all merges with
-    #   corpus-weighted occurrence counts and a merge-product flag;
-    #   same joinless literal-fold shape; oracle = the shared trainer
-    #   chain + one unnest/count over its final w{N} table —
-    "bpe_vocab_topk",
-    #   bpe_train_merges recertifies for the r15 impl change (ADVICE
-    #   r14: the per-round localCheckpoint blocks were unreleasable —
-    #   DataFrame.unpersist is a no-op on them, verified empirically —
-    #   so rounds now persist MEMORY_AND_DISK and free the superseded
-    #   round once the next materializes; exactly one round's vocab
-    #   stays cached) and the oracle-chain refactor into _bpe_chain_sql
-    #   (generated SQL verified byte-identical against the r14 HEAD) —
-    "bpe_train_merges",
-    #   perplexity_tercile_split is NEW (r15, third tranche): the
-    #   CCNet-style curation action — per-source head/middle/tail
-    #   tercile split on unigram-LM cross-entropy; value-based
-    #   thresholds selected from a per-source HISTOGRAM of rounded
-    #   scores (no per-source doc sort), broadcast back; oracle
-    #   replays LM + grid + histogram + threshold selection as CTEs —
+    # r16 window (EXACTLY 50 ids). The plan pinned at round-14/15 end
+    # said "tpch_q8, then the full 46-op r12 cohort, then r16
+    # changed-text with the remaining slots" — but policy (a) is
+    # absolute (every op whose impl/oracle text changed THIS round
+    # gets a slot, VERDICT r15 item 2: "new ops take priority per
+    # policy a"), and r16 ships NINE changed ops, so the changed tier
+    # sits ahead of the cohort exactly as it did in r14/r15 and the
+    # cohort's alphabetical tail (6 ops from text_quality_score on)
+    # slips to r17.
+    # — staleness tier FIRST (policy b): the one r11 resident, the
+    #   oldest driver row anywhere (staleness 5 entering r16) —
+    "tpch_q8",
+    # — changed-text tier (policy a): the eight classic TPC-H shapes
+    #   the suite lacked (VERDICT r15 item 2 — tpch.py now covers all
+    #   22). Each decorrelates its subquery explicitly: Q2 correlated
+    #   scalar-MIN -> per-part min joined back; Q4 EXISTS -> left
+    #   semi; Q9 LIKE profit rollup; Q11 HAVING-vs-global-share with
+    #   grid-rounded threshold compare; Q12 CASE pivot counts; Q16
+    #   NOT IN -> broadcast left anti on a non-null key; Q20 nested
+    #   IN chain -> semi-join ladder with the correlated threshold as
+    #   a conditional sum in the same pass; Q21 multi-EXISTS/NOT-
+    #   EXISTS -> co-partitioned left semi + left anti self-joins
+    #   with the suppkey inequality as residual —
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    #   perplexity_tercile_split recertifies for the r16 impl change
+    #   (ADVICE r15 item 3: the histogram's localCheckpoint blocks
+    #   were unreleasable for the session — the same class the BPE
+    #   trainer was migrated off in r15 — so it now persists
+    #   MEMORY_AND_DISK with eager materialization and frees the
+    #   PREVIOUS invocation's histogram on each call: exactly one
+    #   histogram cached at any time, the trainer discipline) —
     "perplexity_tercile_split",
-    #   unigram_cross_entropy recertifies for the r15 impl refactor
-    #   (its per-doc scoring now flows through the shared
-    #   _unigram_xent_per_doc helper the tercile op consumes; oracle
-    #   SQL verified byte-identical against the r14 HEAD) —
-    "unigram_cross_entropy",
-    # — r11-cohort tier (policy b: oldest-first; all 34 r11 residents
-    #   fit this window, alphabetical within the equal-staleness tie) —
-    "anti_join_inactive_customers",
-    "approx_distinct_bound",
-    "approx_quantile_bound",
-    "basket_concentration_hhi",
-    "brand_revenue_share",
-    "cube_status_priority",
-    "doc_chunk_explode",
-    "embedding_int8_quantize",
-    "embedding_neardup_topk",
-    "filter_group_avg_topk",
-    "group_sum2_unpivot",
-    "hash_train_test_split",
-    "mixture_resample",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "percent_rank_band",
-    "pii_scrub_digits",
-    "range_band_join",
-    "regr_linear_fit",
-    "rfm_segments",
-    "rollup_status_priority",
-    "shard_assignment_balance",
-    "similarity_bruteforce_topk",
-    "source_mixture_weights",
-    "streaming_cdc_compaction",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    # — r16 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST tpch_q8 (the one r11 resident evicted to fund the
-    #   perplexity-tercile and unigram-recert slots — staleness 5
-    #   entering r16, the oldest row anywhere), then the full 46-op
-    #   r12 cohort alphabetical (staleness 4 entering r16, starting at
-    #   asof_join_attribution), then r16 changed-text with whatever
-    #   slots remain, then the r13 cohort head — the same two-round
-    #   cohort drain as r9/r10/r11.
+    # — r12-cohort tier (policy b: oldest-first; 40 of the 46 fit,
+    #   alphabetical within the equal-staleness tie) —
+    "asof_join_attribution",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_exact",
+    "doc_fingerprint",
+    "eq_filter_group_agg",
+    "events_enrich_segment",
+    "events_gap_fill",
+    "events_hour_agg",
+    "filter_group2_avg2_count_sort",
+    "forward_fill_last_purchase",
+    "funnel_view_click_purchase",
+    "global_sort_rowid",
+    "group2_sort_mixed_limit",
+    "group_avg_having_sort",
+    "group_avg_sum2_topk",
+    "group_quantiles",
+    "image_phash_neardup",
+    "json_props_extract",
+    "mad_outlier_detect",
+    "multimodal_bmp_decode",
+    "multimodal_ppm_decode",
+    "overview_scalars",
+    "pivot_event_counts",
+    "project_dropna",
+    "range_filter_agg",
+    "running_distinct_users",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "set_intersect_except",
+    "set_ops_bag_semantics",
+    "simhash_near_pairs",
+    "source_vocab_overlap",
+    "stratified_hash_sample",
+    "streaming_countmin_replay",
+    "streaming_dedup_replay",
+    "streaming_neardup_probe",
+    "streaming_sessionization",
+    "streaming_view_purchase_join",
+    "text_lang_id",
+    # — r17 window plan (pinned now so the rotation stays mechanical):
+    #   FIRST the six r12 residents that slipped this window
+    #   (staleness 5 entering r17, alphabetical:
+    #   text_quality_score, text_simhash, text_token_count,
+    #   video_frame_sample, vocab_oov_rate, window_moving_avg), then
+    #   r17 changed-text, then the 47-op r13 cohort alphabetical with
+    #   the remaining ~slots — the same two-round cohort drain as
+    #   r11/r12.
 ]
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}

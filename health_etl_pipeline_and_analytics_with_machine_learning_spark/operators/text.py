@@ -650,6 +650,12 @@ def _tercile_xe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the previous invocation's persisted histogram, freed on the next
+#: call — exactly one histogram (KB-scale) is ever cached, mirroring
+#: _bpe_train_rules' one-round-cached discipline (ADVICE r15 item 3)
+_TERCILE_HIST_PREV: list = []
+
+
 @query(
     "perplexity_tercile_split",
     oracle=f"""
@@ -728,11 +734,27 @@ def perplexity_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5b gotcha), so without a barrier the whole corpus scan + LM
     # build + per-doc scoring would run twice. It is histogram-sized
     # (≤ |distinct 4dp scores| per source — KBs), so materialize once.
+    # persist + eager count, NOT localCheckpoint (ADVICE r15 item 3:
+    # checkpoint blocks live outside the cache manager and are
+    # session-unreleasable — the class the BPE trainer was migrated
+    # off in r15); each invocation frees the PREVIOUS one's histogram,
+    # so exactly one is ever cached — the _bpe_train_rules discipline.
+    # Tradeoff (same as the trainer): persist keeps lineage, so a DF
+    # returned by an OLDER invocation recomputes (correctly, with the
+    # double-scan back) if executed after a newer call evicts it.
     hist = (
         xe_df.groupBy("source", "xe")
         .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("ch"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        hist.count()  # materialize before the plan fans out
+    except BaseException:
+        hist.unpersist()
+        raise
+    if _TERCILE_HIST_PREV:
+        _TERCILE_HIST_PREV.pop().unpersist()
+    _TERCILE_HIST_PREV.append(hist)
     cum = hist.select(
         "*",
         F.sum("c").over(Window.partitionBy("source").orderBy("xe")).alias("run"),
@@ -1067,6 +1089,17 @@ def _bpe_train_oracle_sql() -> str:
 #: fully deterministic (integer counts, lexicographic tiebreak), so the
 #: cache is a cost optimization, never a correctness dependency —
 #: tests pop the key and re-derive to prove it.
+#:
+#: HAZARD (ADVICE r15 item 2): the key is (sf_dir, _BPE_MERGES) only —
+#: it identifies the dataset by PATH, not content. If the parquet under
+#: an sf_dir is rewritten mid-session, the trainer/encoder/vocab ops
+#: serve rules learned from the OLD bytes; any test or job that mutates
+#: a table in place must pop the key first (as
+#: test_bpe_oracles_survive_merge_exhaustion does in its finally). Left
+#: path-keyed deliberately: the driver corpus is read-only by contract
+#: (TESTDATA.md), and an mtime/size fingerprint would force a
+#: filesystem stat on every call for a hazard the contract already
+#: excludes.
 _BPE_RULES_CACHE: dict[tuple, list] = {}
 
 

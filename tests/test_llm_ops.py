@@ -1972,3 +1972,78 @@ def test_bpe_merge_fold_is_canonical_and_cross_engine_identical(spark):
                 ELSE acc || ' ' || x END)"""
         ).fetchone()[0]
         assert got_spark == got_duck == want, (s, l, r, got_spark, got_duck)
+
+
+def test_bpe_roundtrip_invariant_oracle_side():
+    """VERDICT r15 item 5: the encode path's per-row partition
+    invariant — after ALL merges, concatenating a word's symbols
+    reproduces the word exactly (merges regroup characters, never
+    rewrite them) — asserted on the ORACLE side too. The Spark side is
+    pinned in test_bpe_encode_corpus_properties_losslessness_and_rule_
+    sharing; here the IDENTICAL derivation the certified oracles use
+    (_word_freq_cte -> _bpe_chain_sql rule tables ->
+    _BPE_MERGE_FOLD_SQL e-chain, same LEFT-JOIN identity fallback for
+    merge-exhausted rounds) is replayed in DuckDB carrying the source
+    word through every fold, and the violation count must be zero —
+    closing the gap between "the statistics match" and "the encoding
+    is a partition of the word"."""
+    import duckdb
+
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.text import (
+        _BPE_MERGE_FOLD_SQL,
+        _BPE_MERGES,
+        _BPE_SYMBOLIZE_SQL,
+        _bpe_chain_sql,
+        _word_freq_cte,
+    )
+
+    e_chain = [
+        f"e0 AS (SELECT w, {_BPE_SYMBOLIZE_SQL} AS s FROM words)"
+    ]
+    for t in range(1, _BPE_MERGES + 1):
+        e_chain.append(
+            f"""e{t} AS (SELECT w, CASE WHEN b.l IS NULL THEN s
+                         ELSE {_BPE_MERGE_FOLD_SQL} END AS s
+                 FROM e{t - 1} LEFT JOIN b{t} b ON TRUE)"""
+        )
+    sql = f"""
+    WITH {_word_freq_cte("words")},{_bpe_chain_sql("words")},
+    {",".join(e_chain)}
+    SELECT COUNT(*) AS n_total,
+           COUNT(*) FILTER (replace(s, ' ', '') <> w) AS n_broken,
+           COUNT(*) FILTER (len(str_split(s, ' ')) > length(w)) AS n_overlong
+    FROM e{_BPE_MERGES}
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')"
+    )
+    n_total, n_broken, n_overlong = con.execute(sql).fetchone()
+    assert n_total > 0
+    assert n_broken == 0
+    assert n_overlong == 0
+
+
+def test_perplexity_tercile_histogram_cache_is_bounded(spark):
+    """ADVICE r15 item 3 regression pin: the tercile histogram now
+    follows the trainer's one-cached-at-a-time persist discipline —
+    repeated invocations (bench min-of-N, repeated driver runs) must
+    never accumulate cached histograms, and each call frees the
+    previous invocation's blocks (persist blocks ARE releasable,
+    unlike the localCheckpoint blocks this replaced). Results must be
+    bit-identical across invocations."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        text as T,
+    )
+
+    a = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
+    assert len(T._TERCILE_HIST_PREV) == 1
+    first_hist = T._TERCILE_HIST_PREV[0]
+    assert first_hist.storageLevel.useMemory  # actually persisted
+    b = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
+    assert a == b
+    assert len(T._TERCILE_HIST_PREV) == 1
+    assert T._TERCILE_HIST_PREV[0] is not first_hist
+    # the superseded histogram's blocks were released
+    assert not first_hist.storageLevel.useMemory

@@ -1165,3 +1165,97 @@ def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
     assert "CartesianProduct" not in join_strategies(stage)
     for cols in read_schemas(stage):
         assert set(cols) <= {"doc_id", "text", "source", "n_chars"}
+
+
+def test_tpch_q2_decorrelates_min_to_broadcast_join_back(spark):
+    # the correlated scalar-subquery MIN must become a per-part min
+    # aggregate BROADCAST back onto the cost table — never a
+    # re-shuffle of the pair table, never a cartesian
+    df = q("tpch_q2", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    assert "CartesianProduct" not in js
+    # the (part, supplier) cost build is partial-aggregated
+    assert any("min" in f for f in partial_agg_functions(df))
+
+
+def test_tpch_q4_exists_is_left_semi(spark):
+    # EXISTS must plan as a semi join (each order counted once however
+    # many problem lines match) — never inner-join + distinct
+    df = q("tpch_q4", spark)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in join_strategies(df)
+    # the quarter filter reaches the orders scan
+    assert "o_orderdate" in " ".join(pushed_filters(df))
+
+
+def test_tpch_q9_like_filter_broadcasts_into_fact_scan(spark):
+    # the LIKE-filtered part dim, supplier, and nation all broadcast;
+    # lineitem⋈orders is the only shuffled join
+    import re
+
+    df = q("tpch_q9", spark)
+    plan = formatted_plan(df)
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.MULTILINE))
+    assert n_bhj >= 3, plan
+    assert "CartesianProduct" not in join_strategies(df)
+    # the p_name contains-filter prunes the broadcast side
+    assert "Contains(p_name,widget)" in " ".join(pushed_filters(df))
+
+
+def test_tpch_q11_threshold_is_scalar_broadcast(spark):
+    # the global-share threshold is ONE row joined back as a broadcast
+    # (nested-loop on a 1-row side is fine; a cartesian of two big
+    # sides is not) — and the value table is built by partial agg
+    df = q("tpch_q11", spark)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js
+    assert any("sum" in f for f in partial_agg_functions(df))
+
+
+def test_tpch_q12_single_join_single_agg_pass(spark):
+    # both CASE counters come out of ONE aggregate pass over ONE join
+    # — no pivot shuffle, no second scan; flag+date filters pushed
+    df = q("tpch_q12", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_returnflag" in pf
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_tpch_q16_not_in_is_broadcast_left_anti(spark):
+    # NOT IN over the non-null supplier key must plan as a broadcast
+    # LEFT ANTI — the fact table is never shuffled for the exclusion
+    df = q("tpch_q16", spark)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    assert "CartesianProduct" not in js
+
+
+def test_tpch_q20_nested_in_chain_is_semi_ladder(spark):
+    # both IN levels must be semi joins (part list pruning the fact
+    # scan BEFORE the pair aggregate; the qualifying-supplier list as
+    # the final broadcast semi) and the correlated threshold must NOT
+    # add a second scan of lineitem — one fact scan total
+    df = q("tpch_q20", spark)
+    plan = formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in join_strategies(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q21_multi_exists_is_semi_plus_anti(spark):
+    # the EXISTS decorrelates to LEFT SEMI, the NOT EXISTS to LEFT
+    # ANTI, both on orderkey with the suppkey inequality as residual —
+    # never a DISTINCT rewrite, never a cartesian
+    df = q("tpch_q21", spark)
+    plan = formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2  # orders-status check + l2
+    assert "LeftAnti" in plan
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js  # the ASIA supplier dim
+    assert "CartesianProduct" not in js

@@ -650,10 +650,19 @@ def _tercile_xe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the previous invocation's persisted histogram, freed on the next
-#: call — exactly one histogram (KB-scale) is ever cached, mirroring
-#: _bpe_train_rules' one-round-cached discipline (ADVICE r15 item 3)
-_TERCILE_HIST_PREV: list = []
+#: single-slot cache of the persisted tercile histogram, keyed on
+#: (session, sf_dir) — exactly one KB-scale histogram is ever cached,
+#: mirroring _bpe_train_rules' one-cached-at-a-time discipline (ADVICE
+#: r15 item 3). A SAME-KEY repeat REUSES the cached entry rather than
+#: re-persisting: two invocations build the IDENTICAL logical plan, so
+#: Spark's cache manager gives them ONE shared entry — persist-then-
+#: unpersist-the-previous would destroy the new invocation's cache
+#: along with the old (verified empirically: "Asked to cache already
+#: cached data" followed by an uncached serve plan, r16 review of the
+#: first version of this fix). Same path-keyed staleness hazard as
+#: _BPE_RULES_CACHE (documented there); the session in the key makes a
+#: restarted SparkSession rebuild instead of serving a dead DataFrame.
+_TERCILE_HIST_CACHE: list = []
 
 
 @query(
@@ -733,28 +742,40 @@ def perplexity_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket branch — Catalyst does not dedupe shared subplans (the
     # r5b gotcha), so without a barrier the whole corpus scan + LM
     # build + per-doc scoring would run twice. It is histogram-sized
-    # (≤ |distinct 4dp scores| per source — KBs), so materialize once.
+    # (≤ |distinct 4dp scores| per source — KBs), so materialize once:
     # persist + eager count, NOT localCheckpoint (ADVICE r15 item 3:
     # checkpoint blocks live outside the cache manager and are
     # session-unreleasable — the class the BPE trainer was migrated
-    # off in r15); each invocation frees the PREVIOUS one's histogram,
-    # so exactly one is ever cached — the _bpe_train_rules discipline.
+    # off in r15), single-slot keyed cache (see _TERCILE_HIST_CACHE
+    # for why a same-key repeat must REUSE, never re-persist).
     # Tradeoff (same as the trainer): persist keeps lineage, so a DF
     # returned by an OLDER invocation recomputes (correctly, with the
-    # double-scan back) if executed after a newer call evicts it.
-    hist = (
-        xe_df.groupBy("source", "xe")
-        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("ch"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    try:
-        hist.count()  # materialize before the plan fans out
-    except BaseException:
-        hist.unpersist()
-        raise
-    if _TERCILE_HIST_PREV:
-        _TERCILE_HIST_PREV.pop().unpersist()
-    _TERCILE_HIST_PREV.append(hist)
+    # double-scan back) if executed after a different-key call evicts
+    # its histogram.
+    key = (spark, sf_dir)
+    if _TERCILE_HIST_CACHE and _TERCILE_HIST_CACHE[0][0] == key:
+        hist = _TERCILE_HIST_CACHE[0][1]
+    else:
+        hist = (
+            xe_df.groupBy("source", "xe")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("ch"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            hist.count()  # materialize before the plan fans out
+        except BaseException:
+            hist.unpersist()
+            raise
+        if _TERCILE_HIST_CACHE:
+            try:
+                _TERCILE_HIST_CACHE.pop()[1].unpersist()
+            except Exception:
+                # best-effort release: the evicted entry may belong to
+                # a STOPPED SparkSession (the restart case the keyed
+                # cache exists to survive) — dropping the dead entry
+                # matters, the unpersist RPC does not (r16 review)
+                pass
+        _TERCILE_HIST_CACHE.append((key, hist))
     cum = hist.select(
         "*",
         F.sum("c").over(Window.partitionBy("source").orderBy("xe")).alias("run"),

@@ -53,6 +53,20 @@ SHOWCASE = {
         "roles, all dims broadcast; market share as a conditional-sum ratio "
         "in a single aggregate pass."
     ),
+    "tpch_q20": (
+        "Nested IN chain as a semi-join ladder (r16): the part list prunes "
+        "the fact scan as a broadcast LeftSemi BEFORE the pair aggregate, "
+        "the correlated availability threshold folds into the SAME aggregate "
+        "pass as a conditional sum (one lineitem scan total), and the "
+        "qualifying-supplier list broadcasts as the final LeftSemi."
+    ),
+    "tpch_q21": (
+        "The multi-EXISTS/NOT-EXISTS decorrelation stress test (r16): EXISTS "
+        "other-supplier becomes a LeftSemi and NOT-EXISTS other-late-supplier "
+        "a LeftAnti, both on orderkey with the suppkey inequality as a "
+        "residual join condition — co-partitioned self-joins, never a "
+        "DISTINCT rewrite, never a cartesian; the ASIA dim broadcasts first."
+    ),
     "filter_group_avg_topk": (
         "The flagship shape. Pushed IsNotNull filter, 2-of-16-column scan, "
         "partial→final HashAggregate, TakeOrderedAndProject top-k (no global sort)."

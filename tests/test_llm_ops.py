@@ -2026,24 +2026,46 @@ def test_bpe_roundtrip_invariant_oracle_side():
 
 
 def test_perplexity_tercile_histogram_cache_is_bounded(spark):
-    """ADVICE r15 item 3 regression pin: the tercile histogram now
-    follows the trainer's one-cached-at-a-time persist discipline —
-    repeated invocations (bench min-of-N, repeated driver runs) must
-    never accumulate cached histograms, and each call frees the
-    previous invocation's blocks (persist blocks ARE releasable,
-    unlike the localCheckpoint blocks this replaced). Results must be
-    bit-identical across invocations."""
+    """ADVICE r15 item 3 regression pin: the tercile histogram follows
+    a single-slot keyed persist cache — repeated invocations (bench
+    min-of-N, repeated driver runs) never accumulate cached
+    histograms. A SAME-key repeat must REUSE the cached entry (two
+    invocations build the identical logical plan, so the cache manager
+    gives them one shared entry — re-persist + unpersist-the-previous
+    would destroy the new invocation's cache with the old, the r16
+    review catch); a DIFFERENT-key call evicts and actually releases
+    the previous blocks (persist blocks ARE releasable, unlike the
+    localCheckpoint blocks this replaced). Results are bit-identical
+    across invocations."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
         text as T,
     )
 
-    a = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
-    assert len(T._TERCILE_HIST_PREV) == 1
-    first_hist = T._TERCILE_HIST_PREV[0]
-    assert first_hist.storageLevel.useMemory  # actually persisted
-    b = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
-    assert a == b
-    assert len(T._TERCILE_HIST_PREV) == 1
-    assert T._TERCILE_HIST_PREV[0] is not first_hist
-    # the superseded histogram's blocks were released
-    assert not first_hist.storageLevel.useMemory
+    def _drain():
+        # pop-and-unpersist, never bare clear(): clearing would orphan
+        # a persisted histogram in the session's cache manager — the
+        # accumulation class this pin exists to prevent (r16 review)
+        while T._TERCILE_HIST_CACHE:
+            T._TERCILE_HIST_CACHE.pop()[1].unpersist()
+
+    _drain()  # isolate from earlier tests (releasing, not orphaning)
+    try:
+        a = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
+        assert len(T._TERCILE_HIST_CACHE) == 1
+        first_key, first_hist = T._TERCILE_HIST_CACHE[0]
+        assert first_hist.storageLevel.useMemory  # actually persisted
+
+        # same key: reuse, not re-persist — the entry object is unchanged
+        b = [tuple(r) for r in T.perplexity_tercile_split(spark, SF_CORRECT).collect()]
+        assert a == b
+        assert len(T._TERCILE_HIST_CACHE) == 1
+        assert T._TERCILE_HIST_CACHE[0][1] is first_hist
+        assert first_hist.storageLevel.useMemory  # still cached
+
+        # different key: single-slot eviction releases the old blocks
+        T.perplexity_tercile_split(spark, SF_SMOKE).collect()
+        assert len(T._TERCILE_HIST_CACHE) == 1
+        assert T._TERCILE_HIST_CACHE[0][1] is not first_hist
+        assert not first_hist.storageLevel.useMemory  # released
+    finally:
+        _drain()

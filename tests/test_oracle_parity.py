@@ -84,3 +84,46 @@ def test_rows_only_queries_run(spark):
             df = rq.fn(spark, SF_CORRECT)
             assert df.columns, name
             assert df.count() >= 0, name
+
+
+#: the r16 TPC-H additions also certify at the SMOKE scale factor —
+#: sf_dir is a real parameter (the /verify gotcha list: "run a query at
+#: sf0.001 too"), the adapted predicates were calibrated non-empty at
+#: BOTH scales, and a second SF catches anything the sf0.01 hash can
+#: mask (e.g. a LIMIT whose tiebreak only bites when the result
+#: overflows it, or a filter that happens to be empty-vs-empty).
+CROSS_SF_QUERIES = [
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+]
+
+
+@pytest.mark.parametrize("name", CROSS_SF_QUERIES)
+def test_new_tpch_matches_oracle_at_smoke_sf(spark, name):
+    from conftest import SF_SMOKE
+
+    rq = REGISTRY[name]
+    sdf = rq.fn(spark, SF_SMOKE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(SF_SMOKE)
+    res = con.execute(rq.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert len(spark_rows) > 0, f"{name}: degenerate empty result at sf0.001"
+    sc, dc = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

@@ -762,12 +762,26 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     performs on the EXISTS form; explicit here so the plan is
     deterministic). The cost is a MIN over identical per-row doubles —
     no accumulation — so the min-equality join is FP-exact on both
-    engines. Scale shape: ONE fact shuffle builds the (part, supplier)
-    cost table with partial aggregation; supplier/nation/region and
-    the part filter broadcast; the per-part minima are ≤|parts| rows
-    (dimension-bounded) and broadcast back; top-100 is
-    TakeOrderedAndProject over the full (acctbal, nation, name, part)
-    tiebreak."""
+    engines. Scale shape: BOTH dimension filters push through the
+    aggregate as broadcast SEMI joins on the fact scan — only
+    qualifying parts can reach the output and only region suppliers
+    participate in the correlated min, so pruning lineitem to
+    (qualifying part x ASIA supplier) rows BEFORE the pair aggregate
+    is semantics-preserving and shrinks the one fact shuffle by the
+    product of both selectivities (~0.20 x ~0.03 here — the r16
+    follow-up that took the op from 1.19 s to the sub-second band at
+    sf0.1, and the difference between shuffling 100 TB and shuffling
+    ~600 GB at scale); the pair cost table then partial-aggregates,
+    dims broadcast back on, the per-part minima are ≤|parts| rows
+    (dimension-bounded) and computed as a MIN WINDOW over the pair
+    table — one linear plan, so the fact scan runs ONCE (a min
+    aggregate joined back would reference the pair subtree twice, and
+    Catalyst does not dedupe shared subplans — the r5b gotcha; the
+    window's partkey shuffle is over the dimension-bounded pair table,
+    never the fact); top-100 is TakeOrderedAndProject over the full
+    (acctbal, nation, name, part) tiebreak."""
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -775,25 +789,31 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     )
-    sc = li.groupBy("l_partkey", "l_suppkey").agg(
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li_pruned = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(
+        F.broadcast(asia.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    sc = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("scost")
     )
     rsc = (
-        sc.join(F.broadcast(s), sc.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        sc.join(F.broadcast(asia), sc.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "scost", "s_name", "s_acctbal", "n_name",
                 "p_partkey", "p_name")
     )
-    mn = rsc.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.min("scost").alias("__mn")
-    )
+    mn = F.min("scost").over(Window.partitionBy("l_partkey"))
     return (
-        rsc.join(
-            F.broadcast(mn),
-            (F.col("l_partkey") == F.col("__pk")) & (F.col("scost") == F.col("__mn")),
-        )
+        rsc.withColumn("__mn", mn)
+        .filter(F.col("scost") == F.col("__mn"))
         .select(
             F.round("s_acctbal", DP).alias("s_acctbal"),
             "s_name",

@@ -1217,13 +1217,18 @@ def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
 def test_tpch_q2_decorrelates_min_to_broadcast_join_back(spark):
     # the correlated scalar-subquery MIN must become a per-part min
     # aggregate BROADCAST back onto the cost table — never a
-    # re-shuffle of the pair table, never a cartesian
+    # re-shuffle of the pair table, never a cartesian — and BOTH
+    # dimension filters must semi-prune the single fact scan BEFORE
+    # the pair aggregate (the r16 follow-up: aggregating all pairs
+    # first shuffled the whole fact table for a ~0.6% survivor set)
     df = q("tpch_q2", spark)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     js = join_strategies(df)
     assert "BroadcastHashJoin" in js
     assert "CartesianProduct" not in js
+    assert plan.count("LeftSemi") >= 2, plan  # part + supplier prunes
+    assert plan.count("lineitem.parquet") == 1, plan
     # the (part, supplier) cost build is partial-aggregated
     assert any("min" in f for f in partial_agg_functions(df))
 

@@ -53,6 +53,13 @@ SHOWCASE = {
         "roles, all dims broadcast; market share as a conditional-sum ratio "
         "in a single aggregate pass."
     ),
+    "tpch_q2": (
+        "Correlated scalar-MIN decorrelated (r16): both dimension filters "
+        "semi-prune the single lineitem scan BEFORE the pair aggregate "
+        "(broadcast LeftSemi x2), the per-part minimum is a window over the "
+        "dimension-bounded pair table (no duplicated subtree), and the "
+        "top-100 is TakeOrderedAndProject over a full tiebreak."
+    ),
     "tpch_q20": (
         "Nested IN chain as a semi-join ladder (r16): the part list prunes "
         "the fact scan as a broadcast LeftSemi BEFORE the pair aggregate, "

@@ -53,14 +53,17 @@ def canon(rows, colnames):
 ORACLE_QUERIES = sorted(n for n, rq in REGISTRY.items() if rq.oracle is not None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, name):
+def assert_matches_oracle(spark, name, sf_dir, require_nonempty=False):
+    """ONE statement of the Spark-vs-DuckDB compare protocol (column
+    names sorted, row count, order-insensitive 9dp values) shared by
+    every parity tier — the protocol must not fork per scale factor
+    (r16 review: the cross-SF tier had started as a drifting copy)."""
     rq = REGISTRY[name]
-    sdf = rq.fn(spark, SF_CORRECT)
+    sdf = rq.fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    con = duck_con(SF_CORRECT)
+    con = duck_con(sf_dir)
     res = con.execute(rq.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = [tuple(r) for r in res.fetchall()]
@@ -72,9 +75,16 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
+    if require_nonempty:
+        assert len(spark_rows) > 0, f"{name}: degenerate empty result at {sf_dir}"
     sc, dc = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECT)
 
 
 def test_rows_only_queries_run(spark):
@@ -108,22 +118,4 @@ CROSS_SF_QUERIES = [
 def test_new_tpch_matches_oracle_at_smoke_sf(spark, name):
     from conftest import SF_SMOKE
 
-    rq = REGISTRY[name]
-    sdf = rq.fn(spark, SF_SMOKE)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
-    con = duck_con(SF_SMOKE)
-    res = con.execute(rq.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = [tuple(r) for r in res.fetchall()]
-    con.close()
-
-    assert sorted(spark_cols) == sorted(duck_cols), name
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    assert len(spark_rows) > 0, f"{name}: degenerate empty result at sf0.001"
-    sc, dc = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
-    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert_matches_oracle(spark, name, SF_SMOKE, require_nonempty=True)

@@ -1311,3 +1311,24 @@ def test_tpch_q21_multi_exists_is_semi_plus_anti(spark):
     js = join_strategies(df)
     assert "BroadcastHashJoin" in js  # the ASIA supplier dim
     assert "CartesianProduct" not in js
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Registry-wide blanket pin (r16): NO registered operator may plan
+    a CartesianProduct at any point — every pairwise shape in the repo
+    is banded/blocked/broadcast by design, and a refactor that silently
+    degrades a join condition into a cross product is exactly the class
+    of scale-killer a per-op pin can miss (this sweep builds all 200
+    plans in ~2 min at the smoke SF; 1-row scalar crosses legitimately
+    plan as BroadcastNestedLoopJoin, which individual per-op pins
+    police where it matters — CartesianProduct is the never-acceptable
+    strategy because it means BOTH sides were too big to broadcast)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        registry,
+    )
+
+    offenders = []
+    for name, rq in registry.REGISTRY.items():
+        if "CartesianProduct" in formatted_plan(rq.fn(spark, SF_SMOKE)):
+            offenders.append(name)
+    assert not offenders, f"cartesian plans: {offenders}"

@@ -69,11 +69,26 @@ _RECHECK_FIRST = [
     #   perplexity_tercile_split recertifies for the r16 impl change
     #   (ADVICE r15 item 3: the histogram's localCheckpoint blocks
     #   were unreleasable for the session — the same class the BPE
-    #   trainer was migrated off in r15 — so it now persists
-    #   MEMORY_AND_DISK with eager materialization and frees the
-    #   PREVIOUS invocation's histogram on each call: exactly one
-    #   histogram cached at any time, the trainer discipline) —
+    #   trainer was migrated off in r15 — so it now lives in a
+    #   single-slot (session, sf_dir)-keyed persist cache: same-key
+    #   repeats REUSE the shared cache-manager entry, different-key
+    #   calls evict and release — exactly one histogram cached at any
+    #   time) —
     "perplexity_tercile_split",
+    #   minhash_jaccard_calibration is NEW (r16, second tranche): the
+    #   estimator-calibration measurement a dedup pipeline runs when
+    #   tuning (bands, rows) — matching-signature-slot count vs EXACT
+    #   token-set Jaccard per banded candidate pair, rolled up per
+    #   slot count; shares the banded-candidate machinery (Spark
+    #   builders + the _minhash_chain_sql oracle chain) with the
+    #   near-dup op —
+    "minhash_jaccard_calibration",
+    #   dedup_minhash_lsh recertifies for the r16 factoring (the
+    #   signature/banding/candidate builders and the oracle CTE chain
+    #   are now shared with the calibration op; generated oracle SQL
+    #   verified byte-identical to the pre-factor text, the
+    #   _bpe_chain_sql precedent) —
+    "dedup_minhash_lsh",
     # — r12-cohort tier (policy b: oldest-first; 40 of the 46 fit,
     #   alphabetical within the equal-staleness tie) —
     "asof_join_attribution",
@@ -114,15 +129,15 @@ _RECHECK_FIRST = [
     "streaming_dedup_replay",
     "streaming_neardup_probe",
     "streaming_sessionization",
-    "streaming_view_purchase_join",
-    "text_lang_id",
     # — r17 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the six r12 residents that slipped this window
+    #   FIRST the eight r12 residents that slipped this window
     #   (staleness 5 entering r17, alphabetical:
+    #   streaming_view_purchase_join, text_lang_id,
     #   text_quality_score, text_simhash, text_token_count,
-    #   video_frame_sample, vocab_oov_rate, window_moving_avg), then
-    #   r17 changed-text, then the 47-op r13 cohort alphabetical with
-    #   the remaining ~slots — the same two-round cohort drain as
+    #   video_frame_sample, vocab_oov_rate, window_moving_avg — the
+    #   last two funded the calibration-op and minhash-recert slots),
+    #   then r17 changed-text, then the 47-op r13 cohort alphabetical
+    #   with the remaining ~slots — the same two-round cohort drain as
     #   r11/r12.
 ]
 

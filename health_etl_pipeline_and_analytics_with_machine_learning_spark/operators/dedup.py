@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import load, query, spread
+from .registry import load, query, round_cmp, round_cmp_sql, spread
 from .text import (
     _NORM_ASCII_SQL,
     _SIMHASH_SIG_SQL_CTES,
@@ -338,8 +338,17 @@ _UH_P = 2_147_483_647  # 2^31 - 1
 _UH_A = [1_000_003 * (i + 1) + 12_345 for i in range(N_MINHASH)]
 _UH_B = [999_983 * (i + 7) + 271 for i in range(N_MINHASH)]
 
-_MINHASH_ORACLE = f"""
-    WITH tok AS (
+def _minhash_chain_sql() -> str:
+    """The MinHash pipeline's tok→signature→bands→hot-bucket-cap→
+    candidate CTE chain — ONE textual statement of the banded-candidate
+    contract, shared verbatim by the near-dup oracle
+    (:data:`_MINHASH_ORACLE`) and the estimator-calibration oracle
+    (:func:`minhash_jaccard_calibration`), the same
+    second-consumer-appears factoring as text._bpe_chain_sql (r16;
+    generated SQL verified byte-identical to the pre-factor text).
+    Emitted WITHOUT the leading ``WITH`` so callers append their own
+    CTEs."""
+    return f"""tok AS (
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array({_NORM_ASCII_SQL}, ' ')) AS tok
       FROM documents
     ),
@@ -372,7 +381,11 @@ _MINHASH_ORACLE = f"""
       FROM kb a JOIN kb b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+_MINHASH_ORACLE = f"""
+    WITH {_minhash_chain_sql()},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokf GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -392,37 +405,23 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup — the 100 TB path, built directly
-    on DataFrame ops:
-
-    1. signature pass (LINEAR): one md5 per token → a universal-hash
-       family h_i(x) = (a_i·x + b_i) mod p gives 16 permutations; one
-       groupBy(doc) with 16 min() aggregates forms the signature;
-    2. banding: 4 bands of 4 rows; docs sharing any band signature become
-       candidates via a shuffle equi-join on (band_id, band_hash) — never
-       an n² comparison;
-    3. verify (EXACT): true token-set Jaccard via array_intersect on the
-       candidate pairs only; keep jaccard_sim ≥ 0.4.
-
-    Token hashes are md5-derived (like text_simhash), so the ENTIRE
-    banded pipeline — signatures, banding, hot-bucket suppression,
-    candidate join, exact verify — is engine-independent and has a full
-    DuckDB oracle. (xxhash64 would be ~2× faster per hash but is
-    Spark-internal; the oracle is worth more.) An earlier version used
-    MLlib's MinHashLSH.approxSimilarityJoin, which degenerates to ~n²
-    pairwise sparse-vector distances on high-overlap corpora — this
-    banded form does the distance math only on banded candidates.
-    """
-    d = load(spark, sf_dir, "documents")
-    toks_arr = d.select(
+def _minhash_toks_arr(d: DataFrame) -> DataFrame:
+    """Distinct-token arrays per document — the shared base of the
+    MinHash signature pass and the exact-Jaccard verify (factored in
+    r16 when the calibration op became the second consumer)."""
+    return d.select(
         "doc_id",
-        F.array_distinct(F.filter(F.split(_norm_ascii(F.col("text")), " "), lambda t: t != "")).alias(
-            "toks"
-        ),
+        F.array_distinct(
+            F.filter(F.split(_norm_ascii(F.col("text")), " "), lambda t: t != "")
+        ).alias("toks"),
     ).filter(F.size("toks") > 0)
 
+
+def _minhash_sig(toks_arr: DataFrame) -> DataFrame:
+    """The wide MinHash signature table (doc_id, mh0..mh{N_MINHASH-1}):
+    one md5 per token, {N_MINHASH} affine universal hashes, one
+    groupBy(doc) of {N_MINHASH} min() aggregates. Spark twin of the
+    oracle chain's ``sig`` CTE (:func:`_minhash_chain_sql`)."""
     tok = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
     x = (
         F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10)
@@ -436,9 +435,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_MINHASH)
         ],
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(F.col(f"h{i}")).alias(f"mh{i}") for i in range(N_MINHASH)]
     )
+
+
+def _minhash_candidates(sig: DataFrame) -> DataFrame:
+    """Banded candidate pairs (doc_a < doc_b, distinct) with hot-bucket
+    suppression — Spark twin of the oracle chain's bands→keep→kb→cand
+    CTEs. The banding subtree has THREE consumers (bucket sizing plus
+    both sides of the self-join) and Catalyst re-executes shared
+    subplans per reference; cut the lineage once (lazy: schema-only
+    registry enumerations must not pay the materialization). Measured
+    at sf0.1: 1.80 → 1.64 s, result-identical. CAVEAT (single-node
+    bench optimization, not a resilience feature): localCheckpoint
+    stores blocks non-reliably on executors — on executor loss the
+    truncated lineage can't recompute and the job fails — and it pins
+    the pre-AQE plan; a fault-tolerant cluster deployment would swap
+    in reliable checkpoint(), a persisted table, or drop the cut."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -465,19 +479,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # the signature subtree (explode → 16 universal hashes → groupBy →
-    # band explode) has THREE consumers below — bucket sizing plus both
-    # sides of the self-join — and Catalyst re-executes shared subplans
-    # per reference; cut the lineage once (lazy: schema-only registry
-    # enumerations must not pay the materialization). Measured at
-    # sf0.1: 1.80 → 1.64 s, result-identical through the final
-    # .limit(100) (deterministic orderBy tiebreak keys make the limit
-    # checkpoint-safe). CAVEAT (single-node bench optimization, not a
-    # resilience feature): localCheckpoint stores blocks non-reliably
-    # on executors — on executor loss the truncated lineage can't
-    # recompute and the job fails — and it pins the pre-AQE plan; a
-    # fault-tolerant cluster deployment would swap in reliable
-    # checkpoint(), a persisted table, or drop the cut.
     bands = bands.localCheckpoint(eager=False)
 
     bucket_sizes = bands.groupBy("band_id", "band_hash").agg(
@@ -489,7 +490,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("bucket_n")
 
     a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -499,6 +500,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup — the 100 TB path, built directly
+    on DataFrame ops:
+
+    1. signature pass (LINEAR): one md5 per token → a universal-hash
+       family h_i(x) = (a_i·x + b_i) mod p gives 16 permutations; one
+       groupBy(doc) with 16 min() aggregates forms the signature;
+    2. banding: 4 bands of 4 rows; docs sharing any band signature become
+       candidates via a shuffle equi-join on (band_id, band_hash) — never
+       an n² comparison;
+    3. verify (EXACT): true token-set Jaccard via array_intersect on the
+       candidate pairs only; keep jaccard_sim ≥ 0.4.
+
+    Token hashes are md5-derived (like text_simhash), so the ENTIRE
+    banded pipeline — signatures, banding, hot-bucket suppression,
+    candidate join, exact verify — is engine-independent and has a full
+    DuckDB oracle. (xxhash64 would be ~2× faster per hash but is
+    Spark-internal; the oracle is worth more.) An earlier version used
+    MLlib's MinHashLSH.approxSimilarityJoin, which degenerates to ~n²
+    pairwise sparse-vector distances on high-overlap corpora — this
+    banded form does the distance math only on banded candidates.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks_arr = _minhash_toks_arr(d)
+    sig = _minhash_sig(toks_arr)
+    candidates = _minhash_candidates(sig)
 
     ta = toks_arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks_arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -515,6 +545,124 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_sim") >= JACCARD_MIN)
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
+    )
+
+
+@query(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH {_minhash_chain_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokf GROUP BY doc_id),
+    slots AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN tokf ta ON ta.doc_id = c.doc_a
+      JOIN tokf tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT s.n_match,
+             COALESCE(i.n_inter, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS exact_j
+      FROM slots s
+      LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+    )
+    SELECT CAST(n_match AS BIGINT) AS n_match,
+           {round_cmp_sql(f"n_match * 1.0 / {N_MINHASH}")} AS est_jaccard,
+           COUNT(*) AS n_pairs,
+           {round_cmp_sql("AVG(exact_j)")} AS avg_exact_jaccard,
+           {round_cmp_sql(f"AVG(ABS(n_match * 1.0 / {N_MINHASH} - exact_j))")} AS avg_abs_err
+    FROM pairs
+    GROUP BY n_match
+    ORDER BY n_match DESC
+    """,
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (r16): for every banded candidate
+    pair, compare the MinHash-ESTIMATED Jaccard (matching signature
+    slots / {N_MINHASH}) against the EXACT token-set Jaccard, rolled up
+    per matching-slot count — the measurement a production dedup
+    pipeline runs when tuning (bands, rows) geometry: it tells you, per
+    estimator reading, how many pairs you see, what their true
+    similarity is, and how far the estimate sits from truth
+    (E[est] = J per slot, so avg_abs_err ~ sqrt(J(1-J)/{N_MINHASH})
+    binomial noise when the estimator is healthy; a systematic gap
+    means the hash family or the shingling is broken for this corpus).
+
+    Scale shape: identical machinery to :func:`dedup_minhash_lsh` —
+    the signature pass is linear, candidates come from the banded
+    equi-join with hot-bucket suppression (never all-pairs; the r16
+    factoring shares the builders), the slot comparison is a
+    {N_MINHASH}-term codegen'd expression over the wide signature
+    table joined to the candidate list (two shuffle equi-joins on
+    doc id, both bounded by candidate count), the exact verify is the
+    same array_intersect the near-dup op pays, and the rollup is at
+    most {N_MINHASH}+1 rows. The signature table is lazily
+    checkpointed: it feeds BOTH the banding and the slot compare, and
+    Catalyst does not dedupe shared subplans (the r5b gotcha).
+
+    The oracle replays the IDENTICAL chain (shared verbatim via
+    :func:`_minhash_chain_sql`) plus the slot/exact rollup; estimated
+    Jaccard n/{N_MINHASH} is exact in binary ({N_MINHASH} is a power
+    of two), so only the averaged doubles need the round_cmp grid."""
+    d = load(spark, sf_dir, "documents")
+    toks_arr = _minhash_toks_arr(d)
+    sig = _minhash_sig(toks_arr).localCheckpoint(eager=False)
+    candidates = _minhash_candidates(sig)
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ).cast("long")
+
+    ta = toks_arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks_arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    pairs = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            n_match.alias("n_match"),
+            (inter / union).alias("exact_j"),
+        )
+    )
+    est = F.col("n_match") * F.lit(1.0) / F.lit(N_MINHASH)
+    return (
+        pairs.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round_cmp(F.avg("exact_j")).alias("avg_exact_jaccard"),
+            round_cmp(F.avg(F.abs(est - F.col("exact_j")))).alias("avg_abs_err"),
+        )
+        .select(
+            "n_match",
+            round_cmp(est).alias("est_jaccard"),
+            "n_pairs",
+            "avg_exact_jaccard",
+            "avg_abs_err",
+        )
+        .orderBy(F.desc("n_match"))
     )
 
 

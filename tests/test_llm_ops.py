@@ -2069,3 +2069,42 @@ def test_perplexity_tercile_histogram_cache_is_bounded(spark):
         assert not first_hist.storageLevel.useMemory  # released
     finally:
         _drain()
+
+
+def test_minhash_jaccard_calibration_properties(spark):
+    """r16 estimator-calibration pins: the rollup has at most
+    N_MINHASH+1 rows keyed by matching-slot count; est_jaccard is
+    exactly n_match/N_MINHASH; every banded candidate pair is counted
+    exactly once (the op and the near-dup op share the candidate
+    machinery, so the pair totals must agree); all similarity values
+    live in [0, 1]; and the estimator is UNBIASED in aggregate —
+    each slot matches with probability equal to the pair's true
+    Jaccard, so the pair-weighted mean estimate must sit near the
+    pair-weighted mean exact Jaccard (binomial noise only)."""
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators import (
+        dedup as D,
+    )
+    from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.registry import (
+        load,
+    )
+
+    rows = D.minhash_jaccard_calibration(spark, SF_CORRECT).collect()
+    assert 1 <= len(rows) <= D.N_MINHASH + 1
+    assert len({r.n_match for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.n_match <= D.N_MINHASH
+        assert abs(r.est_jaccard - r.n_match / D.N_MINHASH) < 1e-9
+        assert r.n_pairs >= 1
+        assert 0.0 <= r.avg_exact_jaccard <= 1.0
+        assert 0.0 <= r.avg_abs_err <= 1.0
+
+    d = load(spark, SF_CORRECT, "documents")
+    n_candidates = D._minhash_candidates(
+        D._minhash_sig(D._minhash_toks_arr(d))
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_candidates
+
+    n = sum(r.n_pairs for r in rows)
+    mean_est = sum(r.est_jaccard * r.n_pairs for r in rows) / n
+    mean_exact = sum(r.avg_exact_jaccard * r.n_pairs for r in rows) / n
+    assert abs(mean_est - mean_exact) < 0.08, (mean_est, mean_exact)

@@ -1332,3 +1332,16 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in formatted_plan(rq.fn(spark, SF_SMOKE)):
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_minhash_calibration_reuses_banded_machinery(spark):
+    # the calibration op must pay the SAME plan costs as the near-dup
+    # op it calibrates: banded equi-join candidates (never a cartesian
+    # or an all-pairs BNLJ), broadcast hot-bucket cap, and a final
+    # partial-aggregated rollup of at most N_MINHASH+1 rows
+    df = q("minhash_jaccard_calibration", spark)
+    js = join_strategies(df)
+    assert "CartesianProduct" not in js
+    assert "BroadcastNestedLoopJoin" not in js
+    assert "BroadcastHashJoin" in js  # the hot-bucket cap join
+    assert any("avg" in f or "count" in f for f in partial_agg_functions(df))

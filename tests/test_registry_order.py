@@ -35,8 +35,8 @@ ROUND16_STALE_IDS = [
 ROUND16_CHANGED_IDS = [
     # NEW this round (VERDICT r15 item 2): the eight classic TPC-H
     # shapes the suite lacked — operators/tpch.py now covers all 22.
-    # Q2 correlated scalar-subquery MIN (decorrelated to a per-part
-    # min joined back), Q4 EXISTS→left semi, Q9 LIKE-filtered profit
+    # Q2 correlated scalar-subquery MIN (decorrelated to a min window
+    # over the semi-pruned pair table), Q4 EXISTS→left semi, Q9 LIKE-filtered profit
     # rollup, Q11 HAVING vs global-share scalar subquery (grid-rounded
     # threshold compare), Q12 CASE-pivot counts, Q16 NOT IN→broadcast
     # left anti on a non-null key, Q20 nested IN chain→semi-join
@@ -52,17 +52,29 @@ ROUND16_CHANGED_IDS = [
     "tpch_q20",
     "tpch_q21",
     # recert for the r16 impl change (ADVICE r15 item 3: the
-    # histogram's localCheckpoint blocks were session-unreleasable —
-    # the class the BPE trainer was migrated off in r15 — replaced by
-    # persist(MEMORY_AND_DISK) + eager materialization, freeing the
-    # previous invocation's histogram on each call)
+    # histogram now lives in a single-slot (session, sf_dir)-keyed
+    # persist cache — same-key repeats reuse the shared cache-manager
+    # entry, different-key calls evict and release)
     "perplexity_tercile_split",
+    # NEW (r16, second tranche): the MinHash estimator-calibration
+    # measurement — matching-slot count vs exact token-set Jaccard per
+    # banded candidate pair, rolled up per slot count; shares the
+    # banded-candidate builders and the _minhash_chain_sql oracle
+    # chain with the near-dup op
+    "minhash_jaccard_calibration",
+    # recert for the r16 factoring (shared builders + oracle chain;
+    # generated oracle SQL verified byte-identical to the pre-factor
+    # text)
+    "dedup_minhash_lsh",
 ]
 
-#: oldest-first refresh: 40 of the 46 r12-cohort residents (staleness
-#: 4 entering r16), alphabetical; the tail 6 (text_quality_score,
+#: oldest-first refresh: 38 of the 46 r12-cohort residents (staleness
+#: 4 entering r16), alphabetical; the tail 8
+#: (streaming_view_purchase_join, text_lang_id, text_quality_score,
 #: text_simhash, text_token_count, video_frame_sample, vocab_oov_rate,
-#: window_moving_avg) slip to lead the r17 window per the pinned plan.
+#: window_moving_avg) slip to lead the r17 window per the pinned plan
+#: — the last two evicted to fund the calibration-op and
+#: minhash-recert slots.
 ROUND16_R12_COHORT_IDS = [
     "asof_join_attribution",
     "cohort_retention",
@@ -102,8 +114,6 @@ ROUND16_R12_COHORT_IDS = [
     "streaming_dedup_replay",
     "streaming_neardup_probe",
     "streaming_sessionization",
-    "streaming_view_purchase_join",
-    "text_lang_id",
 ]
 
 
@@ -141,10 +151,11 @@ def test_no_registry_entry_left_unchecked_after_r16():
 def test_r16_window_covers_every_pre_r12_certification():
     """The oldest-first policy invariant: after r16 lands green, no
     op's latest driver certification is older than round 12, and
-    exactly SIX r12 rows remain outside the window — the alphabetical
-    cohort tail evicted to fund the eight new TPC-H slots plus the
-    tercile recert; they lead the r17 window per the pinned plan (the
-    same bounded-staleness eviction as tpch_q8 in r15)."""
+    exactly EIGHT r12 rows remain outside the window — the
+    alphabetical cohort tail evicted to fund the eight new TPC-H
+    slots, the tercile recert, the calibration op, and the minhash
+    recert; they lead the r17 window per the pinned plan (the same
+    bounded-staleness eviction as tpch_q8 in r15)."""
     import glob
     import json
     import os
@@ -159,6 +170,8 @@ def test_r16_window_covers_every_pre_r12_certification():
     assert not pre_r12, f"pre-r12 certifications left outside the r16 window: {pre_r12}"
     r12_left = sorted(n for n in REGISTRY if latest.get(n, 0) == 12 and n not in prefix)
     assert r12_left == [
+        "streaming_view_purchase_join",
+        "text_lang_id",
         "text_quality_score",
         "text_simhash",
         "text_token_count",

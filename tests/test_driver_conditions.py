@@ -72,18 +72,10 @@ def duck():
     con.close()
 
 
-def _canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return ("nan",)
-            return round(v, 9)
-        return v
-
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+# ONE canon protocol repo-wide: reuse test_oracle_parity's (r16 review
+# caught this file carrying a verbatim fork of it — the drifting-copy
+# class the shared assert_matches_oracle helper exists to prevent)
+from test_oracle_parity import canon as _canon  # noqa: E402
 
 
 def test_no_hugeint_oracle_outputs(spark, duck):

@@ -103,6 +103,7 @@ def test_rows_only_queries_run(spark):
 #: mask (e.g. a LIMIT whose tiebreak only bites when the result
 #: overflows it, or a filter that happens to be empty-vs-empty).
 CROSS_SF_QUERIES = [
+    "minhash_jaccard_calibration",
     "tpch_q2",
     "tpch_q4",
     "tpch_q9",

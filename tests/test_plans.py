@@ -1214,16 +1214,19 @@ def test_perplexity_tercile_plan_thresholds_broadcast_no_doc_sort(spark):
         assert set(cols) <= {"doc_id", "text", "source", "n_chars"}
 
 
-def test_tpch_q2_decorrelates_min_to_broadcast_join_back(spark):
-    # the correlated scalar-subquery MIN must become a per-part min
-    # aggregate BROADCAST back onto the cost table — never a
-    # re-shuffle of the pair table, never a cartesian — and BOTH
-    # dimension filters must semi-prune the single fact scan BEFORE
-    # the pair aggregate (the r16 follow-up: aggregating all pairs
-    # first shuffled the whole fact table for a ~0.6% survivor set)
+def test_tpch_q2_semi_prunes_then_window_min(spark):
+    # the correlated scalar-subquery MIN decorrelates to a MIN WINDOW
+    # over the dimension-bounded pair table (NOT a min aggregate
+    # broadcast-joined back — that form references the pair subtree
+    # twice and Catalyst executes the fact scan twice, the r5b
+    # gotcha), BOTH dimension filters semi-prune the single fact scan
+    # BEFORE the pair aggregate (the r16 follow-up: aggregating all
+    # pairs first shuffled the whole fact table for a ~0.6% survivor
+    # set), and the dims broadcast — never a cartesian
     df = q("tpch_q2", spark)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan  # the per-part min, one linear plan
     js = join_strategies(df)
     assert "BroadcastHashJoin" in js
     assert "CartesianProduct" not in js
@@ -1318,8 +1321,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
     a CartesianProduct at any point — every pairwise shape in the repo
     is banded/blocked/broadcast by design, and a refactor that silently
     degrades a join condition into a cross product is exactly the class
-    of scale-killer a per-op pin can miss (this sweep builds all 200
-    plans in ~2 min at the smoke SF; 1-row scalar crosses legitimately
+    of scale-killer a per-op pin can miss (this sweep builds every registered
+    plan — 201 as of r16 — in ~2 min at the smoke SF; 1-row scalar crosses legitimately
     plan as BroadcastNestedLoopJoin, which individual per-op pins
     police where it matters — CartesianProduct is the never-acceptable
     strategy because it means BOTH sides were too big to broadcast)."""

@@ -29,7 +29,7 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.session impor
 #: into the payload so the box-normalization block can pick the last
 #: artifact from a DIFFERENT round as its reference (ADVICE r14: a
 #: plain HEAD read self-compares after the round's artifact commit).
-ROUND = 16
+ROUND = 17
 
 
 def pick_reference(repo_dir: str, current_round: int):
@@ -296,18 +296,40 @@ def main() -> None:
         # reading the per-query map
         "note": "total includes pipeline_clean since r9",
     }
-    # queries FIRST, summary fields LAST, compact separators: harness
-    # logs that keep only the tail of a long line still capture the
-    # headline metric and as many per-query entries as fit
-    print(json.dumps(payload, separators=(",", ":")))
-    # the official artifact has truncated the head of this line before
-    # (BENCH_r05 kept only the last 72 of 170 per-query timings), so
-    # also persist the complete result where it can't be clipped
+    # The complete payload (202-entry per-query map) goes to
+    # BENCH_LOCAL.json — it is ~12.6 kB as one JSON line, and the
+    # driver's tail capture truncates lines that long, recording
+    # `parsed: null` in the official BENCH_r{N}.json artifact
+    # (VERDICT r16 item 3 / BENCH_r16). stdout therefore gets a
+    # COMPACT summary line (< 1 kB: headline metric, sentinels, the
+    # box-normalization block, entry count, repeat policy) as the
+    # FINAL line so the per-round artifact is parseable end-to-end;
+    # the per-op map lives only in the written file.
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as exc:  # pragma: no cover - stdout is the contract
         print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    summary = {
+        k: payload[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "cpus",
+            "producing_round",
+            "sentinel_start",
+            "sentinel_mid",
+            "sentinel_end",
+            "box_normalization",
+            "note",
+        )
+    }
+    summary["n_queries"] = len(timings)
+    summary["n_errors"] = sum(1 for t in timings.values() if t < 0)
+    summary["queries"] = "see BENCH_LOCAL.json (per-op map omitted: driver tail-capture truncates >~2 kB lines)"
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

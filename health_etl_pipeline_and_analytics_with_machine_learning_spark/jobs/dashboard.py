@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import queries
+from ..functions.lineage import lineage_cut
 from ..pipeline import clean_health_dataset
 from ..session import get_spark
 
@@ -67,7 +68,7 @@ def run(
     year: int | None = None,
     country: str | None = None,
 ) -> dict:
-    cleaned = clean_health_dataset(spark, raw_csv).localCheckpoint(eager=True)
+    cleaned = lineage_cut(clean_health_dataset(spark, raw_csv), eager=True)
     return dashboard_sections(cleaned, year=year, country=country)
 
 

@@ -47,6 +47,7 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import lineage_cut
 from ..pipeline import clean_health_dataset
 from ..session import get_spark
 from .dashboard import dashboard_sections
@@ -165,8 +166,8 @@ class DashboardApp:
         # not accumulate superseded checkpoint storage)
         jsc = self.spark.sparkContext._jsc
         prior_ids = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
-        self.cleaned = clean_health_dataset(self.spark, raw_csv).localCheckpoint(
-            eager=True
+        self.cleaned = lineage_cut(
+            clean_health_dataset(self.spark, raw_csv), eager=True
         )
         live = jsc.getPersistentRDDs()
         for k in live.keySet().toArray():

@@ -35,111 +35,119 @@ from .registry import REGISTRY as _R
 #: said "all 34" was wrong, ADVICE r15 item 1) — 50/50 green, in
 #: pinned order.
 _RECHECK_FIRST = [
-    # r16 window (EXACTLY 50 ids). The plan pinned at round-14/15 end
-    # said "tpch_q8, then the full 46-op r12 cohort, then r16
-    # changed-text with the remaining slots" — but policy (a) is
-    # absolute (every op whose impl/oracle text changed THIS round
-    # gets a slot, VERDICT r15 item 2: "new ops take priority per
-    # policy a"), and r16 ships NINE changed ops, so the changed tier
-    # sits ahead of the cohort exactly as it did in r14/r15 and the
-    # cohort's alphabetical tail (6 ops from text_quality_score on)
-    # slips to r17.
-    # — staleness tier FIRST (policy b): the one r11 resident, the
-    #   oldest driver row anywhere (staleness 5 entering r16) —
-    "tpch_q8",
-    # — changed-text tier (policy a): the eight classic TPC-H shapes
-    #   the suite lacked (VERDICT r15 item 2 — tpch.py now covers all
-    #   22). Each decorrelates its subquery explicitly: Q2 correlated
-    #   scalar-MIN -> per-part min joined back; Q4 EXISTS -> left
-    #   semi; Q9 LIKE profit rollup; Q11 HAVING-vs-global-share with
-    #   grid-rounded threshold compare; Q12 CASE pivot counts; Q16
-    #   NOT IN -> broadcast left anti on a non-null key; Q20 nested
-    #   IN chain -> semi-join ladder with the correlated threshold as
-    #   a conditional sum in the same pass; Q21 multi-EXISTS/NOT-
-    #   EXISTS -> co-partitioned left semi + left anti self-joins
-    #   with the suppkey inequality as residual —
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    #   perplexity_tercile_split recertifies for the r16 impl change
-    #   (ADVICE r15 item 3: the histogram's localCheckpoint blocks
-    #   were unreleasable for the session — the same class the BPE
-    #   trainer was migrated off in r15 — so it now lives in a
-    #   single-slot (session, sf_dir)-keyed persist cache: same-key
-    #   repeats REUSE the shared cache-manager entry, different-key
-    #   calls evict and release — exactly one histogram cached at any
-    #   time) —
-    "perplexity_tercile_split",
-    #   minhash_jaccard_calibration is NEW (r16, second tranche): the
-    #   estimator-calibration measurement a dedup pipeline runs when
-    #   tuning (bands, rows) — matching-signature-slot count vs EXACT
-    #   token-set Jaccard per banded candidate pair, rolled up per
-    #   slot count; shares the banded-candidate machinery (Spark
-    #   builders + the _minhash_chain_sql oracle chain) with the
-    #   near-dup op —
-    "minhash_jaccard_calibration",
-    #   dedup_minhash_lsh recertifies for the r16 factoring (the
-    #   signature/banding/candidate builders and the oracle CTE chain
-    #   are now shared with the calibration op; generated oracle SQL
-    #   verified byte-identical to the pre-factor text, the
-    #   _bpe_chain_sql precedent) —
+    # r17 window (EXACTLY 50 ids). Executed exactly as pinned at r16
+    # round end: the eight r12 residents FIRST (staleness 5 entering
+    # r17 — the oldest driver rows anywhere), then the r17
+    # changed-text tier (policy a), then the r13 cohort alphabetical
+    # with the remaining slots.
+    #
+    # POLICY REFINEMENT (r17, documented in BASELINE.md): policy (a)
+    # covers EXECUTABLE text — operator/helper code or oracle SQL,
+    # including refactors whose output is byte-identical (the r15/r16
+    # recert standard). Comment/docstring-only edits cannot change
+    # behavior and do NOT consume certification slots; they are
+    # logged here instead. r17 docstring-only edits: tpch_q2 / q9 /
+    # q14 / q16 ('%%'->'%' rendering fix, ADVICE r16 item 3) and the
+    # lineage-cut pointer rewordings inside otherwise-unchanged
+    # docstrings; every op whose body or transitive helper CODE
+    # changed is in the tier below.
+    # — staleness tier FIRST (policy b): the eight r12-cohort
+    #   residents that slipped the r16 window —
+    "streaming_view_purchase_join",
+    "text_lang_id",
+    "text_quality_score",
+    "text_simhash",
+    "text_token_count",
+    "video_frame_sample",
+    "vocab_oov_rate",
+    "window_moving_avg",
+    # — changed-text tier (policy a): VERDICT r16 item 4 factored the
+    #   hand-written localCheckpoint lineage-cut policy (+ its
+    #   cluster-deployment caveat) into functions.lineage.lineage_cut
+    #   and migrated every call-site in dedup/tpch/mining/scaled/
+    #   streaming-neardup + similarity_lsh_bucketed (the caveat-
+    #   paragraph copies all eliminated); plans are bit-identical
+    #   (the helper still localCheckpoints) but the impl text of
+    #   every op that transitively reaches a migrated site changed,
+    #   so each gets a recert slot (the r15/r16 byte-identical-recert
+    #   standard). tpch_q7 additionally RECALIBRATED (executable +
+    #   oracle change): the r17 suite-wide cross-SF certification
+    #   (VERDICT r16 item 5) caught its nation pair empty-vs-empty
+    #   at sf0.001; now NATION_18/NATION_19 (23/68/621 qualifying
+    #   rows at sf0.001/0.01/0.1).
+    #   dedup family (via _minhash_candidates / _capped_bands /
+    #   _neardup_edges / connected_components / _banded_prefix_pairs):
     "dedup_minhash_lsh",
-    # — r12-cohort tier (policy b: oldest-first; 40 of the 46 fit,
-    #   alphabetical within the equal-staleness tie) —
-    "asof_join_attribution",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_exact",
-    "doc_fingerprint",
-    "eq_filter_group_agg",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "filter_group2_avg2_count_sort",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "global_sort_rowid",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "group_avg_sum2_topk",
-    "group_quantiles",
-    "image_phash_neardup",
-    "json_props_extract",
-    "mad_outlier_detect",
-    "multimodal_bmp_decode",
-    "multimodal_ppm_decode",
-    "overview_scalars",
-    "pivot_event_counts",
-    "project_dropna",
-    "range_filter_agg",
-    "running_distinct_users",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
+    "minhash_jaccard_calibration",
     "simhash_near_pairs",
-    "source_vocab_overlap",
-    "stratified_hash_sample",
-    "streaming_countmin_replay",
-    "streaming_dedup_replay",
+    "image_phash_neardup",
+    "audio_fingerprint_neardup",
+    "dedup_connected_components",
+    "dedup_incremental",
+    #   streaming near-dup (store build + maintenance batch cuts):
     "streaming_neardup_probe",
-    "streaming_sessionization",
-    # — r17 window plan (pinned now so the rotation stays mechanical):
-    #   FIRST the eight r12 residents that slipped this window
-    #   (staleness 5 entering r17, alphabetical:
-    #   streaming_view_purchase_join, text_lang_id,
-    #   text_quality_score, text_simhash, text_token_count,
-    #   video_frame_sample, vocab_oov_rate, window_moving_avg — the
-    #   last two funded the calibration-op and minhash-recert slots),
-    #   then r17 changed-text, then the 47-op r13 cohort alphabetical
-    #   with the remaining ~slots — the same two-round cohort drain as
-    #   r11/r12.
+    "streaming_neardup_store_maintenance",
+    "streaming_neardup_store_compaction",
+    #   similarity (the bucket-table cut — one of the caveat copies):
+    "similarity_lsh_bucketed",
+    #   tpch (q7 recalibration; q11/q15 value/revenue-table cuts):
+    "tpch_q7",
+    "tpch_q11",
+    "tpch_q15",
+    #   mining (five eager cuts + the countmin grid cut):
+    "interval_concurrency_peak",
+    "assoc_rules_lift",
+    "brand_copurchase_triangles",
+    "pagerank_nation_trade",
+    "kmv_join_cardinality",
+    "streaming_countmin_replay",
+    #   scaled (the grouped-exact-quantile histogram cut feeds all
+    #   three scaled twins):
+    "median_fill_scaled",
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+    # — r13-cohort tier (policy b: oldest-first; 19 of the 37
+    #   not-already-changed fit, alphabetical within the
+    #   equal-staleness tie) —
+    "benford_law_check",
+    "bigram_cross_entropy",
+    "bigram_cross_entropy_hashed",
+    "bpe_pair_counts",
+    "c4_heuristic_filter",
+    "cdc_latest_compaction",
+    "contamination_ngram_check",
+    "corpus_curation",
+    "countmin_estimate",
+    "cusum_changepoint",
+    "dedup_common_spans",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_cluster",
+    "doc_self_repetition",
+    "ewma_smoothing",
+    "heavy_hitters_twopass",
+    "incremental_agg_update",
+    "inverted_index_topk",
+    # — r18 window plan (pinned now so the rotation stays
+    #   mechanical): FIRST the eighteen r13 residents that slipped
+    #   this window (staleness 5 entering r18, alphabetical:
+    #   kmv_distinct_sketch, largest_remainder_alloc,
+    #   mann_kendall_trend, multimodal_decode_dispatch,
+    #   multimodal_wav_decode, sequence_pack_scaled,
+    #   sequence_pack_stats, split_leakage_ngram,
+    #   streaming_hour_rollup, text_repetition_flags,
+    #   trend_group_avg_sort, truncation_loss_curve, two_level_agg,
+    #   user_event_paths, value_counts_topk, window_group_median_fill,
+    #   window_lag_value_delta, zscore_normalize), then r18
+    #   changed-text — the planned lineage-cut tranche 2
+    #   (similarity._det_kmeans_fit + split_leakage_lsh +
+    #   record_id.with_record_id; affected ops: the r14 IVF/PQ
+    #   family — due for rotation at r18 anyway — plus
+    #   split_leakage_lsh, global_sort_rowid,
+    #   streaming_sessionization) — then the r14 cohort alphabetical
+    #   with the remaining slots.
 ]
+
 
 _ordered = {n: _R[n] for n in _RECHECK_FIRST if n in _R}
 for _n, _rq in list(_R.items()):

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import lineage_cut
 from .registry import load, query, round_cmp, round_cmp_sql, spread
 from .text import (
     _NORM_ASCII_SQL,
@@ -444,15 +445,9 @@ def _minhash_candidates(sig: DataFrame) -> DataFrame:
     """Banded candidate pairs (doc_a < doc_b, distinct) with hot-bucket
     suppression — Spark twin of the oracle chain's bands→keep→kb→cand
     CTEs. The banding subtree has THREE consumers (bucket sizing plus
-    both sides of the self-join) and Catalyst re-executes shared
-    subplans per reference; cut the lineage once (lazy: schema-only
-    registry enumerations must not pay the materialization). Measured
-    at sf0.1: 1.80 → 1.64 s, result-identical. CAVEAT (single-node
-    bench optimization, not a resilience feature): localCheckpoint
-    stores blocks non-reliably on executors — on executor loss the
-    truncated lineage can't recompute and the job fails — and it pins
-    the pre-AQE plan; a fault-tolerant cluster deployment would swap
-    in reliable checkpoint(), a persisted table, or drop the cut."""
+    both sides of the self-join); :func:`~...functions.lineage.
+    lineage_cut` materializes it once (policy + cluster caveat live
+    there). Measured at sf0.1: 1.80 → 1.64 s, result-identical."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -479,7 +474,7 @@ def _minhash_candidates(sig: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    bands = bands.localCheckpoint(eager=False)
+    bands = lineage_cut(bands)
 
     bucket_sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
@@ -617,7 +612,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two), so only the averaged doubles need the round_cmp grid."""
     d = load(spark, sf_dir, "documents")
     toks_arr = _minhash_toks_arr(d)
-    sig = _minhash_sig(toks_arr).localCheckpoint(eager=False)
+    sig = lineage_cut(_minhash_sig(toks_arr))
     candidates = _minhash_candidates(sig)
 
     sa = sig.select(
@@ -731,10 +726,11 @@ def _cap_bands(bands: DataFrame) -> DataFrame:
 def _capped_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, simhash) → hot-bucket-capped band rows (doc_id, simhash,
     bk, band_key): the self-join mode's store-side half of the banded
-    tail. Lazy-checkpointed band explode (bands feed the bucket-size
-    pass and the join side; a fresh call gets a fresh RDD so repeated
-    bench runs stay honest — executor-loss/pre-AQE caveat as
-    elsewhere), broadcast hot-bucket cap (:func:`_cap_bands`).
+    tail. Lineage-cut band explode (bands feed the bucket-size pass
+    and the join side; a fresh call gets a fresh RDD so repeated
+    bench runs stay honest — policy + cluster caveat in
+    :func:`~...functions.lineage.lineage_cut`), broadcast hot-bucket
+    cap (:func:`_cap_bands`).
 
     History note (ADVICE r11 → two r12 review passes): a ``checkpoint=``
     opt-out was added for the streaming store build, shown to re-run
@@ -742,7 +738,7 @@ def _capped_bands(sig: DataFrame) -> DataFrame:
     streaming/neardup._store_bands moved to its own eager-inner-cut +
     :func:`_cap_bands` composition — callers that cannot afford the
     lazy cut should compose those primitives directly the same way."""
-    return _cap_bands(_simhash_bands(sig).localCheckpoint(eager=False))
+    return _cap_bands(lineage_cut(_simhash_bands(sig)))
 
 
 def _banded_hamming_pairs(
@@ -912,11 +908,11 @@ def _neardup_edges(d: DataFrame) -> DataFrame:
     shape unchanged while the edge list stays linear in dup-group size.
 
     The capped index feeds FOUR consumers (both self-join sides and
-    both size lookups) and Catalyst does not dedupe shared subplans —
-    localCheckpoint materializes it once (measured 3.0 → 2.1 s at
-    sf0.1; same device as the connected-components round cut).
+    both size lookups) — :func:`~...functions.lineage.lineage_cut`
+    materializes it once (measured 3.0 → 2.1 s at sf0.1; same device
+    as the connected-components round cut).
     """
-    sh = _shingle_index(d).localCheckpoint(eager=False)
+    sh = lineage_cut(_shingle_index(d))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -973,8 +969,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
     )
+    labels = lineage_cut(labels)
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.src == labels.node)
@@ -988,7 +984,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
                 (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        new = lineage_cut(new)
         changed = new.filter("chg").count()
         labels = new.drop("chg")
         if changed == 0:
@@ -1043,15 +1040,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side: iterative min-label propagation on DataFrames — each
     round every node takes min(own label, neighbors' labels); converges
     in O(component diameter) rounds (dup clusters are shallow; the loop
-    is bounded and convergence-checked, lineage cut per round with
-    localCheckpoint). This is the scalable pattern (GraphX/GraphFrames
+    is bounded and convergence-checked, lineage cut per round via
+    functions.lineage.lineage_cut). This is the scalable pattern (GraphX/GraphFrames
     CC is the same algorithm): per-round cost is one shuffle of the
     edge list, no driver-side graph. The oracle resolves the identical
     closure with a recursive CTE — tractable because the checked corpus
     is small; at 100 TB only the iterative form survives.
     """
     d = load(spark, sf_dir, "documents")
-    pairs = _neardup_edges(d).localCheckpoint(eager=False)
+    pairs = lineage_cut(_neardup_edges(d))
     labels = connected_components(pairs)
     return (
         labels.groupBy(F.col("lbl").alias("component"))
@@ -1259,7 +1256,7 @@ def _banded_prefix_pairs(batch_bands: DataFrame, store_bands: DataFrame) -> Data
     side): callers hand in a checkpointed frame."""
     from pyspark.sql.window import Window
 
-    all_bands = store_bands.unionByName(batch_bands).localCheckpoint(eager=False)
+    all_bands = lineage_cut(store_bands.unionByName(batch_bands))
     # bucket population AS OF each src that appears in the bucket:
     # rows with strictly earlier src = running sum EXCLUSIVE of the
     # current src's own count. Every (probe row's bucket, src_a) combo

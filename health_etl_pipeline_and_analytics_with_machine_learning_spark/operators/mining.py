@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.lineage import lineage_cut
 from .registry import ROUND_DP, epoch_us_utc, load, query, round_cmp, round_cmp_sql, spread
 from .text import ALPHA_TOKENIZE_EXPR, ALPHA_TOKENIZE_SQL
 
@@ -506,7 +507,7 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two consumers below (peak aggregate + the argmin join) — persist
     # the swept stream once instead of re-running the union+window
-    run = run.localCheckpoint(eager=True)
+    run = lineage_cut(run, eager=True)
     pk = run.groupBy("event_type").agg(F.max("running").alias("peak_concurrency"))
     return (
         run.join(pk, "event_type")
@@ -693,7 +694,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers below (total, item counts, pair counts) — persist
     # the basket table once instead of re-running the build per branch
     # (at cluster scale: .persist(StorageLevel.DISK_ONLY) instead)
-    sets = sets.localCheckpoint(eager=True)
+    sets = lineage_cut(sets, eager=True)
     tot = sets.agg(F.count(F.lit(1)).alias("n"))
     items = sets.select(F.explode("items").alias("item")).groupBy("item").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -808,7 +809,7 @@ def brand_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list is referenced four times below (three join aliases +
     # the degree table); it is dimension-sized, so cut the lineage here
     # rather than re-running the basket pair count per reference
-    edges = edges.localCheckpoint(eager=True)
+    edges = lineage_cut(edges, eager=True)
     ab = edges.select(F.col("x").alias("a"), F.col("y").alias("b"))
     bc = edges.select(F.col("x").alias("b"), F.col("y").alias("c"))
     ac = edges.select(F.col("x").alias("a"), F.col("y").alias("c"))
@@ -923,9 +924,9 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = e.join(ow, "src").select(
         "src", "dst", (F.col("w") / F.col("ow").cast("double")).alias("p")
     )
-    # the transition matrix is dimension-sized from here on; localCheckpoint
-    # cuts the 4-table lineage so the 3 iterations don't re-run the joins
-    tr = tr.localCheckpoint(eager=True)
+    # the transition matrix is dimension-sized from here on; cut the
+    # 4-table lineage so the 3 iterations don't re-run the joins
+    tr = lineage_cut(tr, eager=True)
     nodes = n.select(F.col("n_nationkey").alias("node"))
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(_PR_N))
     for _ in range(_PR_ITERS):
@@ -1496,13 +1497,13 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
     # each side feeds the union AND a membership semi-join — persist the
     # distinct-hash tables (sketch-sized) instead of re-scanning events
-    va = va.localCheckpoint(eager=True)
-    vb = vb.localCheckpoint(eager=True)
+    va = lineage_cut(va, eager=True)
+    vb = lineage_cut(vb, eager=True)
     un = va.union(vb).distinct()
     # k smallest of the union as TakeOrderedAndProject (per-task heap +
     # driver merge) — a global row_number window would funnel EVERY
     # distinct hash through one task at scale
-    ksmall = un.orderBy("h").limit(_KJC_K).localCheckpoint(eager=True)
+    ksmall = lineage_cut(un.orderBy("h").limit(_KJC_K), eager=True)
     kth = ksmall.agg(
         F.max("h").alias("kth_h"), F.count(F.lit(1)).alias("k_eff")
     )
@@ -2381,7 +2382,7 @@ def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    grid = spark.table(name).localCheckpoint(eager=True)
+    grid = lineage_cut(spark.table(name), eager=True)
     return _cm_probe(spark, sf_dir, grid)
 
 

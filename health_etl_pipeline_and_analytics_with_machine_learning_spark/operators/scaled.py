@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.lineage import lineage_cut
 from ..functions.rank_math import interp_col, rank_spec_col
 from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
@@ -80,7 +81,7 @@ def grouped_exact_quantiles(
     )
     # the histogram feeds three downstream consumers; cut lineage so it
     # is built once (same device as functions/quantiles.py)
-    ranged = ranged.localCheckpoint(eager=False)
+    ranged = lineage_cut(ranged)
 
     # per-(partition, key) subtotals → running offset of each key's rows
     # that live in earlier range partitions, plus the key's total n.

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.lineage import lineage_cut
 from .registry import load, query, round_cmp, round_cmp_sql
 
 N_QUERIES = 10
@@ -610,17 +611,11 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     # the bucket expression (tables × planes 64-dim dot products per
     # row) has TWO consumers — the candidate join's stream side and the
-    # broadcast query side — and Catalyst re-executes shared subplans
-    # per reference; cut the lineage once (lazy, so schema-only
-    # enumerations don't materialize). Measured at sf0.1: 1.81 →
-    # 1.39 s, result-identical (r8 shared-subtree audit, same shape as
-    # dedup_minhash_lsh's bands checkpoint). CAVEAT (single-node bench
-    # optimization, not a resilience feature): localCheckpoint stores
-    # blocks non-reliably on executors — on executor loss the truncated
-    # lineage can't recompute and the job fails — and it pins the
-    # pre-AQE plan; a fault-tolerant cluster deployment would swap in
-    # reliable checkpoint(), a persisted table, or drop the cut.
-    vb = _lsh_buckets(e).localCheckpoint(eager=False)
+    # broadcast query side; cut the lineage once (policy + cluster
+    # caveat in functions.lineage.lineage_cut). Measured at sf0.1:
+    # 1.81 → 1.39 s, result-identical (r8 shared-subtree audit, same
+    # shape as dedup_minhash_lsh's bands cut).
+    vb = lineage_cut(_lsh_buckets(e))
     qb = vb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

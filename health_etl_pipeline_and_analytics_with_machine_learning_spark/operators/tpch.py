@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import lineage_cut
 from .registry import ROUND_DP, load, query, round_cmp, round_cmp_sql
 
 DP = ROUND_DP
@@ -280,7 +281,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect (adapted: p_type here is a flat
-    category, so equality replaces the spec's LIKE 'PROMO%%'): the share
+    category, so equality replaces the spec's LIKE 'PROMO%'): the share
     of one month's revenue from promo parts — the conditional-share
     aggregation computed in ONE pass (no self-join, no second scan).
     Scale shape: part broadcasts into the month-pruned lineitem scan;
@@ -315,8 +316,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
       AND l.l_shipdate >= DATE '1996-01-01'
       AND l.l_shipdate < DATE '1998-01-01'
     GROUP BY supp_nation, cust_nation, l_year
@@ -326,7 +327,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: bilateral trade between two nations per
     year — the disjunctive two-sided nation predicate over a five-join
-    tree. Scale shape: both nation sides, supplier, and customer
+    tree (pair NATION_18/NATION_19 — calibrated non-empty at sf0.001,
+    sf0.01 AND sf0.1: 23/68/621 qualifying rows; the original
+    NATION_1/NATION_2 pair was empty at sf0.001, caught by the r17
+    suite-wide cross-SF certification). Scale shape: both nation
+    sides, supplier, and customer
     broadcast; lineitem⋈orders is the single big shuffle; the
     disjunction evaluates post-join on broadcast columns (cheap), while
     the date range pushes into the fact scan."""
@@ -344,8 +349,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "cn_key"
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -427,7 +432,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one partial-agg'd shuffle builds the |suppliers|-row revenue
     table; the max is a broadcast scalar joined back (no window over a
     global sort, no second scan of lineitem — the revenue table is
-    checkpoint-reused for both the max and the filter)."""
+    lineage-cut once for both the max and the filter, policy in
+    functions.lineage.lineage_cut)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -439,8 +445,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("total_revenue")
         )
-        .localCheckpoint(eager=False)
     )
+    revenue = lineage_cut(revenue)
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
@@ -754,7 +760,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table, so
     lineitem's (l_partkey, l_suppkey) pairs play the part-supplier
     relation with MIN unit price as the supply cost; flat p_type
-    equality and a size cap replace the spec's LIKE '%%BRASS' / size
+    equality and a size cap replace the spec's LIKE '%BRASS' / size
     filters): for each small STANDARD part, the ASIA supplier(s)
     offering it at the region-minimum cost — the correlated
     scalar-subquery-MIN shape. The subquery decorrelates into a
@@ -893,7 +899,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spec's p_name LIKE filter survives verbatim): profit by
     supplier nation by order year over one product family. Scale
     shape: the LIKE-filtered part dim broadcasts INTO the fact scan
-    (the filter prunes ~87%% of lineitem before anything wide);
+    (the filter prunes ~87% of lineitem before anything wide);
     supplier and nation broadcast; lineitem x orders is the one big
     shuffle; the rollup is |nations x years| rows."""
     li = load(spark, sf_dir, "lineitem")
@@ -954,10 +960,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison, so the cross-engine float-sum ordering difference
     can never flip a boundary row. Scale shape: supplier/nation/region
     broadcast into the fact scan; ONE partial-aggregated shuffle on
-    partkey builds the |parts|-bounded value table (lazily
-    checkpointed — it feeds both the threshold scalar and the filter,
-    and Catalyst does not dedupe shared subplans); the threshold is a
-    1-row broadcast."""
+    partkey builds the |parts|-bounded value table (lineage-cut — it
+    feeds both the threshold scalar and the filter, and Catalyst does
+    not dedupe shared subplans; policy in
+    functions.lineage.lineage_cut); the threshold is a 1-row
+    broadcast."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -968,8 +975,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
-        .localCheckpoint(eager=False)
     )
+    val = lineage_cut(val)
     thr = val.agg(
         round_cmp(F.lit(1.5) * F.sum("value") / F.count(F.lit(1))).alias("__t")
     )
@@ -1047,7 +1054,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 parts/supplier relationship (adapted: flat p_type
     inequality for the spec's NOT LIKE, and "suppliers with complaints"
-    becomes suppliers with s_acctbal < 1000 — the bottom ~15%%): how
+    becomes suppliers with s_acctbal < 1000 — the bottom ~15%): how
     many distinct qualifying suppliers ship each (brand, type, size)
     bucket, excluding the complaint list. The NOT IN is a LEFT ANTI
     join — sound here because s_suppkey is a non-null key column (the

@@ -38,6 +38,8 @@ certifies the whole loop with a per-probe-state prefix-source replay.
 from __future__ import annotations
 
 import atexit
+
+from ..functions.lineage import lineage_cut
 import os
 import shutil
 import tempfile
@@ -154,13 +156,10 @@ def _store_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The historical corpus reduced ONCE to its banded, hot-bucket-
     capped signature rows, materialized for reuse across every
     micro-batch's probe join (r11 review: the first version re-exploded
-    and re-capped the store per foreachBatch call). CAVEAT (single-node
-    bench optimization, not a resilience feature): localCheckpoint
-    stores blocks non-reliably on executors — on executor loss the
-    truncated lineage can't recompute and the job fails — and it pins
-    the pre-AQE plan; a fault-tolerant cluster deployment would swap in
-    a persisted BANDED signature TABLE (the production form anyway, see
-    the module docstring)."""
+    and re-capped the store per foreachBatch call). Lineage-cut policy
+    + cluster caveat: functions.lineage.lineage_cut — a fault-tolerant
+    deployment swaps in a persisted BANDED signature TABLE (the
+    production form anyway, see the module docstring)."""
     from ..operators.dedup import _cap_bands, _simhash_bands
     from ..operators.registry import load
     from ..operators.text import simhash_sig
@@ -173,10 +172,11 @@ def _store_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once `bands` goes out of scope (the returned capped copy has its
     # own truncated lineage), so the ADVICE r11 concern — holding the
     # uncapped rows for the stream's whole lifetime — stays closed.
-    bands = _simhash_bands(
-        simhash_sig(d.filter(_store_pred(F.col("source"))), spark)
-    ).localCheckpoint(eager=True)
-    return _cap_bands(bands).localCheckpoint(eager=True)
+    bands = lineage_cut(
+        _simhash_bands(simhash_sig(d.filter(_store_pred(F.col("source"))), spark)),
+        eager=True,
+    )
+    return lineage_cut(_cap_bands(bands), eager=True)
 
 
 def _run_probe_phase(
@@ -447,9 +447,9 @@ def _run_maintenance_phase(
         # side, store append) — cut once so the Arrow tally runs once
         # per micro-batch (executor-loss/pre-AQE caveat as elsewhere;
         # a lost block here re-runs one micro-batch's tally)
-        batch_bands = _bands_with_src(
-            simhash_sig(batch_df, spark), batch_df
-        ).localCheckpoint(eager=True)
+        batch_bands = lineage_cut(
+            _bands_with_src(simhash_sig(batch_df, spark), batch_df), eager=True
+        )
         _probe_and_grow(spark, store_dir, batch_bands, out_dir)
 
     writer = raw.writeStream.foreachBatch(_maint_batch)

@@ -21,8 +21,6 @@ masked it by converting HUGEINT to Python int. Two defenses now:
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 

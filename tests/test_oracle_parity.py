@@ -96,27 +96,25 @@ def test_rows_only_queries_run(spark):
             assert df.count() >= 0, name
 
 
-#: the r16 TPC-H additions also certify at the SMOKE scale factor —
-#: sf_dir is a real parameter (the /verify gotcha list: "run a query at
-#: sf0.001 too"), the adapted predicates were calibrated non-empty at
-#: BOTH scales, and a second SF catches anything the sf0.01 hash can
-#: mask (e.g. a LIMIT whose tiebreak only bites when the result
-#: overflows it, or a filter that happens to be empty-vs-empty).
+#: ops with data-calibrated predicates also certify at the SMOKE scale
+#: factor — sf_dir is a real parameter (the /verify gotcha list: "run a
+#: query at sf0.001 too"), and a second SF catches anything the sf0.01
+#: hash can mask (e.g. a LIMIT whose tiebreak only bites when the
+#: result overflows it, or a filter that happens to be empty-vs-empty).
+#: r16 seeded this with the eight new TPC-H ops; VERDICT r16 item 5
+#: makes it the suite-wide invariant: ALL 22 TPC-H shapes (every one
+#: carries adapted, data-calibrated predicates) plus the
+#: threshold-calibrated LLM-pipeline ops.
 CROSS_SF_QUERIES = [
     "minhash_jaccard_calibration",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
+    *[f"tpch_q{i}" for i in range(1, 23)],
 ]
 
 
 @pytest.mark.parametrize("name", CROSS_SF_QUERIES)
-def test_new_tpch_matches_oracle_at_smoke_sf(spark, name):
+def test_calibrated_ops_match_oracle_at_smoke_sf(spark, name):
     from conftest import SF_SMOKE
 
     assert_matches_oracle(spark, name, SF_SMOKE, require_nonempty=True)
+
+

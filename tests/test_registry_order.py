@@ -3,7 +3,7 @@
 The driver's per-round correctness run checks a bounded PREFIX of the
 registry (50 entries), and `__spark_entry__.queries()` emits registry
 insertion order verbatim — so ordering is part of the external
-verification contract, not cosmetics. These tests pin the round-16
+verification contract, not cosmetics. These tests pin the round-17
 window under the formalized policy (VERDICT r6 item 3): every op whose
 impl/oracle text changed gets a slot, then oldest-driver-certification
 first.
@@ -21,105 +21,85 @@ from health_etl_pipeline_and_analytics_with_machine_learning_spark.operators.reg
 
 WINDOW = 50
 
-#: staleness tier — the one r11-cohort resident whose driver row is the
-#: oldest certification anywhere (staleness 5 entering r16): tpch_q8
-#: was evicted from the r15 window to fund the perplexity-tercile and
-#: unigram-recert slots and leads r16 per the pinned plan.
-ROUND16_STALE_IDS = [
-    "tpch_q8",
+#: staleness tier — the eight r12-cohort residents that slipped the
+#: r16 window (staleness 5 entering r17, the oldest driver rows
+#: anywhere), alphabetical.
+ROUND17_STALE_IDS = [
+    "streaming_view_purchase_join",
+    "text_lang_id",
+    "text_quality_score",
+    "text_simhash",
+    "text_token_count",
+    "video_frame_sample",
+    "vocab_oov_rate",
+    "window_moving_avg",
 ]
 
-#: changed-text tier — fresh driver rows REQUIRED (policy a — it
-#: outranks the pinned cohort-first ordering note, per VERDICT r15
-#: item 2: "new ops take priority per policy a").
-ROUND16_CHANGED_IDS = [
-    # NEW this round (VERDICT r15 item 2): the eight classic TPC-H
-    # shapes the suite lacked — operators/tpch.py now covers all 22.
-    # Q2 correlated scalar-subquery MIN (decorrelated to a min window
-    # over the semi-pruned pair table), Q4 EXISTS→left semi, Q9 LIKE-filtered profit
-    # rollup, Q11 HAVING vs global-share scalar subquery (grid-rounded
-    # threshold compare), Q12 CASE-pivot counts, Q16 NOT IN→broadcast
-    # left anti on a non-null key, Q20 nested IN chain→semi-join
-    # ladder with the correlated threshold as a same-pass conditional
-    # sum, Q21 multi-EXISTS/NOT-EXISTS→co-partitioned left semi +
-    # left anti self-joins with the suppkey inequality as residual.
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # recert for the r16 impl change (ADVICE r15 item 3: the
-    # histogram now lives in a single-slot (session, sf_dir)-keyed
-    # persist cache — same-key repeats reuse the shared cache-manager
-    # entry, different-key calls evict and release)
-    "perplexity_tercile_split",
-    # NEW (r16, second tranche): the MinHash estimator-calibration
-    # measurement — matching-slot count vs exact token-set Jaccard per
-    # banded candidate pair, rolled up per slot count; shares the
-    # banded-candidate builders and the _minhash_chain_sql oracle
-    # chain with the near-dup op
-    "minhash_jaccard_calibration",
-    # recert for the r16 factoring (shared builders + oracle chain;
-    # generated oracle SQL verified byte-identical to the pre-factor
-    # text)
+#: changed-text tier — fresh driver rows REQUIRED (policy a). r17's
+#: change is the lineage-cut factoring (VERDICT r16 item 4): every op
+#: whose body or transitive helper CODE now routes through
+#: functions.lineage.lineage_cut recertifies (plans bit-identical;
+#: the r15/r16 byte-identical-recert standard), plus tpch_q7 whose
+#: nation pair was RECALIBRATED (executable + oracle change) after
+#: the suite-wide cross-SF certification caught it empty-vs-empty at
+#: sf0.001. Docstring-only edits (the %%-fix ops) consume no slots
+#: per the r17 policy refinement in operators/__init__.py.
+ROUND17_CHANGED_IDS = [
     "dedup_minhash_lsh",
-]
-
-#: oldest-first refresh: 38 of the 46 r12-cohort residents (staleness
-#: 4 entering r16), alphabetical; the tail 8
-#: (streaming_view_purchase_join, text_lang_id, text_quality_score,
-#: text_simhash, text_token_count, video_frame_sample, vocab_oov_rate,
-#: window_moving_avg) slip to lead the r17 window per the pinned plan
-#: — the last two evicted to fund the calibration-op and
-#: minhash-recert slots.
-ROUND16_R12_COHORT_IDS = [
-    "asof_join_attribution",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_exact",
-    "doc_fingerprint",
-    "eq_filter_group_agg",
-    "events_enrich_segment",
-    "events_gap_fill",
-    "events_hour_agg",
-    "filter_group2_avg2_count_sort",
-    "forward_fill_last_purchase",
-    "funnel_view_click_purchase",
-    "global_sort_rowid",
-    "group2_sort_mixed_limit",
-    "group_avg_having_sort",
-    "group_avg_sum2_topk",
-    "group_quantiles",
-    "image_phash_neardup",
-    "json_props_extract",
-    "mad_outlier_detect",
-    "multimodal_bmp_decode",
-    "multimodal_ppm_decode",
-    "overview_scalars",
-    "pivot_event_counts",
-    "project_dropna",
-    "range_filter_agg",
-    "running_distinct_users",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "set_intersect_except",
-    "set_ops_bag_semantics",
+    "minhash_jaccard_calibration",
     "simhash_near_pairs",
-    "source_vocab_overlap",
-    "stratified_hash_sample",
-    "streaming_countmin_replay",
-    "streaming_dedup_replay",
+    "image_phash_neardup",
+    "audio_fingerprint_neardup",
+    "dedup_connected_components",
+    "dedup_incremental",
     "streaming_neardup_probe",
-    "streaming_sessionization",
+    "streaming_neardup_store_maintenance",
+    "streaming_neardup_store_compaction",
+    "similarity_lsh_bucketed",
+    "tpch_q7",
+    "tpch_q11",
+    "tpch_q15",
+    "interval_concurrency_peak",
+    "assoc_rules_lift",
+    "brand_copurchase_triangles",
+    "pagerank_nation_trade",
+    "kmv_join_cardinality",
+    "streaming_countmin_replay",
+    "median_fill_scaled",
+    "iqr_clip_scaled",
+    "group_quantiles_scaled",
+]
+
+#: oldest-first refresh: 19 of the 37 not-already-changed r13-cohort
+#: residents (staleness 4 entering r17), alphabetical; the tail 18
+#: (kmv_distinct_sketch .. zscore_normalize) slip to lead the r18
+#: window per the pinned plan.
+ROUND17_R13_COHORT_IDS = [
+    "benford_law_check",
+    "bigram_cross_entropy",
+    "bigram_cross_entropy_hashed",
+    "bpe_pair_counts",
+    "c4_heuristic_filter",
+    "cdc_latest_compaction",
+    "contamination_ngram_check",
+    "corpus_curation",
+    "countmin_estimate",
+    "cusum_changepoint",
+    "dedup_common_spans",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_cluster",
+    "doc_self_repetition",
+    "ewma_smoothing",
+    "heavy_hitters_twopass",
+    "incremental_agg_update",
+    "inverted_index_topk",
 ]
 
 
-def test_r16_window_is_exactly_the_planned_fifty():
+def test_r17_window_is_exactly_the_planned_fifty():
     prefix = list(REGISTRY)[:WINDOW]
-    planned = ROUND16_STALE_IDS + ROUND16_CHANGED_IDS + ROUND16_R12_COHORT_IDS
+    planned = ROUND17_STALE_IDS + ROUND17_CHANGED_IDS + ROUND17_R13_COHORT_IDS
     assert len(planned) == WINDOW
     assert prefix == planned, [
         (i, a, b) for i, (a, b) in enumerate(zip(prefix, planned)) if a != b
@@ -133,9 +113,9 @@ def test_recheck_list_fits_the_window():
     assert len(ops._RECHECK_FIRST) <= WINDOW
 
 
-def test_no_registry_entry_left_unchecked_after_r16():
-    """Every registry id either has a driver row from r1–r15 or sits in
-    the r16 window — no op can reach the judge without certification."""
+def test_no_registry_entry_left_unchecked_after_r17():
+    """Every registry id either has a driver row from r1–r16 or sits in
+    the r17 window — no op can reach the judge without certification."""
     import glob
     import json
     import os
@@ -145,17 +125,17 @@ def test_no_registry_entry_left_unchecked_after_r16():
         seen |= set(json.load(open(f)))
     prefix = set(list(REGISTRY)[:WINDOW])
     never = [n for n in REGISTRY if n not in seen and n not in prefix]
-    assert not never, f"ids with no driver row and no r16 slot: {never}"
+    assert not never, f"ids with no driver row and no r17 slot: {never}"
 
 
-def test_r16_window_covers_every_pre_r12_certification():
-    """The oldest-first policy invariant: after r16 lands green, no
-    op's latest driver certification is older than round 12, and
-    exactly EIGHT r12 rows remain outside the window — the
-    alphabetical cohort tail evicted to fund the eight new TPC-H
-    slots, the tercile recert, the calibration op, and the minhash
-    recert; they lead the r17 window per the pinned plan (the same
-    bounded-staleness eviction as tpch_q8 in r15)."""
+def test_r17_window_covers_every_pre_r13_certification():
+    """The oldest-first policy invariant: after r17 lands green, no
+    op's latest driver certification is older than round 13, and
+    exactly EIGHTEEN r13 rows remain outside the window — the
+    alphabetical cohort tail displaced by the 23-op changed tier
+    (lineage-cut recerts + the q7 recalibration); they lead the r18
+    window per the pinned plan (the same bounded-staleness eviction
+    as the r12 tail in r16)."""
     import glob
     import json
     import os
@@ -166,19 +146,29 @@ def test_r16_window_covers_every_pre_r12_certification():
         for op_name in json.load(open(f)):
             latest[op_name] = max(latest.get(op_name, 0), rnd)
     prefix = set(list(REGISTRY)[:WINDOW])
-    pre_r12 = [n for n in REGISTRY if latest.get(n, 0) <= 11 and n not in prefix]
-    assert not pre_r12, f"pre-r12 certifications left outside the r16 window: {pre_r12}"
-    r12_left = sorted(n for n in REGISTRY if latest.get(n, 0) == 12 and n not in prefix)
-    assert r12_left == [
-        "streaming_view_purchase_join",
-        "text_lang_id",
-        "text_quality_score",
-        "text_simhash",
-        "text_token_count",
-        "video_frame_sample",
-        "vocab_oov_rate",
-        "window_moving_avg",
-    ], f"unplanned r12 evictions: {r12_left}"
+    pre_r13 = [n for n in REGISTRY if latest.get(n, 0) <= 12 and n not in prefix]
+    assert not pre_r13, f"pre-r13 certifications left outside the r17 window: {pre_r13}"
+    r13_left = sorted(n for n in REGISTRY if latest.get(n, 0) == 13 and n not in prefix)
+    assert r13_left == [
+        "kmv_distinct_sketch",
+        "largest_remainder_alloc",
+        "mann_kendall_trend",
+        "multimodal_decode_dispatch",
+        "multimodal_wav_decode",
+        "sequence_pack_scaled",
+        "sequence_pack_stats",
+        "split_leakage_ngram",
+        "streaming_hour_rollup",
+        "text_repetition_flags",
+        "trend_group_avg_sort",
+        "truncation_loss_curve",
+        "two_level_agg",
+        "user_event_paths",
+        "value_counts_topk",
+        "window_group_median_fill",
+        "window_lag_value_delta",
+        "zscore_normalize",
+    ], f"unplanned r13 evictions: {r13_left}"
 
 
 def test_recheck_ids_lead_the_registry():

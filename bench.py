@@ -296,20 +296,24 @@ def main() -> None:
         # reading the per-query map
         "note": "total includes pipeline_clean since r9",
     }
-    # The complete payload (202-entry per-query map) goes to
-    # BENCH_LOCAL.json — it is ~12.6 kB as one JSON line, and the
-    # driver's tail capture truncates lines that long, recording
-    # `parsed: null` in the official BENCH_r{N}.json artifact
-    # (VERDICT r16 item 3 / BENCH_r16). stdout therefore gets a
-    # COMPACT summary line (< 1 kB: headline metric, sentinels, the
-    # box-normalization block, entry count, repeat policy) as the
-    # FINAL line so the per-round artifact is parseable end-to-end;
-    # the per-op map lives only in the written file.
+    # Two stdout lines (VERDICT r16 item 3 + the driver contract):
+    #   line 1 — the FULL payload, one JSON line, per-query map
+    #     included. The driver contract requires the complete
+    #     `"queries": {name: sec, ...}` map on stdout (the driver
+    #     re-runs the bench at a lower core count and compares
+    #     per-query times), so this line must stay.
+    #   line 2 (FINAL) — a COMPACT (<1 kB) summary. The per-round
+    #     artifact capture keeps only the last ~2 kB of stdout and
+    #     json-parses the last line; the 12.6 kB payload line got
+    #     truncated there (`parsed: null` in BENCH_r15/r16), so the
+    #     final line is now small enough to parse end-to-end while
+    #     the full map stays one line up (and in BENCH_LOCAL.json).
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as exc:  # pragma: no cover - stdout is the contract
         print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    print(json.dumps(payload, separators=(",", ":")))
     summary = {
         k: payload[k]
         for k in (
@@ -328,7 +332,9 @@ def main() -> None:
     }
     summary["n_queries"] = len(timings)
     summary["n_errors"] = sum(1 for t in timings.values() if t < 0)
-    summary["queries"] = "see BENCH_LOCAL.json (per-op map omitted: driver tail-capture truncates >~2 kB lines)"
+    summary["queries"] = (
+        "full per-op map on the previous stdout line and in BENCH_LOCAL.json"
+    )
     print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 

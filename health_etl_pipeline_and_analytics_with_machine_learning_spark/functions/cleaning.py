@@ -58,6 +58,22 @@ AVAILABILITY_MAP = {
 _WS_TRIM = r"^\s+|\s+$"  # python str.strip() trims all whitespace, not just spaces
 
 
+def _keep_only(col: Column, keep_class: str) -> Column:
+    """Delete every character NOT in ``keep_class`` (a regex char-class
+    body) — identical to ``regexp_replace(col, '[^<class>]', '')`` but
+    ~15-20x faster (r17 measurement, 600k rows: 2.1-2.5 s -> 0.12-0.17 s
+    per pass): Java's regex evaluates a NEGATED class that unions two or
+    more letter ranges with extra characters at ~4 us PER CHARACTER,
+    while the equivalent positive extraction runs at normal regex speed.
+    Concatenating every maximal run of kept characters == deleting every
+    non-kept character (equivalence fuzz-pinned against the CPython spec
+    in tests/test_fuzz_expressions.py, null/empty/non-ASCII included).
+    """
+    return F.array_join(
+        F.regexp_extract_all(col, F.lit(f"[{keep_class}]+"), 0), ""
+    )
+
+
 def null_na_tokens(col: Column) -> Column:
     """Cell-exact NA-token nulling — the ingest-time na_values semantics."""
     return F.when(col.isin(NA_TOKENS), F.lit(None)).otherwise(col)
@@ -78,7 +94,7 @@ def clean_country(col: Column, corrections: dict[str, str] | None = None) -> Col
         expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
     corrected = expr.otherwise(F.lit(None))
 
-    stripped = F.regexp_replace(col, r"[^a-zA-Z\s\-\.']", "")
+    stripped = _keep_only(col, r"a-zA-Z\s\-\.'")
     trimmed = F.regexp_replace(stripped, _WS_TRIM, "")
     capped = py_capitalize_words(trimmed)
     fallback = F.when(capped == "", F.lit("Unknown")).otherwise(capped)
@@ -93,7 +109,7 @@ def clean_disease(col: Column) -> Column:
     COVID/HIV/AIDS/SARS/MERS ('Alzheimer'S Disease' quirk Q3 preserved).
     """
     s = F.regexp_replace(col, _WS_TRIM, "")
-    s = F.regexp_replace(s, r"[^\w\s\-\(\)']", "")
+    s = _keep_only(s, r"\w\s\-\(\)'")
     # spec-fidelity replacements — unreachable after the strip, kept anyway
     s = F.replace(s, F.lit("A!DS"), F.lit("AIDS"))
     s = F.replace(s, F.lit("Influen&za"), F.lit("Influenza"))

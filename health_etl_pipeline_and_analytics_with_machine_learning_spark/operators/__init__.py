@@ -106,9 +106,30 @@ _RECHECK_FIRST = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
-    # — r13-cohort tier (policy b: oldest-first; 19 of the 37
-    #   not-already-changed fit, alphabetical within the
-    #   equal-staleness tie) —
+    #   r17 OPTIMIZATION-round changed tier (policy a): the exact-
+    #   quantile engine's histogram/boundary transport moved from
+    #   mapInPandas to mapInArrow (functions/quantiles._multi_pass_arrow
+    #   — bit-identical bucket math, measured 1.92 → 1.57 s/pass at 25
+    #   cols), so its three direct relational consumers recertify:
+    "median_fill",
+    "iqr_clip",
+    "quantile_profile",
+    #   and the similarity family's plan-build moved to one-parse SQL
+    #   expressions (similarity._dot_sql/_cent_array_sql/_best_cell/
+    #   _probe_cells_expr — the _lsh_buckets py4j-latency discipline
+    #   extended to the serve path) with the ADC / residual
+    #   code→centroid lookup now a dense O(1) element_at instead of a
+    #   per-term filter-lambda scan; every op reaching those helpers
+    #   recertifies (dedup_semantic_cluster reaches them too — it
+    #   moved up from the r13-cohort tier below):
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_residual_topk",
+    "dedup_semantic_cluster",
+    # — r13-cohort tier (policy b: oldest-first; 11 of the 37
+    #   not-already-changed fit after the r17 optimization tier took
+    #   eight slots, alphabetical within the equal-staleness tie) —
     "benford_law_check",
     "bigram_cross_entropy",
     "bigram_cross_entropy_hashed",
@@ -120,32 +141,24 @@ _RECHECK_FIRST = [
     "countmin_estimate",
     "cusum_changepoint",
     "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_cluster",
-    "doc_self_repetition",
-    "ewma_smoothing",
-    "heavy_hitters_twopass",
-    "incremental_agg_update",
-    "inverted_index_topk",
     # — r18 window plan (pinned now so the rotation stays
-    #   mechanical): FIRST the eighteen r13 residents that slipped
-    #   this window (staleness 5 entering r18, alphabetical:
-    #   kmv_distinct_sketch, largest_remainder_alloc,
-    #   mann_kendall_trend, multimodal_decode_dispatch,
-    #   multimodal_wav_decode, sequence_pack_scaled,
-    #   sequence_pack_stats, split_leakage_ngram,
+    #   mechanical): FIRST the r13 residents that slipped this window
+    #   (staleness 5 entering r18, alphabetical: dedup_exact_text,
+    #   dedup_ngram_jaccard, doc_self_repetition, ewma_smoothing,
+    #   heavy_hitters_twopass, incremental_agg_update,
+    #   inverted_index_topk, kmv_distinct_sketch,
+    #   largest_remainder_alloc, mann_kendall_trend,
+    #   multimodal_decode_dispatch, multimodal_wav_decode,
+    #   sequence_pack_scaled, sequence_pack_stats, split_leakage_ngram,
     #   streaming_hour_rollup, text_repetition_flags,
     #   trend_group_avg_sort, truncation_loss_curve, two_level_agg,
     #   user_event_paths, value_counts_topk, window_group_median_fill,
     #   window_lag_value_delta, zscore_normalize), then r18
     #   changed-text — the planned lineage-cut tranche 2
-    #   (similarity._det_kmeans_fit + split_leakage_lsh +
-    #   record_id.with_record_id; affected ops: the r14 IVF/PQ
-    #   family — due for rotation at r18 anyway — plus
-    #   split_leakage_lsh, global_sort_rowid,
-    #   streaming_sessionization) — then the r14 cohort alphabetical
-    #   with the remaining slots.
+    #   (split_leakage_lsh + record_id.with_record_id; affected ops:
+    #   split_leakage_lsh, global_sort_rowid, streaming_sessionization;
+    #   the r14 IVF/PQ family already recertified here in r17) — then
+    #   the r14 cohort alphabetical with the remaining slots.
 ]
 
 

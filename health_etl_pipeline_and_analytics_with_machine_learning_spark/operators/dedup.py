@@ -961,7 +961,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     converges in O(component diameter) rounds, convergence-checked,
     lineage cut per round. Per-round cost: one shuffle of the edge list
     — no driver-side graph, so the pattern survives 100 TB edge lists.
-    """
+
+    r17 round shape: neighbor messages UNION the node's own label into
+    ONE min-aggregation (the r12 form re-joined the label table against
+    the neighbor mins — a second per-round shuffle — purely to detect
+    change), and convergence is read off ``sum(lbl)`` in the SAME
+    action that materializes the round's cut: labels are non-increasing
+    per node, so the total is strictly smaller iff any node moved. Same
+    per-round update function ⇒ identical labels and round count; one
+    exchange fewer per round (the dropped label-vs-neighbor join), which
+    is what a 100 TB run pays per round on top of the edge shuffle —
+    at sf0.1 the 86-edge graph reads inside bench noise either way."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -971,25 +981,27 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .withColumn("lbl", F.col("node"))
     )
     labels = lineage_cut(labels)
+    prev_sum = None
     for _ in range(max_rounds):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lbl")
         )
         new = (
-            labels.join(nbr, labels.node == nbr.node2, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
-            )
+            msgs.union(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
         )
         new = lineage_cut(new)
-        changed = new.filter("chg").count()
-        labels = new.drop("chg")
-        if changed == 0:
+        # decimal(38,0) sum: exact (no long overflow, no FP) even at
+        # 100 TB node counts × 64-bit ids, so the stability test can
+        # never false-positive on a wrapped sum
+        cur = new.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels = new
+        if cur == prev_sum:
             return labels
+        prev_sum = cur
     raise RuntimeError(
         f"connected components did not converge in {max_rounds} rounds"
     )

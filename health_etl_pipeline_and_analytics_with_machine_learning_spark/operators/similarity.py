@@ -48,6 +48,33 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of :func:`_dot` (r17): one ``F.expr`` parse
+    instead of ~25 py4j round-trips per dot — the same driver-latency
+    rationale as :func:`_lsh_buckets`' one-string bucket expression.
+    Parses to the IDENTICAL Catalyst tree (aggregate/zip_with with a
+    0.0D seed), so pinned values are unchanged."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _rc_sql(expr: str, dp: int) -> str:
+    """Spark-SQL text twin of ``registry.round_cmp`` — same IEEE-double
+    formula, D-suffixed literals so Spark parses doubles (a bare
+    ``1000000.0`` parses as DECIMAL in Spark SQL)."""
+    scale = float(10**dp)
+    return f"floor(round({expr}, {dp + 3}) * {scale!r}D + 0.5D) / {scale!r}D"
+
+
+def _d2s_sql(vv: str, v: str, c: str) -> str:
+    """Spark-SQL text twin of :func:`_d2s` — ``c`` is any SQL fragment
+    exposing ``cv``/``cc`` fields (a lambda variable or a literal-array
+    ``element_at``)."""
+    return _rc_sql(f"{vv} - 2 * {_dot_sql(v, c + '.cv')} + {c}.cc", 6)
+
+
 def _norm2(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
@@ -186,15 +213,17 @@ def _d2_sql(v: str, cv: str) -> str:
     )
 
 
-def _cent_array(cents: list[tuple[int, list[float]]]) -> Column:
-    """Centroids as a literal array<struct<cell,cv,cc>> — folded into
-    the row expression, so cell assignment is narrow (NO join, NO
-    shuffle): the pattern that lets a 100 TB corpus assign cells in one
-    scan. Built as ONE parsed SQL expression: the F.lit/F.struct
+def _cent_array_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """Centroids as a literal array<struct<cell,cv,cc>> SQL fragment —
+    folded into the row expression, so cell assignment is narrow (NO
+    join, NO shuffle): the pattern that lets a 100 TB corpus assign
+    cells in one scan. ONE parsed SQL expression: the F.lit/F.struct
     equivalent costs a py4j round-trip per literal (K×dim ≈ 1600 calls,
     ~2 s of pure driver overhead per plan — measured); one F.expr parse
     is ~5 ms. repr() round-trips doubles exactly, so the literals are
-    bit-identical to the collected centroid values."""
+    bit-identical to the collected centroid values. r17: returns the
+    TEXT so consuming expressions (assignment, probe ranking, ADC)
+    compose into one parse themselves instead of nesting Column calls."""
     items = []
     for c, cv in cents:
         arr = ",".join(f"{float(x)!r}D" for x in cv)
@@ -202,39 +231,72 @@ def _cent_array(cents: list[tuple[int, list[float]]]) -> Column:
         items.append(
             f"named_struct('cell', {int(c)}, 'cv', array({arr}), 'cc', {cc})"
         )
-    return F.expr("array(" + ",".join(items) + ")")
+    return "array(" + ",".join(items) + ")"
 
 
-def _best_cell(v: Column, vv: Column, cent_arr: Column) -> Column:
+def _cent_array(cents: list[tuple[int, list[float]]]) -> Column:
+    """Column form of :func:`_cent_array_sql` for call-sites that embed
+    the array inside DataFrame-API expressions."""
+    return F.expr(_cent_array_sql(cents))
+
+
+def _cent_dense_sql(
+    cents: list[tuple[int, list[float]]], k: int, subdim: int
+) -> str:
+    """Centroids as a DENSE literal array (slot i+1 holds cell i) for
+    O(1) ``element_at(arr, code + 1)`` code→centroid lookup (r17): the
+    previous ``element_at(filter(arr, c -> c.cell = code), 1)`` form
+    re-scanned all ``k`` entries through an interpreted lambda per
+    lookup — and each ADC term reads the struct twice (cv and cc), so
+    every scored pair paid 2·M·k lambda evaluations. Cells the pinned
+    Lloyd fit dropped hold a NEVER-REFERENCED filler (codes and cell
+    assignments only ever name surviving cells, by construction of the
+    argmin), so results are identical; pinned by the unchanged oracle
+    parity of all three PQ-family ops."""
+    by = dict(cents)
+    items = []
+    for i in range(k):
+        cv = by.get(i)
+        if cv is None:
+            arr = ",".join("0.0D" for _ in range(subdim))
+            cc = "CAST('NaN' AS DOUBLE)"
+        else:
+            arr = ",".join(f"{float(x)!r}D" for x in cv)
+            cc = f"{float(sum(x * x for x in cv))!r}D"
+        items.append(f"named_struct('cell', {i}, 'cv', array({arr}), 'cc', {cc})")
+    return "array(" + ",".join(items) + ")"
+
+
+def _best_cell_sql(v: str, vv: str, arr_sql: str) -> str:
     """struct(d2, cell) of the nearest centroid — array_min over
-    struct ordering = argmin with deterministic cell tiebreak."""
-    return F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(_d2s(vv, v, c).alias("d2"), c["cell"].alias("cell")),
-        )
+    struct ordering = argmin with deterministic cell tiebreak.
+    ``v``/``vv`` are SQL fragments (typically column names)."""
+    d2 = _d2s_sql(vv, v, "c")
+    return (
+        f"array_min(transform({arr_sql},"
+        f" c -> named_struct('d2', {d2}, 'cell', c.cell)))"
     )
 
 
-def _probe_cells_expr(cent_arr: Column, v: str, vv: str) -> Column:
+def _best_cell(v: str, vv: str, arr_sql: str) -> Column:
+    """Column form of :func:`_best_cell_sql` (r17: the argument
+    convention moved from Column objects to SQL text — one F.expr
+    parse replaces the per-centroid lambda/struct py4j traffic; the
+    parsed tree, and so every pinned value, is identical)."""
+    return F.expr(_best_cell_sql(v, vv, arr_sql))
+
+
+def _probe_cells_expr(arr_sql: str, v: str, vv: str) -> Column:
     """Per-query probe list: rank centroids by pinned d2, keep
     ``N_PROBE`` — all inside ONE narrow array expression (sort the
     struct array). ``v``/``vv`` name the query-vector column and its
     precomputed self-dot. Shared by the flat IVF op and the composed
     IVF-ADC op (r14 review: the composed op started as a verbatim
     copy of this expression)."""
-    return F.slice(
-        F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    _d2s(F.col(vv), F.col(v), c).alias("d2"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        ),
-        1,
-        N_PROBE,
+    d2 = _d2s_sql(vv, v, "c")
+    return F.expr(
+        f"slice(array_sort(transform({arr_sql},"
+        f" c -> named_struct('d2', {d2}, 'cell', c.cell))), 1, {N_PROBE})"
     )
 
 
@@ -278,9 +340,9 @@ def _det_kmeans_fit(
     init = samp.orderBy("vec_id").limit(k).collect()
     cents = [(i, list(r["v"])) for i, r in enumerate(init)]
     for _ in range(iters):
-        arr = _cent_array(cents)
-        assigned = samp.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
-            "v", _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell")
+        arr = _cent_array_sql(cents)
+        assigned = samp.withColumn("__vv", F.expr(_dot_sql("v", "v"))).select(
+            "v", _best_cell("v", "__vv", arr)["cell"].alias("cell")
         )
         rows = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
@@ -443,12 +505,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _emb(spark, sf_dir)
     cents = _fit_cached(spark, sf_dir, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
-    arr = _cent_array(cents)
-    assigned = e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+    arr = _cent_array_sql(cents)
+    assigned = e.withColumn("__vv", F.expr(_dot_sql("v", "v"))).select(
         "vec_id",
         "v",
         "nrm",
-        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+        _best_cell("v", "__vv", arr)["cell"].alias("cell"),
     )
     probes = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
@@ -457,7 +519,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
         )
-        .withColumn("__qvv", _dot(F.col("qv"), F.col("qv")))
+        .withColumn("__qvv", F.expr(_dot_sql("qv", "qv")))
         .select(
             "query_id",
             "qv",
@@ -660,8 +722,8 @@ def semantic_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests can pin the argmin/partition properties."""
     e = _emb(spark, sf_dir)
     cents = _fit_cached(spark, sf_dir, K_SEMANTIC, _SEM_ITERS, _SEM_SAMPLE_HEX)
-    best = _best_cell(F.col("v"), F.col("__vv"), _cent_array(cents))
-    return e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+    best = _best_cell("v", "__vv", _cent_array_sql(cents))
+    return e.withColumn("__vv", F.expr(_dot_sql("v", "v"))).select(
         "vec_id",
         best["cell"].alias("cluster"),
         best["d2"].alias("dist2"),
@@ -1209,57 +1271,53 @@ def _pq_slice_proj(e: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     subspace slices ``s0..`` and their self-dots ``vv0..``, projected
     FIRST (the lambda-projection rule — an inlined slice/dot
     re-evaluates per centroid inside the argmin transform)."""
-    return e.select(
+    return e.selectExpr(
         "vec_id",
         *extra,
         *[
-            F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"s{m}")
+            f"slice(v, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}) AS s{m}"
             for m in range(_PQ_M)
         ],
-    ).select(
+    ).selectExpr(
         "vec_id",
         *extra,
-        *[F.col(f"s{m}") for m in range(_PQ_M)],
-        *[_dot(F.col(f"s{m}"), F.col(f"s{m}")).alias(f"vv{m}") for m in range(_PQ_M)],
+        *[f"s{m}" for m in range(_PQ_M)],
+        *[f"{_dot_sql(f's{m}', f's{m}')} AS vv{m}" for m in range(_PQ_M)],
     )
 
 
 def _pq_encode(
-    sl: DataFrame, arrs: list[Column], extra: tuple[str, ...] = ()
+    sl: DataFrame, arrs_sql: list[str], extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """The ONE statement of the PQ encode contract (r14 review: the
     encode select had grown three copies): over a
     :func:`_pq_slice_proj`-shaped frame, emit ``vec_id`` (+ ``extra``
     passthrough columns) and ``code{{m}}`` = the argmin codebook entry
     per subspace slice — a narrow scan, codebooks folded in as
-    literals."""
-    return sl.select(
+    literals (``arrs_sql`` = :func:`_cent_array_sql` fragments)."""
+    return sl.selectExpr(
         "vec_id",
         *extra,
         *[
-            _best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
+            f"{_best_cell_sql(f's{m}', f'vv{m}', arrs_sql[m])}.cell AS code{m}"
             for m in range(_PQ_M)
         ],
     )
 
 
-def _adc_expr(arrs: list[Column]) -> Column:
+def _adc_expr(dense_sqls: list[str]) -> Column:
     """Code-indexed ADC distance Σ_m ‖qs_m − codebook_m[code_m]‖² over
     a frame carrying query slices ``qs{{m}}``/``qvv{{m}}`` and candidate
-    codes ``code{{m}}`` — rounded with the same pin the oracle uses."""
-
-    def _term(m: int) -> Column:
-        cm = F.element_at(
-            F.filter(arrs[m], lambda c: c["cell"] == F.col(f"code{m}")), 1
-        )
-        return _d2s(F.col(f"qvv{m}"), F.col(f"qs{m}"), cm)
-
-    adc = _term(0)
-    for m in range(1, _PQ_M):
-        adc = adc + _term(m)
-    return round_cmp(adc, 6)
+    codes ``code{{m}}`` — rounded with the same pin the oracle uses.
+    ``dense_sqls`` are :func:`_cent_dense_sql` fragments: the lookup is
+    an O(1) ``element_at(arr, code + 1)`` instead of the r14
+    filter-lambda scan of all {_PQ_K} entries per term (r17; measured
+    0.98 → 0.80 s on the flat op's scored pass, values identical)."""
+    terms = [
+        _d2s_sql(f"qvv{m}", f"qs{m}", f"element_at({dense_sqls[m]}, code{m} + 1)")
+        for m in range(_PQ_M)
+    ]
+    return F.expr(_rc_sql(" + ".join(terms), 6))
 
 
 def _adc_shortlist(scored: DataFrame) -> DataFrame:
@@ -1337,7 +1395,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_SHORTLIST} buys recall linearly in re-rank cost."""
     e = _emb(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
-    arrs = [_cent_array(b) for b in books]
+    arrs = [_cent_array_sql(b) for b in books]
+    dense = [_cent_dense_sql(b, _PQ_K, _PQ_SUBDIM) for b in books]
     sl = _pq_slice_proj(e)
     # index build: ONE narrow encode pass, codes only — at 100 TB this
     # table IS the index ({_PQ_M} bytes/vector) and is all the ADC scan
@@ -1354,7 +1413,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _adc_expr(arrs).alias("adc_d2"),
+            _adc_expr(dense).alias("adc_d2"),
         )
     )
     # exact re-rank ONLY on the shortlist (review r13: the first draft
@@ -1431,15 +1490,17 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and floor-bounded in tests/test_llm_ops.py."""
     e = _emb(spark, sf_dir)
     cents = _fit_cached(spark, sf_dir, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
-    arr = _cent_array(cents)
-    arrs = [_cent_array(b) for b in _pq_codebooks(spark, sf_dir)]
+    arr = _cent_array_sql(cents)
+    books = _pq_codebooks(spark, sf_dir)
+    arrs = [_cent_array_sql(b) for b in books]
+    dense = [_cent_dense_sql(b, _PQ_K, _PQ_SUBDIM) for b in books]
     sl = _pq_slice_proj(e, extra=("v",)).withColumn(
-        "__vv", _dot(F.col("v"), F.col("v"))
+        "__vv", F.expr(_dot_sql("v", "v"))
     )
     # index build: ONE narrow pass — coarse cell AND the PQ codes fold
     # into the same row expression; (vec_id, cell, code0..) IS the index
     enc = _pq_encode(
-        sl.withColumn("cell", _best_cell(F.col("v"), F.col("__vv"), arr)["cell"]),
+        sl.withColumn("cell", _best_cell("v", "__vv", arr)["cell"]),
         arrs,
         extra=("cell",),
     )
@@ -1466,7 +1527,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _adc_expr(arrs).alias("adc_d2"),
+            _adc_expr(dense).alias("adc_d2"),
         )
     )
     return _exact_rerank(e, _adc_shortlist(scored))
@@ -1486,10 +1547,13 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _res_cv_lookup(arr: Column) -> Column:
+def _res_cv_lookup(dense_sql: str) -> Column:
     """centroid[cell].cv as a row expression over a frame carrying a
-    ``cell`` column — the residual subtraction's lookup side."""
-    return F.element_at(F.filter(arr, lambda c: c["cell"] == F.col("cell")), 1)["cv"]
+    ``cell`` column — the residual subtraction's lookup side. r17: an
+    O(1) dense ``element_at`` (see :func:`_cent_dense_sql`) instead of
+    the filter-lambda scan; assigned/probed cells always survive the
+    fit, so the filler slots are never referenced."""
+    return F.expr(f"element_at({dense_sql}, cell + 1).cv")
 
 
 def _ivf_pq_residual_oracle_sql() -> str:
@@ -1561,18 +1625,21 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     recall win on random vectors."""
     e = _emb(spark, sf_dir)
     cents = _fit_cached(spark, sf_dir, N_IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_HEX)
-    arr = _cent_array(cents)
-    assigned = e.withColumn("__vv", _dot(F.col("v"), F.col("v"))).select(
+    arr = _cent_array_sql(cents)
+    coarse_dense = _cent_dense_sql(cents, N_IVF_CELLS, _DIM)
+    assigned = e.withColumn("__vv", F.expr(_dot_sql("v", "v"))).select(
         "vec_id",
         "v",
-        _best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+        _best_cell("v", "__vv", arr)["cell"].alias("cell"),
     )
     # residual table: one narrow zip_with per row (centroid lookup is a
     # literal-array probe, no join)
     res = assigned.select(
         "vec_id",
         "cell",
-        F.zip_with(F.col("v"), _res_cv_lookup(arr), lambda a, b: a - b).alias("v"),
+        F.zip_with(
+            F.col("v"), _res_cv_lookup(coarse_dense), lambda a, b: a - b
+        ).alias("v"),
     )
     # residual codebooks: the SAME deterministic fit contract, pointed
     # at residual slices; cached per (corpus, subspace) like the flat
@@ -1598,7 +1665,8 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
         )
         for m in range(_PQ_M)
     ]
-    arrs = [_cent_array(b) for b in books]
+    arrs = [_cent_array_sql(b) for b in books]
+    dense = [_cent_dense_sql(b, _PQ_K, _PQ_SUBDIM) for b in books]
     # index build: (vec_id, cell, code0..) in ONE narrow pass over the
     # residual projection
     enc = _pq_encode(_pq_slice_proj(res, extra=("cell",)), arrs, extra=("cell",))
@@ -1608,7 +1676,7 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     q_cells = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("__qvv", _dot(F.col("qv"), F.col("qv")))
+        .withColumn("__qvv", F.expr(_dot_sql("qv", "qv")))
         .select(
             "query_id",
             "qv",
@@ -1619,20 +1687,22 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     rq = q_cells.select(
         "query_id",
         "cell",
-        F.zip_with(F.col("qv"), _res_cv_lookup(arr), lambda a, b: a - b).alias("rqv"),
+        F.zip_with(
+            F.col("qv"), _res_cv_lookup(coarse_dense), lambda a, b: a - b
+        ).alias("rqv"),
     )
-    probes = rq.select(
+    probes = rq.selectExpr(
         "query_id",
         "cell",
         *[
-            F.slice(F.col("rqv"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"qs{m}")
+            f"slice(rqv, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}) AS qs{m}"
             for m in range(_PQ_M)
         ],
-    ).select(
+    ).selectExpr(
         "query_id",
         "cell",
-        *[F.col(f"qs{m}") for m in range(_PQ_M)],
-        *[_dot(F.col(f"qs{m}"), F.col(f"qs{m}")).alias(f"qvv{m}") for m in range(_PQ_M)],
+        *[f"qs{m}" for m in range(_PQ_M)],
+        *[f"{_dot_sql(f'qs{m}', f'qs{m}')} AS qvv{m}" for m in range(_PQ_M)],
     )
     scored = (
         enc.join(F.broadcast(probes), "cell")
@@ -1640,7 +1710,7 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _adc_expr(arrs).alias("adc_d2"),
+            _adc_expr(dense).alias("adc_d2"),
         )
     )
     return _exact_rerank(e, _adc_shortlist(scored))

@@ -318,31 +318,53 @@ def simhash_sig(d: DataFrame, spark: SparkSession) -> DataFrame:
     Scale shape: token hashes stay JVM-side (md5 in a narrow expression
     — the determinism contract with the oracle); the 60-way bit tally
     is pure integer math with NO data-dependent branching, so it runs
-    as a vectorized Arrow-batched ``mapInPandas`` — a (tokens × 60) bit
-    matrix reduced per document in numpy. The doc's token array never
-    leaves its row: ZERO shuffle. Measured at sf0.1 (32 cores): 0.6 s
-    vs 1.33 s for explode(tokens)×60 rows through two doc_id-keyed
-    partial-agg shuffles, 2.1 s for interpreted higher-order-lambda
-    tallies, 3.5 s for 60 conditional SUMs in one wide groupBy — the
-    rare case where the Arrow path beats every JVM form because the
-    JVM forms either shuffle 60× the token volume or fall out of
-    codegen.
+    as a vectorized Arrow-batched ``mapInArrow`` — per bit, one
+    shift/mask over the batch's FLATTENED token-hash buffer plus one
+    offsets-driven segment sum (r17; the r11 form reduced a
+    (tokens × 60) matrix per document in a Python loop). The doc's
+    token array never leaves its row: ZERO shuffle. Measured at sf0.1
+    (32 cores): 0.6 s for the r11 per-doc form vs 1.33 s for
+    explode(tokens)×60 rows through two doc_id-keyed partial-agg
+    shuffles, 2.1 s for interpreted higher-order-lambda tallies, 3.5 s
+    for 60 conditional SUMs in one wide groupBy; the flattened form
+    removes the remaining per-doc Python overhead from the winner.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     def _tally(batches):
-        ks = np.arange(60, dtype=np.uint64)
-        for pdf in batches:
-            ids = pdf["doc_id"].to_numpy()
-            sims = np.empty(len(ids), dtype=np.int64)
-            for i, hv in enumerate(pdf["hvs"]):
-                a = np.asarray(hv, dtype=np.uint64)
-                # bit k is set when (#tokens with bit k) ≥ half the
-                # tokens: s_k = 2·c_k − n ≥ 0 ⇔ the ±1 tally rule
-                c = ((a[:, None] >> ks) & 1).sum(axis=0, dtype=np.int64)
-                sims[i] = int((((2 * c - a.size) >= 0).astype(np.uint64) << ks).sum())
-            yield pd.DataFrame({"doc_id": ids, "simhash": sims})
+        # r17: whole-batch vectorization over the FLATTENED token-hash
+        # buffer (mapInArrow: the list column's values + offsets are
+        # contiguous Arrow buffers — zero per-document Python loop,
+        # guide §4.2). Per bit k, one shift/mask over every token hash
+        # in the batch and one segment-sum (np.add.reduceat at the
+        # per-document offsets) replaces len(batch) small per-doc
+        # matrices. bit k is set when (#tokens with bit k) ≥ half the
+        # tokens: s_k = 2·c_k − n ≥ 0 ⇔ the ±1 tally rule — the SAME
+        # integer math as the per-doc form, so signatures are
+        # bit-identical (pinned by the oracle parity suite).
+        for rb in batches:
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            lst = rb.column(1)
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = off[:-1] - off[0]  # flatten() rebases the values to 0
+            lens = np.diff(off)  # ≥ 1 per row (empty docs filtered upstream)
+            sims = np.zeros(len(ids), dtype=np.uint64)
+            one = np.uint64(1)
+            for k in range(60):
+                bit = ((flat >> np.uint64(k)) & one).astype(np.int64)
+                c = np.add.reduceat(bit, starts)
+                sims |= ((2 * c - lens) >= 0).astype(np.uint64) << np.uint64(k)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                    pa.array(sims.astype(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
 
     # the testdata ships one parquet split per table, so the narrow
     # compute would land on ONE task; spread (doc_id, norm) across a
@@ -371,7 +393,7 @@ def simhash_sig(d: DataFrame, spark: SparkSession) -> DataFrame:
             ).alias("hvs"),
         )
         .filter(F.size("hvs") > 0)  # all-whitespace docs: absent on both sides
-        .mapInPandas(_tally, schema="doc_id long, simhash long")
+        .mapInArrow(_tally, schema="doc_id long, simhash long")
     )
 
 

@@ -417,11 +417,23 @@ def stage_finalize(df: DataFrame, record_id_mode: str = "window") -> DataFrame:
 
     Record_ID ties under (Country, Year, Disease Name) are broken by
     Row_num (≈ original file order — what pandas' stable sort preserves)
-    so id assignment is deterministic across runs."""
+    so id assignment is deterministic across runs.
+
+    Scaled mode skips the trailing global ``orderBy`` (r17): the
+    two-phase id assignment ALREADY leaves the data range-partitioned
+    by the sort keys with each partition sorted (that order is what the
+    ids encode), so re-sorting globally only re-pays the full-width
+    exchange + sort of the whole table — measured ~1.5-2 s at 600k rows
+    for a byte-identical row set. A cheap ``sortWithinPartitions``
+    restates the intra-partition order for the optimizer; cross-
+    partition order is the range partitioning's. Window mode keeps the
+    explicit global sort (its single-partition sort is already paid)."""
     order = ["Country", "Year", "Disease Name"]
     tiebreak = [c for c in ("Row_num",) if c in df.columns]
     out = df.dropDuplicates()
     out = with_record_id(out, order + tiebreak, id_col="Record_ID", mode=record_id_mode)
+    if record_id_mode == "scaled":
+        return out.sortWithinPartitions(*[_c(c) for c in order + tiebreak])
     return out.orderBy(*[_c(c) for c in order + tiebreak])
 
 

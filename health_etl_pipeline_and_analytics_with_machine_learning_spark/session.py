@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # HotSpot refuses to JIT-compile methods over 8000 bytecodes
+        # (-XX:DontCompileHugeMethods default), so a whole-stage-codegen
+        # method bigger than that runs INTERPRETED forever. Spark's
+        # default threshold (65535) happily emits such methods; aligning
+        # it with the JVM's limit makes Spark fall back to per-expression
+        # codegen exactly when the fused method could never be JIT'd.
+        # Measured r17 (600k rows x 24 cleaned numeric columns, one
+        # projection): 1.42 s -> 0.50 s. Scale-independent (a property of
+        # the JVM, not of local mode or the data size).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

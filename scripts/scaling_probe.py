@@ -117,15 +117,28 @@ def build_corpus(src: str = SRC, dst: str = DST, factor: int = FACTOR) -> str:
         """,
     )
 
-    # embeddings: copy c>0 gets a small deterministic per-copy shift —
-    # vectors stay in the same region (realistic: more samples from
-    # the same distribution) without exact cross-copy duplicates.
+    # embeddings: copy c>0 gets a deterministic per-(copy, dim) SIGN
+    # FLIP (a reflection). The first probe run used a tiny additive
+    # shift (x + 0.0003·c) and split_leakage_lsh read 30.6x at 10x —
+    # adjudicated a CORPUS artifact, not an op property: the shift was
+    # far below the LSH bucket width (0.5), so all ten copies of every
+    # vector landed in the SAME (table, bucket) keys and bucket
+    # populations grew 10x in SIZE, violating this probe's own
+    # "across copies nothing collides" doctrine (candidate pairs then
+    # grow ~quadratically by construction). A reflection preserves
+    # norms and every WITHIN-copy cosine exactly (cos(s∘u, s∘v) =
+    # cos(u, v) for a shared sign vector s) while decorrelating every
+    # fixed hyperplane/centroid projection ACROSS copies — the honest
+    # "10x more samples from the same distribution" model.
     write(
         "embeddings",
         f"""
         SELECT e.vec_id + __c * (SELECT MAX(vec_id)+1 FROM {src_pq('embeddings')}) AS vec_id,
                CASE WHEN __c = 0 THEN e.embedding
-                    ELSE list_transform(e.embedding, x -> CAST(x + 0.0003 * __c AS FLOAT))
+                    ELSE list_transform(generate_series(1, len(e.embedding)),
+                                        i -> CAST(e.embedding[i] *
+                                             (CASE WHEN hash(__c * 1024 + i) % 2 = 0
+                                                   THEN 1 ELSE -1 END) AS FLOAT))
                END AS embedding,
                e.label
         FROM {src_pq('embeddings')} e CROSS JOIN {copies}

@@ -905,8 +905,10 @@ def test_maintained_store_probe_is_equi_join_with_broadcast_cap(spark, tmp_path)
     # the store arrives pre-banded: the probe side is the ONLY simhash
     # pipeline in the plan (one Arrow tally node — the union's lazy
     # checkpoint surfaces the store as an RDD scan, so ReadSchema
-    # pruning is asserted on the documents side instead)
-    assert plan.count("MapInPandas (") == 1, plan
+    # pruning is asserted on the documents side instead). r17: the
+    # tally rides mapInArrow (flattened-buffer vectorization), so the
+    # node is MapInArrow now.
+    assert plan.count("MapInArrow (") == 1, plan
     # per-state cap = one windowed running sum, no state-expansion join
     assert "Window" in plan
     assert any(cols == ["doc_id", "text", "source"] for cols in read_schemas(df))
@@ -996,20 +998,18 @@ def test_ivf_pq_index_on_disk_probe_is_partition_pruned(spark, tmp_path):
     from pyspark.sql import functions as F
 
     e = S._emb(spark, SF_SMOKE)
-    arr = S._cent_array(
+    arr = S._cent_array_sql(
         S._fit_cached(spark, SF_SMOKE, S.N_IVF_CELLS, S._IVF_ITERS, S._IVF_SAMPLE_HEX)
     )
-    arrs = [S._cent_array(b) for b in S._pq_codebooks(spark, SF_SMOKE)]
+    arrs = [S._cent_array_sql(b) for b in S._pq_codebooks(spark, SF_SMOKE)]
     sl = S._pq_slice_proj(e, extra=("v",)).withColumn(
-        "__vv", S._dot(F.col("v"), F.col("v"))
+        "__vv", F.expr(S._dot_sql("v", "v"))
     )
     enc = sl.select(
         "vec_id",
-        S._best_cell(F.col("v"), F.col("__vv"), arr)["cell"].alias("cell"),
+        S._best_cell("v", "__vv", arr)["cell"].alias("cell"),
         *[
-            S._best_cell(F.col(f"s{m}"), F.col(f"vv{m}"), arrs[m])["cell"].alias(
-                f"code{m}"
-            )
+            S._best_cell(f"s{m}", f"vv{m}", arrs[m])["cell"].alias(f"code{m}")
             for m in range(S._PQ_M)
         ],
     )

@@ -68,12 +68,28 @@ ROUND17_CHANGED_IDS = [
     "median_fill_scaled",
     "iqr_clip_scaled",
     "group_quantiles_scaled",
+    # r17 OPTIMIZATION-round additions (policy a): the exact-quantile
+    # engine's Arrow transport moved to mapInArrow (bit-identical
+    # bucket math) — its three direct relational consumers recertify;
+    # the similarity family's plan-build moved to one-parse SQL
+    # expressions with a dense O(1) ADC code→centroid lookup — every
+    # op reaching those helpers recertifies (dedup_semantic_cluster
+    # reaches them too, so it moved UP from the cohort tier).
+    "median_fill",
+    "iqr_clip",
+    "quantile_profile",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_residual_topk",
+    "dedup_semantic_cluster",
 ]
 
-#: oldest-first refresh: 19 of the 37 not-already-changed r13-cohort
-#: residents (staleness 4 entering r17), alphabetical; the tail 18
-#: (kmv_distinct_sketch .. zscore_normalize) slip to lead the r18
-#: window per the pinned plan.
+#: oldest-first refresh: 11 of the 37 not-already-changed r13-cohort
+#: residents (staleness 4 entering r17), alphabetical; the tail
+#: (dedup_exact_text .. zscore_normalize, 25 ids) slips to lead the
+#: r18 window per the pinned plan — the r17 optimization tier's eight
+#: slots displaced eight of the nineteen originally planned.
 ROUND17_R13_COHORT_IDS = [
     "benford_law_check",
     "bigram_cross_entropy",
@@ -86,14 +102,6 @@ ROUND17_R13_COHORT_IDS = [
     "countmin_estimate",
     "cusum_changepoint",
     "dedup_common_spans",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_cluster",
-    "doc_self_repetition",
-    "ewma_smoothing",
-    "heavy_hitters_twopass",
-    "incremental_agg_update",
-    "inverted_index_topk",
 ]
 
 
@@ -131,11 +139,11 @@ def test_no_registry_entry_left_unchecked_after_r17():
 def test_r17_window_covers_every_pre_r13_certification():
     """The oldest-first policy invariant: after r17 lands green, no
     op's latest driver certification is older than round 13, and
-    exactly EIGHTEEN r13 rows remain outside the window — the
-    alphabetical cohort tail displaced by the 23-op changed tier
-    (lineage-cut recerts + the q7 recalibration); they lead the r18
-    window per the pinned plan (the same bounded-staleness eviction
-    as the r12 tail in r16)."""
+    exactly TWENTY-FIVE r13 rows remain outside the window — the
+    alphabetical cohort tail displaced by the 31-op changed tier
+    (lineage-cut recerts + the q7 recalibration + the r17
+    optimization tier); they lead the r18 window per the pinned plan
+    (the same bounded-staleness eviction as the r12 tail in r16)."""
     import glob
     import json
     import os
@@ -150,6 +158,13 @@ def test_r17_window_covers_every_pre_r13_certification():
     assert not pre_r13, f"pre-r13 certifications left outside the r17 window: {pre_r13}"
     r13_left = sorted(n for n in REGISTRY if latest.get(n, 0) == 13 and n not in prefix)
     assert r13_left == [
+        "dedup_exact_text",
+        "dedup_ngram_jaccard",
+        "doc_self_repetition",
+        "ewma_smoothing",
+        "heavy_hitters_twopass",
+        "incremental_agg_update",
+        "inverted_index_topk",
         "kmv_distinct_sketch",
         "largest_remainder_alloc",
         "mann_kendall_trend",
